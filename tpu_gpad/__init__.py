@@ -1,0 +1,40 @@
+"""tpu_gpad: a TPU-native GPAD engine for embedded linear MPC.
+
+Implements the accelerated dual gradient-projection (GPAD) algorithm of
+Patrinos & Bemporad for condensed linear-MPC QPs, designed from scratch for
+TPU hardware:
+
+- offline condensation of LTI plant models into the dual-QP constants
+  (``M_G, g_P, G_L, p_D, L`` and the theta/beta momentum schedules),
+- a jitted GPAD iteration with both fixed-iteration (hard real-time) and
+  epsilon-optimality termination modes,
+- scenario batching that turns the two hot matrix-vector products into MXU
+  matmuls, with a fused Pallas kernel keeping solver state in VMEM,
+- shard_map scaling of the scenario batch across device meshes with
+  psum-collective convergence tests.
+
+Reference behavior spec: shreyasren/GPU-DualGradient-MPC
+(``Code/MATLAB/acceldualgrad.m``, ``Code/CUDA/FinalProject/``).
+"""
+
+from tpu_gpad.types import LinearMPCProblem, CondensedQP, GPADData, SolveResult
+from tpu_gpad.condense import condense, dualize
+from tpu_gpad.schedule import momentum_schedule
+from tpu_gpad import problems, io
+from tpu_gpad.solver import solve, solve_batch
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LinearMPCProblem",
+    "CondensedQP",
+    "GPADData",
+    "SolveResult",
+    "condense",
+    "dualize",
+    "momentum_schedule",
+    "problems",
+    "io",
+    "solve",
+    "solve_batch",
+]

@@ -1,0 +1,174 @@
+"""Offline condensation: LTI MPC problem -> condensed QP -> dual GPAD data.
+
+This is the L0 layer of the framework (reference: ``Code/MATLAB/gpad.m:34-85``
+builds the prediction matrices, Hessian and constraint stack for the battery
+problem; here it is generalized to any ``LinearMPCProblem``).
+
+All of this runs offline in float64 NumPy — conditioning of ``H^-1`` matters
+far more than speed here — and only the final ``GPADData`` is cast to the
+on-device dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_gpad.types import LinearMPCProblem, CondensedQP, GPADData
+from tpu_gpad.schedule import momentum_schedule
+
+
+def prediction_matrices(A: np.ndarray, B: np.ndarray, N: int) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked prediction matrices ``T`` and ``S`` with x = T x0 + S z.
+
+    ``T`` stacks ``A^i`` for i = 1..N (reference ``M_ak``, ``gpad.m:50-52``);
+    ``S`` is lower block-triangular with blocks ``A^(i-j) B`` (reference
+    ``M_ab``, ``gpad.m:55-63``).
+    """
+    n_x, n_u = B.shape
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    # powers[i] = A^i, i = 0..N
+    powers = [np.eye(n_x)]
+    for _ in range(N):
+        powers.append(A @ powers[-1])
+    T = np.concatenate(powers[1:], axis=0)  # (n_x*N, n_x)
+    S = np.zeros((n_x * N, n_u * N))
+    for i in range(1, N + 1):  # block row (state x_i)
+        for j in range(1, i + 1):  # block col (input u_{j-1})
+            S[(i - 1) * n_x : i * n_x, (j - 1) * n_u : j * n_u] = powers[i - j] @ B
+    return T, S
+
+
+def condense(problem: LinearMPCProblem) -> CondensedQP:
+    """Condense an MPC problem into the parametric QP of ``CondensedQP``.
+
+    Cost: sum_{k=1..N} x_k' Q x_k + sum_{k=0..N-1} u_k' R u_k, which after
+    substituting x = T x0 + S z gives H = S' Qbar S + Rbar and F = T' Qbar S
+    (reference ``gpad.m:76-77``). Constraint stack rows, in reference order
+    (``gpad.m:84-85``): state upper box, state lower box, input upper box,
+    input lower box, coupling +, coupling -.
+    """
+    N = problem.horizon
+    n_x, n_u = problem.n_x, problem.n_u
+    n_z = n_u * N
+    T, S = prediction_matrices(problem.A, problem.B, N)
+
+    Qbar = np.kron(np.eye(N), np.asarray(problem.Q, dtype=np.float64))
+    Rbar = np.kron(np.eye(N), np.asarray(problem.R, dtype=np.float64))
+    H = S.T @ Qbar @ S + Rbar
+    H = 0.5 * (H + H.T)  # symmetrize against roundoff
+    F = T.T @ Qbar @ S  # (n_x, n_z)
+
+    G_rows, b_rows, E_rows = [], [], []
+
+    def add(Gr, br, Er):
+        G_rows.append(Gr)
+        b_rows.append(np.asarray(br, dtype=np.float64))
+        E_rows.append(Er)
+
+    if problem.x_max is not None:
+        xmax = np.tile(np.asarray(problem.x_max, dtype=np.float64), N)
+        add(S, xmax, -T)  # S z <= xmax - T x0
+    if problem.x_min is not None:
+        xmin = np.tile(np.asarray(problem.x_min, dtype=np.float64), N)
+        add(-S, -xmin, T)  # -S z <= -xmin + T x0
+    I_z = np.eye(n_z)
+    if problem.u_max is not None:
+        add(I_z, np.tile(np.asarray(problem.u_max, dtype=np.float64), N), np.zeros((n_z, n_x)))
+    if problem.u_min is not None:
+        add(-I_z, -np.tile(np.asarray(problem.u_min, dtype=np.float64), N), np.zeros((n_z, n_x)))
+    if problem.K_u is not None:
+        K_u = np.asarray(problem.K_u, dtype=np.float64)
+        Kbar = np.kron(np.eye(N), K_u)  # (n_c*N, n_z)
+        zc = np.zeros(Kbar.shape[0])
+        zE = np.zeros((Kbar.shape[0], n_x))
+        add(Kbar, zc, zE)
+        add(-Kbar, zc, zE)
+    if not G_rows:
+        raise ValueError("problem has no constraints; GPAD needs at least one")
+
+    G = np.concatenate(G_rows, axis=0)
+    b0 = np.concatenate(b_rows, axis=0)
+    E = np.concatenate(E_rows, axis=0)
+
+    return CondensedQP(
+        H=H,
+        F=F,
+        g=np.zeros(n_z),
+        G=G,
+        b0=b0,
+        E=E,
+        n_u=n_u,
+        n_x=n_x,
+        horizon=N,
+        name=problem.name,
+    )
+
+
+def lipschitz_constant(qp: CondensedQP, mode: str = "spectral_dual") -> float:
+    """Lipschitz constant L of the dual gradient.
+
+    The dual Hessian is ``H_d = G H^-1 G'`` (paper eq. (5)); the gradient is
+    L-Lipschitz for any L >= lambda_max(H_d).
+
+    - ``"spectral_dual"`` (default): exact lambda_max(H_d) — tightest valid
+      constant, fastest convergence.
+    - ``"fro_dual"``: ||H_d||_F, the paper's cheap upper bound.
+    - ``"reference"``: ||H||_F^2 of the *primal* Hessian — reproduces the
+      reference MATLAB (``acceldualgrad.m:11``, a much looser constant; only
+      for bit-parity experiments against the reference trajectory).
+    """
+    if mode == "reference":
+        return float(np.linalg.norm(qp.H, "fro") ** 2)
+    Hinv_Gt = np.linalg.solve(qp.H, qp.G.T)
+    Hd = qp.G @ Hinv_Gt
+    if mode == "fro_dual":
+        return float(np.linalg.norm(Hd, "fro"))
+    if mode == "spectral_dual":
+        return float(np.linalg.eigvalsh(0.5 * (Hd + Hd.T))[-1])
+    raise ValueError(f"unknown lipschitz mode: {mode!r}")
+
+
+def dualize(
+    qp: CondensedQP,
+    iterations: int = 100,
+    lipschitz: str = "spectral_dual",
+    schedule: str = "paper",
+    dtype=jnp.float32,
+    L: Optional[float] = None,
+) -> GPADData:
+    """Precompute the dual-QP constants consumed by the online solver.
+
+    Reference analogue: ``acceldualgrad.m:20-23`` computes
+    ``M_G = H^-1 G'``, ``g_P = H^-1 f'``, ``G_L = G / L``, ``p_D = -b / L``
+    per solve; here the x0-dependence is factored into affine maps so a batch
+    of scenarios shares all the heavy matrices.
+    """
+    if L is None:
+        L = lipschitz_constant(qp, lipschitz)
+    Hinv_Gt = np.linalg.solve(qp.H, qp.G.T)  # (n_z, m)
+    gP_map = np.linalg.solve(qp.H, qp.F.T).T  # (n_x, n_z): x0 @ gP_map = H^-1 F' x0
+    gP_const = np.linalg.solve(qp.H, qp.g)  # (n_z,)
+    GL_T = qp.G.T / L  # (n_z, m)
+    pD_map = -qp.E.T / L  # (n_x, m)
+    pD_const = -qp.b0 / L  # (m,)
+    theta, beta = momentum_schedule(iterations, schedule)
+
+    return GPADData(
+        MG_T=jnp.asarray(Hinv_Gt.T, dtype=dtype),
+        GL_T=jnp.asarray(GL_T, dtype=dtype),
+        gP_map=jnp.asarray(gP_map, dtype=dtype),
+        gP_const=jnp.asarray(gP_const, dtype=dtype),
+        pD_map=jnp.asarray(pD_map, dtype=dtype),
+        pD_const=jnp.asarray(pD_const, dtype=dtype),
+        L=jnp.asarray(L, dtype=jnp.float32),
+        theta=jnp.asarray(theta),
+        beta=jnp.asarray(beta),
+        n_u=qp.n_u,
+        n_x=qp.n_x,
+        horizon=qp.horizon,
+        name=qp.name,
+    )

@@ -1,0 +1,13 @@
+"""Bundled plant models (the L0 modeling layer).
+
+``battery`` reproduces the reference's series-cell battery-balancing problem
+(``Code/MATLAB/gpad.m``; ``Documents/BatteryBalancingProblem.pdf``);
+``double_integrator`` and ``mass_spring`` are the classical benchmark plants
+used in the GPAD paper's experiments (``nmpc12-gpad.pdf`` section 5).
+"""
+
+from tpu_gpad.problems.battery import battery
+from tpu_gpad.problems.double_integrator import double_integrator
+from tpu_gpad.problems.mass_spring import mass_spring
+
+__all__ = ["battery", "double_integrator", "mass_spring"]

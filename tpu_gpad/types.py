@@ -1,0 +1,197 @@
+"""Core datatypes.
+
+The data model splits the pipeline into three stages, mirroring the layer map
+of the reference (SURVEY.md section 1):
+
+  LinearMPCProblem  --condense-->  CondensedQP  --dualize-->  GPADData
+
+``GPADData`` is a JAX pytree holding everything the online solver needs; all
+state-dependent quantities (``g_P(x0)``, ``p_D(x0)``) are stored as affine
+maps of the parameter ``x0`` so that a batch of scenarios only differs by two
+cheap matmuls (reference recomputes these per solve on the host:
+``Code/MATLAB/gpad.m:81-85``, ``acceldualgrad.m:20-23``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+@dataclass(frozen=True)
+class LinearMPCProblem:
+    """A discrete-time LTI MPC problem (the L0 modeling layer).
+
+    Dynamics ``x_{k+1} = A x_k + B u_k``; stage cost
+    ``x_k' Q x_k + u_k' R u_k`` over a horizon of ``N`` steps; box constraints
+    on states (``x_min <= x_k <= x_max`` for k = 1..N) and inputs
+    (``u_min <= u_k <= u_max`` for k = 0..N-1); optional per-stage input
+    coupling ``K_u u_k = 0`` encoded as two inequalities (the battery problem's
+    charge-conservation constraint, ``Code/MATLAB/gpad.m:44,65-73,84-85``).
+    """
+
+    A: np.ndarray  # (n_x, n_x)
+    B: np.ndarray  # (n_x, n_u)
+    Q: np.ndarray  # (n_x, n_x) stage state cost
+    R: np.ndarray  # (n_u, n_u) stage input cost
+    horizon: int  # N, number of prediction steps
+    x_min: Optional[np.ndarray] = None  # (n_x,) or None for unconstrained
+    x_max: Optional[np.ndarray] = None
+    u_min: Optional[np.ndarray] = None  # (n_u,)
+    u_max: Optional[np.ndarray] = None
+    K_u: Optional[np.ndarray] = None  # (n_c, n_u) per-stage coupling, K_u u_k = 0
+    name: str = "lti"
+
+    @property
+    def n_x(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def n_u(self) -> int:
+        return self.B.shape[1]
+
+    @property
+    def n_z(self) -> int:
+        return self.n_u * self.horizon
+
+
+@dataclass(frozen=True)
+class CondensedQP:
+    """The condensed primal QP (reference: ``gpad.m:76-85``).
+
+    minimize   0.5 z' H z + (F' x0 + g)' z
+    subject to G z <= b0 + E x0
+
+    with ``z = [u_0; ...; u_{N-1}]``. ``F`` maps the parameter into the linear
+    cost (``f = x0' F`` in ``gpad.m:81``), ``E`` maps it into the constraint
+    right-hand side (``b_i = b0 + E x0``, cf. ``gpad.m:85`` where only the
+    state-box rows depend on x0).
+    """
+
+    H: np.ndarray  # (n_z, n_z) SPD
+    F: np.ndarray  # (n_x, n_z)
+    g: np.ndarray  # (n_z,) constant linear-cost term (zero for the bundled problems)
+    G: np.ndarray  # (m, n_z)
+    b0: np.ndarray  # (m,)
+    E: np.ndarray  # (m, n_x)
+    n_u: int
+    n_x: int
+    horizon: int
+    name: str = "qp"
+
+    @property
+    def n_z(self) -> int:
+        return self.H.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.G.shape[0]
+
+
+def _register_pytree_dataclass(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclass(frozen=True)
+class GPADData:
+    """Everything the online GPAD solver needs, laid out for TPU matmuls.
+
+    The per-iteration math (reference: ``acceldualgrad.m:43-52``; cookbook
+    steps 1-4) in canonical (MATLAB/paper) sign convention is
+
+        w    = y + beta_k (y - y_prev)
+        zhat = -(w @ MG_T) - g_P            # MG_T = (H^-1 G')' = G H^-1
+        z    = (1 - theta_k) z + theta_k zhat
+        y+   = relu(w + zhat @ GL_T + p_D)  # GL_T = (G / L)'
+
+    where for a batch of scenarios ``X0`` of shape (B, n_x):
+
+        g_P = X0 @ gP_map + gP_const        # = H^-1 (F' x0 + g)
+        p_D = X0 @ pD_map + pD_const        # = -(b0 + E x0) / L
+
+    Both hot products are (B, m) @ (m, n_z) and (B, n_z) @ (n_z, m) matrix
+    multiplies that tile directly onto the MXU — the TPU-native replacement
+    for the reference's one-row-per-CUDA-thread MVP kernels
+    (``kernel_functions.cu:16-64,142-200``).
+    """
+
+    MG_T: jax.Array  # (m, n_z)  == (H^-1 G')' ; step-2 operand
+    GL_T: jax.Array  # (n_z, m)  == (G/L)'     ; step-4 operand
+    gP_map: jax.Array  # (n_x, n_z)
+    gP_const: jax.Array  # (n_z,)
+    pD_map: jax.Array  # (n_x, m)
+    pD_const: jax.Array  # (m,)
+    L: jax.Array  # () Lipschitz constant used for the 1/L scaling
+    theta: jax.Array  # (max_iters,) momentum schedule
+    beta: jax.Array  # (max_iters,)
+    # static metadata
+    n_u: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_x: int = dataclasses.field(metadata=dict(static=True), default=0)
+    horizon: int = dataclasses.field(metadata=dict(static=True), default=0)
+    name: str = dataclasses.field(metadata=dict(static=True), default="gpad")
+
+    @property
+    def n_z(self) -> int:
+        return self.MG_T.shape[1]
+
+    @property
+    def m(self) -> int:
+        return self.MG_T.shape[0]
+
+    @property
+    def max_iters(self) -> int:
+        return self.theta.shape[0]
+
+
+_register_pytree_dataclass(
+    GPADData,
+    data_fields=(
+        "MG_T",
+        "GL_T",
+        "gP_map",
+        "gP_const",
+        "pD_map",
+        "pD_const",
+        "L",
+        "theta",
+        "beta",
+    ),
+    meta_fields=("n_u", "n_x", "horizon", "name"),
+)
+
+
+@dataclass(frozen=True)
+class SolveResult:
+    """Output of a GPAD solve.
+
+    ``u`` is the first control move (primal recovery ``u* = z[:n_u]``,
+    reference ``acceldualgrad.m:83``); ``z`` the full primal trajectory
+    estimate; ``y`` the dual iterate; ``iterations`` the per-scenario
+    iteration count at exit (== the fixed budget in fixed mode);
+    ``residual`` the final primal infeasibility max(G z - b, 0) max-norm;
+    ``gap`` the final dual-gap surrogate (-w' g(zhat)); ``converged`` whether
+    the epsilon test passed (always True in fixed-iteration mode).
+    Leading batch dims mirror the input batch.
+    """
+
+    u: jax.Array
+    z: jax.Array
+    y: jax.Array
+    iterations: jax.Array
+    residual: jax.Array
+    gap: jax.Array
+    converged: jax.Array
+
+
+_register_pytree_dataclass(
+    SolveResult,
+    data_fields=("u", "z", "y", "iterations", "residual", "gap", "converged"),
+    meta_fields=(),
+)
