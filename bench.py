@@ -1,0 +1,126 @@
+"""Benchmark harness. Prints ONE JSON line on stdout:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): MPC solves/sec/chip on the battery-balancing
+QP — 4096 scenarios, horizon N=10, 100 fixed GPAD iterations, fp32.
+``vs_baseline`` is the speedup over the sequential CPU oracle solving the
+same problem at the same iteration budget — the reference project's own
+headline comparison (GPU vs sequential CPU, README.md:7-10).
+
+Timing uses the slope method (tpu_gpad.utils.timing): the tunneled TPU has a
+~30 ms host RPC floor and an async dispatch that returns before compute
+finishes, so naive per-call walltime is meaningless. Detailed sub-benchmarks
+go to BENCH_DETAIL.json; pass --quick for smoke runs.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--iterations", type=int, default=100)
+    parser.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_gpad
+    from tpu_gpad import problems
+    from tpu_gpad.solver import solve_batch, SolverConfig
+    from tpu_gpad.solver.reference import gpad_solve_qp
+    from tpu_gpad.utils import device_time_per_call, wall_times
+
+    batch = 256 if args.quick else args.batch
+    n_cells, horizon = 3, 10
+    iters = args.iterations
+
+    qp = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=horizon))
+    data = tpu_gpad.dualize(qp, iterations=max(iters, 100))
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.uniform(-0.5, 0.5, size=(batch, n_cells)).astype(np.float32))
+    cfg = SolverConfig(iterations=iters, engine=args.engine)
+
+    detail = {
+        "device": str(jax.devices()[0]),
+        "engine": args.engine,
+        "problem": data.name,
+        "n_z": data.n_z,
+        "m": data.m,
+        "batch": batch,
+        "iterations": iters,
+    }
+
+    # --- headline: batched throughput, fp32, device time via slope method ---
+    k_large = 8 if args.quick else 22
+    t_call = device_time_per_call(
+        lambda: solve_batch(data, X0, config=cfg).u, k_large=k_large
+    )
+    solves_per_sec = batch / t_call
+    detail["throughput_fp32_solves_per_sec"] = solves_per_sec
+    detail["batch_device_ms"] = t_call * 1e3
+
+    # --- correctness spot check vs oracle ---
+    from tpu_gpad.problems.battery import default_x0
+
+    x0 = default_x0(n_cells, seed=7)
+    res = tpu_gpad.solve(data, jnp.asarray(x0, dtype=jnp.float32), config=cfg)
+    ref = gpad_solve_qp(qp, x0, iterations=iters)
+    u_err = float(np.abs(np.asarray(res.u[0]) - ref.u).max())
+    detail["u_star_max_abs_err_vs_oracle"] = u_err
+    assert u_err < 1e-4, f"u* parity broken: {u_err}"
+
+    # --- sequential CPU oracle baseline (reference's comparison point) ---
+    n_base = 3 if args.quick else 10
+    t0 = time.perf_counter()
+    for i in range(n_base):
+        gpad_solve_qp(qp, np.asarray(X0[i % batch], dtype=np.float64), iterations=iters)
+    cpu_solves_per_sec = n_base / (time.perf_counter() - t0)
+    detail["cpu_oracle_solves_per_sec"] = cpu_solves_per_sec
+
+    # --- single-solve latency: device time + client-observed (incl. tunnel) ---
+    x0_dev = jnp.asarray(x0, dtype=jnp.float32)
+    single = lambda: tpu_gpad.solve(data, x0_dev, config=cfg).u
+    detail["single_solve_device_ms"] = device_time_per_call(single, k_large=k_large) * 1e3
+    lat = wall_times(single, warmup=2, iters=10 if args.quick else 50)
+    detail["single_solve_client_ms_p50"] = float(np.percentile(lat, 50) * 1e3)
+    detail["single_solve_client_ms_p99"] = float(np.percentile(lat, 99) * 1e3)
+
+    # --- bf16 operands variant ---
+    cfg_bf16 = SolverConfig(iterations=iters, engine=args.engine, matmul_dtype="bfloat16")
+    t_bf16 = device_time_per_call(
+        lambda: solve_batch(data, X0, config=cfg_bf16).u, k_large=k_large
+    )
+    detail["throughput_bf16_solves_per_sec"] = batch / t_bf16
+
+    # --- long horizon N=50 (BASELINE config 2) ---
+    if not args.quick:
+        qp50 = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=50))
+        data50 = tpu_gpad.dualize(qp50, iterations=max(iters, 100))
+        X0_50 = X0[:1024]
+        t50 = device_time_per_call(
+            lambda: solve_batch(data50, X0_50, config=cfg).u, k_large=10
+        )
+        detail["long_horizon_N50_solves_per_sec"] = 1024 / t50
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps({
+        "metric": "mpc_solves_per_sec_per_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s (battery n=3 N=10, %d iters, fp32, batch %d, %s)"
+                % (iters, batch, args.engine),
+        "vs_baseline": round(solves_per_sec / cpu_solves_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

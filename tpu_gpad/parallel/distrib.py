@@ -1,0 +1,133 @@
+"""shard_map-based distributed GPAD.
+
+Layouts
+-------
+2D mesh ``(data, model)``:
+
+- **data** (scenario DP, the workhorse): ``X0`` and all per-scenario state
+  shard along the batch axis; the plant matrices replicate. Zero
+  communication in fixed mode; one scalar psum per ``check_every``
+  iterations in eps mode (the collective all-converged stopping test,
+  ``nmpc12-gpad.pdf`` Algorithm 1 done fleet-wide).
+- **model** (dual-dimension TP, for very large single instances): the
+  constraint dimension m shards across devices — each holds a row slice of
+  ``MG_T``, a column slice of ``GL_T`` and slices of ``p_D``/``y``/``w``.
+  Step 2 psums its partial products (one (B, n_z) psum per iteration);
+  steps 1/3/4 are local. Residual reductions become pmax/psum.
+
+The per-scenario GPAD state never crosses devices in DP — each scenario is
+fully resident on one chip, so scaling is embarrassingly linear (the
+BASELINE.md >=0.95x target).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_gpad.types import GPADData, SolveResult
+from tpu_gpad.solver.core import SolverConfig, solve_batch
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a ``(data, model)`` mesh. Defaults to all devices on data."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def data_specs(like: GPADData, model_axis: str | None = None) -> GPADData:
+    """PartitionSpecs for every GPADData leaf (static metadata copied from
+    ``like`` so the pytree structures match).
+
+    With ``model_axis`` set, the dual dimension m of MG_T/GL_T/pD shards over
+    it; everything else replicates."""
+    import dataclasses
+
+    ma = model_axis
+    return dataclasses.replace(
+        like,
+        MG_T=P(ma, None),  # (m, n_z): rows sharded
+        GL_T=P(None, ma),  # (n_z, m): cols sharded
+        gP_map=P(),
+        gP_const=P(),
+        pD_map=P(None, ma),
+        pD_const=P(ma),
+        L=P(),
+        theta=P(),
+        beta=P(),
+    )
+
+
+def result_specs(data_axis: str | None, model_axis: str | None) -> SolveResult:
+    da, ma = data_axis, model_axis
+    return SolveResult(
+        u=P(da, None),
+        z=P(da, None),
+        y=P(da, ma),
+        iterations=P(da),
+        residual=P(da),
+        gap=P(da),
+        converged=P(da),
+    )
+
+
+def shard_batch(mesh: Mesh, X0: jax.Array, data_axis: str = "data") -> jax.Array:
+    """Place a scenario batch sharded along the mesh's data axis."""
+    return jax.device_put(X0, jax.sharding.NamedSharding(mesh, P(data_axis, None)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "data_axis", "model_axis")
+)
+def solve_batch_sharded(
+    data: GPADData,
+    X0: jax.Array,
+    config: SolverConfig = SolverConfig(),
+    *,
+    mesh: Mesh,
+    data_axis: str | None = "data",
+    model_axis: str | None = None,
+) -> SolveResult:
+    """Mesh-sharded batched solve via shard_map.
+
+    ``X0`` (B, n_x) shards along ``data_axis`` (B must divide evenly);
+    optionally the dual dimension shards along ``model_axis`` (m must divide
+    evenly). In eps mode the loop exits only when every scenario on every
+    device has converged (psum'd predicate)."""
+    import dataclasses
+
+    n_data = mesh.shape[data_axis] if data_axis else 1
+    n_model = mesh.shape[model_axis] if model_axis else 1
+    if X0.shape[0] % n_data:
+        raise ValueError(f"batch {X0.shape[0]} not divisible by data axis {n_data}")
+    if data.m % n_model:
+        raise ValueError(f"m={data.m} not divisible by model axis {n_model}")
+
+    inner_cfg = dataclasses.replace(
+        config,
+        model_axis=model_axis,
+        collective_axes=tuple(a for a in (data_axis, model_axis) if a is not None),
+    )
+
+    def local_solve(data_local: GPADData, x0_local: jax.Array) -> SolveResult:
+        return solve_batch(data_local, x0_local, config=inner_cfg)
+
+    shmapped = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(data_specs(data, model_axis), P(data_axis, None)),
+        out_specs=result_specs(data_axis, model_axis),
+        check_vma=False,
+    )
+    return shmapped(data, X0)

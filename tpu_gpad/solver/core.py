@@ -51,6 +51,9 @@ class SolverConfig:
     precision: str = "highest"  # lax matmul precision for fp32 operands on TPU
     # ("highest" = true fp32 on the MXU; "default" = fastest, bf16-ish passes)
     collective_axes: tuple = ()  # mesh axes to psum the all-converged test over
+    model_axis: str | None = None  # mesh axis the dual dimension m is sharded
+    # over (tensor parallelism): step-2 partial products are psum'd per
+    # iteration; residual reductions become pmax/psum over this axis
     unroll: int = 1  # fori_loop unroll factor
 
 
@@ -77,16 +80,25 @@ def _make_matmul(config: "SolverConfig"):
     return mm
 
 
-def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm):
-    """One GPAD iteration (steps 1-4, acceldualgrad.m:43-52), batched."""
+def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
+               model_axis=None):
+    """One GPAD iteration (steps 1-4, acceldualgrad.m:43-52), batched.
+
+    Under tensor parallelism (``model_axis`` set, dual dimension m sharded
+    across the mesh inside shard_map) step 2's row-slice partial products are
+    reduced with a single psum; steps 1/3/4 are embarrassingly local.
+    """
     w = y + beta_k * (y - y_prev)
-    zhat = -mm(w, data.MG_T) - g_P
+    zhat_partial = mm(w, data.MG_T)
+    if model_axis is not None:
+        zhat_partial = lax.psum(zhat_partial, model_axis)
+    zhat = -zhat_partial - g_P
     z = (1.0 - theta_k) * z + theta_k * zhat
     y_next = jnp.maximum(w + mm(zhat, data.GL_T) + p_D, 0.0)
     return w, zhat, z, y_next
 
 
-def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm):
+def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None):
     """Primal violation max(G z - b) and gap surrogate -w' g(zhat).
 
     Recovered from the scaled operands: g(z) = L * (G_L z + p_D)."""
@@ -95,6 +107,10 @@ def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm):
     viol_z = jnp.max(gz, axis=-1)
     viol_zhat = jnp.max(gzh, axis=-1)
     gap = -jnp.sum(w * gzh, axis=-1)
+    if model_axis is not None:
+        viol_z = lax.pmax(viol_z, model_axis)
+        viol_zhat = lax.pmax(viol_zhat, model_axis)
+        gap = lax.psum(gap, model_axis)
     return viol_z, viol_zhat, gap
 
 
@@ -116,14 +132,15 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
     def body(k, carry):
         y, y_prev, z, _, _ = carry
         w, zhat, z, y_next = _iteration(
-            data, g_P, p_D, data.theta[k], data.beta[k], y, y_prev, z, mm
+            data, g_P, p_D, data.theta[k], data.beta[k], y, y_prev, z, mm,
+            config.model_axis,
         )
         return y_next, y, z, w, zhat
 
     y, y_prev, z, w, zhat = lax.fori_loop(
         0, config.iterations, body, (y, y_prev, z, w, zhat), unroll=config.unroll
     )
-    viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm)
+    viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm, config.model_axis)
     iters = jnp.full(batch_shape, config.iterations, dtype=jnp.int32)
     return SolveResult(
         u=z[..., : data.n_u],
@@ -153,13 +170,14 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
     def body(carry):
         k, done, y, y_prev, z, w, zhat, converged, iters, z_out = carry
         w, zhat, z, y_next = _iteration(
-            data, g_P, p_D, data.theta[k], data.beta[k], y, y_prev, z, mm
+            data, g_P, p_D, data.theta[k], data.beta[k], y, y_prev, z, mm,
+            config.model_axis,
         )
         y_prev, y = y, y_next
 
         def check(args):
             converged, iters, z_out = args
-            viol_z, viol_zhat, gap = _residuals(data, g_P, p_D, z, zhat, w, mm)
+            viol_z, viol_zhat, gap = _residuals(data, g_P, p_D, z, zhat, w, mm, config.model_axis)
             ok_z = viol_z <= config.eps_g
             ok_zhat = jnp.logical_and(viol_zhat <= config.eps_g, gap <= config.eps_V)
             ok = jnp.logical_or(ok_z, ok_zhat)
@@ -187,7 +205,7 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
         cond, body, carry
     )
     z_final = jnp.where(converged[..., None], z_out, z)
-    viol_z, _, gap = _residuals(data, g_P, p_D, z_final, zhat, w, mm)
+    viol_z, _, gap = _residuals(data, g_P, p_D, z_final, zhat, w, mm, config.model_axis)
     return SolveResult(
         u=z_final[..., : data.n_u],
         z=z_final,
