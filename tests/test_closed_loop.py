@@ -1,0 +1,65 @@
+"""Closed-loop simulator tests (gpad.m:79-114 behavior)."""
+
+import numpy as np
+
+import tpu_gpad
+from tpu_gpad import problems
+from tpu_gpad.closed_loop import simulate, plot_closed_loop
+from tpu_gpad.solver import SolverConfig
+
+
+def test_battery_balances_soc():
+    """The controller's job: drive all cells to equal SoC while conserving
+    total charge (sum(u) = 0 per stage, gpad.m:44)."""
+    prob = problems.battery(n_cells=5, horizon=8)
+    x0 = problems.battery_default_x0(5)
+    # cell capacity limits |dSoC| to ~7.5e-4 per sample at the 0.3 A current
+    # cap, so full balancing needs a few hundred samples (reference runs 1000)
+    res = simulate(prob, x0, n_steps=400, config=SolverConfig(iterations=80))
+    X = np.asarray(res.X[:, 0, :])
+    U = np.asarray(res.U[:, 0, :])
+    spread0 = X[0].max() - X[0].min()
+    spreadT = X[-1].max() - X[-1].min()
+    assert spreadT < 0.25 * spread0, (spread0, spreadT)
+    # charge conservation: the coupling constraint holds at every sample
+    assert np.abs(U.sum(axis=1)).max() < 5e-3
+    # input box respected (small dual-infeasibility slack at 80 iterations)
+    assert np.abs(U).max() <= 0.3 + 1e-3
+
+
+def test_total_charge_invariant():
+    prob = problems.battery(n_cells=5, horizon=8)
+    x0 = problems.battery_default_x0(5)
+    res = simulate(prob, x0, n_steps=60, config=SolverConfig(iterations=80))
+    X = np.asarray(res.X[:, 0, :])
+    # A = I and sum(u)=0 with equal capacities => total SoC is conserved
+    np.testing.assert_allclose(X.sum(axis=1), X[0].sum(), atol=2e-3)
+
+
+def test_batched_closed_loop_matches_single():
+    prob = problems.battery(n_cells=3, horizon=6)
+    rng = np.random.default_rng(4)
+    X0 = rng.uniform(-0.3, 0.3, size=(4, 3)).astype(np.float32)
+    rb = simulate(prob, X0, n_steps=20, config=SolverConfig(iterations=60))
+    r1 = simulate(prob, X0[1], n_steps=20, config=SolverConfig(iterations=60))
+    np.testing.assert_allclose(
+        np.asarray(rb.X[:, 1, :]), np.asarray(r1.X[:, 0, :]), atol=1e-5
+    )
+
+
+def test_closed_loop_pallas_engine():
+    prob = problems.battery(n_cells=3, horizon=6)
+    x0 = problems.battery_default_x0(3, seed=2)
+    r_x = simulate(prob, x0, n_steps=10, config=SolverConfig(iterations=50, engine="xla"))
+    r_p = simulate(prob, x0, n_steps=10, config=SolverConfig(iterations=50, engine="pallas"))
+    np.testing.assert_allclose(np.asarray(r_p.X), np.asarray(r_x.X), atol=1e-4)
+
+
+def test_plot_smoke(tmp_path):
+    prob = problems.battery(n_cells=3, horizon=6)
+    res = simulate(prob, problems.battery_default_x0(3), n_steps=5,
+                   config=SolverConfig(iterations=30))
+    out = tmp_path / "traj.png"
+    fig = plot_closed_loop(res, path=str(out))
+    if fig is not None:
+        assert out.exists()

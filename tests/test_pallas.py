@@ -1,0 +1,81 @@
+"""Fused Pallas kernel parity vs the XLA engine and the NumPy oracle.
+
+On CPU the kernel runs in Pallas interpret mode (same program, interpreted),
+which is the in-repo oracle strategy from SURVEY.md section 4."""
+
+import numpy as np
+import pytest
+
+import tpu_gpad
+from tpu_gpad import problems
+from tpu_gpad.solver import SolverConfig, solve_batch
+from tpu_gpad.solver.reference import gpad_solve_qp
+
+
+@pytest.fixture(scope="module")
+def battery_data():
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=10))
+    data = tpu_gpad.dualize(qp, iterations=100)
+    return qp, data
+
+
+def _x0_batch(n, n_x, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.4, 0.4, size=(n, n_x)).astype(np.float32)
+
+
+def test_pallas_matches_xla(battery_data):
+    qp, data = battery_data
+    X0 = _x0_batch(12, qp.n_x)
+    r_xla = solve_batch(data, X0, config=SolverConfig(iterations=60, engine="xla"))
+    r_pl = solve_batch(data, X0, config=SolverConfig(iterations=60, engine="pallas"))
+    np.testing.assert_allclose(np.asarray(r_pl.z), np.asarray(r_xla.z), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_pl.y), np.asarray(r_xla.y), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_pl.residual), np.asarray(r_xla.residual), atol=2e-5
+    )
+
+
+def test_pallas_matches_oracle_u(battery_data):
+    qp, data = battery_data
+    X0 = _x0_batch(4, qp.n_x, seed=3)
+    res = solve_batch(data, X0, config=SolverConfig(iterations=100, engine="pallas"))
+    for i in range(X0.shape[0]):
+        ref = gpad_solve_qp(qp, X0[i].astype(np.float64), iterations=100)
+        np.testing.assert_allclose(np.asarray(res.u[i]), ref.u, atol=1e-4)
+
+
+def test_pallas_single_and_odd_batch(battery_data):
+    """Batch sizes that don't divide the tile exercise the zero padding."""
+    qp, data = battery_data
+    X0 = _x0_batch(5, qp.n_x, seed=9)
+    r5 = solve_batch(data, X0, config=SolverConfig(iterations=40, engine="pallas"))
+    r1 = tpu_gpad.solve(data, X0[2], config=SolverConfig(iterations=40, engine="pallas"))
+    np.testing.assert_allclose(np.asarray(r1.u[0]), np.asarray(r5.u[2]), atol=1e-6)
+
+
+def test_pallas_eps_mode_falls_back(battery_data):
+    qp, data = battery_data
+    X0 = _x0_batch(3, qp.n_x, seed=5)
+    cfg = SolverConfig(mode="eps", eps_g=1e-3, eps_V=1e-3, check_every=10, engine="pallas")
+    res = solve_batch(data, X0, config=cfg)
+    assert bool(np.all(np.asarray(res.converged)))
+
+
+def test_pallas_bf16_operands(battery_data):
+    qp, data = battery_data
+    X0 = _x0_batch(4, qp.n_x, seed=11)
+    r32 = solve_batch(data, X0, config=SolverConfig(iterations=60, engine="pallas"))
+    rb = solve_batch(
+        data, X0, config=SolverConfig(iterations=60, engine="pallas", matmul_dtype="bfloat16")
+    )
+    # bf16 matmuls: looser tolerance but same solution neighborhood
+    np.testing.assert_allclose(np.asarray(rb.u), np.asarray(r32.u), atol=5e-2)
+
+
+def test_fits_vmem_guard():
+    from tpu_gpad.solver import kernels
+
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=10))
+    data = tpu_gpad.dualize(qp, iterations=10)
+    assert kernels.fits_vmem(data)

@@ -1,0 +1,127 @@
+"""Closed-loop MPC simulation (the reference's controller loop).
+
+Reference: ``Code/MATLAB/gpad.m:79-95`` runs 1000 samples of
+solve -> apply first move -> propagate state, re-condensing the constraint
+RHS from x0 every sample and recomputing ``inv(H)`` inside every solve
+(``acceldualgrad.m:20-23`` — an O(n_z^3) per-solve cost this design removes:
+condensation happens once offline and the x0-dependence is an affine map).
+
+TPU-native design: the entire closed loop — all T samples, each containing a
+full GPAD solve — is ONE jitted ``lax.scan``. Nothing crosses the host
+boundary until the final trajectory is fetched; the reference crosses it
+twice per sample (H2D of b_i, D2H of u*, ``main.cu:136-180``). The loop also
+runs *batched*: B independent plants (different initial SoCs) are simulated
+in lockstep, which is how the scenario-sweep benchmarks of BASELINE.json
+config 5 are produced.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_gpad.types import LinearMPCProblem, GPADData
+from tpu_gpad.condense import condense, dualize
+from tpu_gpad.solver.core import SolverConfig, solve_batch
+
+
+@dataclass(frozen=True)
+class ClosedLoopResult:
+    """Trajectories of a closed-loop run.
+
+    ``X``: (T+1, B, n_x) states (X[0] = x0); ``U``: (T, B, n_u) applied first
+    moves; ``residual``/``iterations``: (T, B) per-sample solver diagnostics.
+    For unbatched runs B == 1.
+    """
+
+    X: jax.Array
+    U: jax.Array
+    residual: jax.Array
+    iterations: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    ClosedLoopResult,
+    data_fields=["X", "U", "residual", "iterations"],
+    meta_fields=[],
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "config"))
+def _simulate_jit(
+    data: GPADData,
+    A: jax.Array,
+    B: jax.Array,
+    X0: jax.Array,
+    n_steps: int,
+    config: SolverConfig,
+) -> ClosedLoopResult:
+    def step(x, _):
+        res = solve_batch(data, x, config=config)
+        u = res.u
+        x_next = x @ A.T + u @ B.T  # plant propagation (gpad.m:93)
+        return x_next, (x, u, res.residual, res.iterations)
+
+    x_final, (Xs, Us, Rs, Its) = jax.lax.scan(step, X0, None, length=n_steps)
+    X = jnp.concatenate([Xs, x_final[None]], axis=0)
+    return ClosedLoopResult(X=X, U=Us, residual=Rs, iterations=Its)
+
+
+def simulate(
+    problem: LinearMPCProblem,
+    x0: np.ndarray | jax.Array,
+    n_steps: int = 1000,
+    config: SolverConfig = SolverConfig(),
+    data: GPADData | None = None,
+    iterations: int = 100,
+) -> ClosedLoopResult:
+    """Run the closed loop: condense once, then scan solve->actuate->propagate.
+
+    ``x0`` may be (n_x,) for a single plant or (B, n_x) for a batch of
+    scenarios simulated in lockstep.
+    """
+    if data is None:
+        data = dualize(condense(problem), iterations=max(iterations, config.iterations or 0))
+    if config.iterations is None:
+        import dataclasses
+
+        config = dataclasses.replace(config, iterations=iterations)
+    X0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
+    A = jnp.asarray(problem.A, dtype=jnp.float32)
+    B = jnp.asarray(problem.B, dtype=jnp.float32)
+    return _simulate_jit(data, A, B, X0, n_steps, config)
+
+
+def plot_closed_loop(result: ClosedLoopResult, scenario: int = 0, path: str | None = None):
+    """The reference's two trajectory plots (``gpad.m:98-114``): per-cell SoC
+    and balancing currents over time. Returns the matplotlib figure, or None
+    if matplotlib is unavailable (it is not a hard dependency)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover - matplotlib is present in CI image
+        return None
+
+    X = np.asarray(result.X[:, scenario, :])
+    U = np.asarray(result.U[:, scenario, :])
+    fig, (ax0, ax1) = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    for i in range(X.shape[1]):
+        ax0.plot(X[:, i], label=f"cell {i + 1}")
+    ax0.set_ylabel("state of charge")
+    ax0.legend(loc="best", fontsize=8)
+    ax0.set_title("closed-loop SoC trajectories")
+    for i in range(U.shape[1]):
+        ax1.plot(U[:, i], label=f"cell {i + 1}")
+    ax1.set_ylabel("balancing current [A]")
+    ax1.set_xlabel("sample")
+    ax1.set_title("applied first moves u*")
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path, dpi=120)
+    return fig
