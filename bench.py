@@ -44,7 +44,8 @@ def main():
     iters = args.iterations
 
     qp = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=horizon))
-    data = tpu_gpad.dualize(qp, iterations=max(iters, 100))
+    # paired half-stack layout + dual-only iteration form (form="auto")
+    data = tpu_gpad.dualize(qp, iterations=max(iters, 100), paired="auto")
     rng = np.random.default_rng(0)
     X0 = jnp.asarray(rng.uniform(-0.5, 0.5, size=(batch, n_cells)).astype(np.float32))
     cfg = SolverConfig(iterations=iters, engine=args.engine)
@@ -104,7 +105,7 @@ def main():
     # --- long horizon N=50 (BASELINE config 2) ---
     if not args.quick:
         qp50 = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=50))
-        data50 = tpu_gpad.dualize(qp50, iterations=max(iters, 100))
+        data50 = tpu_gpad.dualize(qp50, iterations=max(iters, 100), paired="auto")
         X0_50 = X0[:1024]
         t50 = device_time_per_call(
             lambda: solve_batch(data50, X0_50, config=cfg).u, k_large=10

@@ -132,6 +132,38 @@ def lipschitz_constant(qp: CondensedQP, mode: str = "spectral_dual") -> float:
     raise ValueError(f"unknown lipschitz mode: {mode!r}")
 
 
+def find_pairing(G: np.ndarray) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Find a permutation pairing every constraint row with its negation.
+
+    MPC box/coupling stacks have this structure by construction
+    (``gpad.m:84-85`` emits [S; -S; I; -I; K; -K]). Returns
+    ``(idx_plus, idx_minus)`` with ``G[idx_minus] == -G[idx_plus]`` exactly,
+    or None if no perfect pairing exists. Matching is bitwise on the float64
+    rows (negated rows are exact negations by construction; +0.0 is
+    normalized so sign-of-zero noise cannot break it).
+    """
+    m = G.shape[0]
+    if m % 2:
+        return None
+    Gn = G + 0.0  # -0.0 -> +0.0
+    by_bytes: dict[bytes, list[int]] = {}
+    for i in range(m):
+        by_bytes.setdefault(Gn[i].tobytes(), []).append(i)
+    used = np.zeros(m, dtype=bool)
+    plus, minus = [], []
+    for i in range(m):
+        if used[i]:
+            continue
+        cand = by_bytes.get((-Gn[i] + 0.0).tobytes(), [])
+        j = next((c for c in cand if not used[c] and c != i), None)
+        if j is None:
+            return None
+        used[i] = used[j] = True
+        plus.append(i)
+        minus.append(j)
+    return np.asarray(plus), np.asarray(minus)
+
+
 def dualize(
     qp: CondensedQP,
     iterations: int = 100,
@@ -139,6 +171,7 @@ def dualize(
     schedule: str = "paper",
     dtype=jnp.float32,
     L: Optional[float] = None,
+    paired: bool | str = False,
 ) -> GPADData:
     """Precompute the dual-QP constants consumed by the online solver.
 
@@ -146,24 +179,51 @@ def dualize(
     ``M_G = H^-1 G'``, ``g_P = H^-1 f'``, ``G_L = G / L``, ``p_D = -b / L``
     per solve; here the x0-dependence is factored into affine maps so a batch
     of scenarios shares all the heavy matrices.
+
+    ``paired``: store the half-stack layout (see ``GPADData``), halving the
+    flops/memory of both hot MVPs by exploiting the [P; -P] structure of box
+    constraint stacks. ``True`` requires a perfect pairing (ValueError
+    otherwise); ``"auto"`` uses it when available.
     """
     if L is None:
         L = lipschitz_constant(qp, lipschitz)
-    Hinv_Gt = np.linalg.solve(qp.H, qp.G.T)  # (n_z, m)
     gP_map = np.linalg.solve(qp.H, qp.F.T).T  # (n_x, n_z): x0 @ gP_map = H^-1 F' x0
     gP_const = np.linalg.solve(qp.H, qp.g)  # (n_z,)
-    GL_T = qp.G.T / L  # (n_z, m)
-    pD_map = -qp.E.T / L  # (n_x, m)
-    pD_const = -qp.b0 / L  # (m,)
     theta, beta = momentum_schedule(iterations, schedule)
 
+    pairing = find_pairing(qp.G) if paired else None
+    if paired is True and pairing is None:
+        raise ValueError(
+            f"{qp.name}: constraint stack has no perfect +/- row pairing; "
+            "use paired=False"
+        )
+    use_paired = pairing is not None
+
+    D = None
+    if use_paired:
+        idx_plus, idx_minus = pairing
+        P = qp.G[idx_plus]  # (m_h, n_z)
+        Hinv_Pt = np.linalg.solve(qp.H, P.T)  # (n_z, m_h)
+        MG_T = Hinv_Pt.T
+        GL_T = P.T / L
+        D = MG_T @ GL_T  # (m_h, m_h) = P H^-1 P' / L, the scaled dual Hessian
+        # dual-sized quantities in (2, m_h) layout: row 0 = +P, row 1 = -P
+        pD_map = np.stack([-qp.E[idx_plus].T / L, -qp.E[idx_minus].T / L], axis=1)
+        pD_const = np.stack([-qp.b0[idx_plus] / L, -qp.b0[idx_minus] / L], axis=0)
+    else:
+        MG_T = np.linalg.solve(qp.H, qp.G.T).T  # (m, n_z)
+        GL_T = qp.G.T / L  # (n_z, m)
+        pD_map = -qp.E.T / L  # (n_x, m)
+        pD_const = -qp.b0 / L  # (m,)
+
     return GPADData(
-        MG_T=jnp.asarray(Hinv_Gt.T, dtype=dtype),
+        MG_T=jnp.asarray(MG_T, dtype=dtype),
         GL_T=jnp.asarray(GL_T, dtype=dtype),
         gP_map=jnp.asarray(gP_map, dtype=dtype),
         gP_const=jnp.asarray(gP_const, dtype=dtype),
         pD_map=jnp.asarray(pD_map, dtype=dtype),
         pD_const=jnp.asarray(pD_const, dtype=dtype),
+        D=None if D is None else jnp.asarray(D, dtype=dtype),
         L=jnp.asarray(L, dtype=jnp.float32),
         theta=jnp.asarray(theta),
         beta=jnp.asarray(beta),
@@ -171,4 +231,5 @@ def dualize(
         n_x=qp.n_x,
         horizon=qp.horizon,
         name=qp.name,
+        paired=use_paired,
     )

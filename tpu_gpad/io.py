@@ -122,7 +122,7 @@ def save_gpad_data(path: str | Path, data: GPADData) -> None:
     arrays = {
         f.name: np.asarray(getattr(data, f.name))
         for f in dataclasses.fields(data)
-        if not f.metadata.get("static")
+        if not f.metadata.get("static") and getattr(data, f.name) is not None
     }
     np.savez(
         path,
@@ -131,6 +131,7 @@ def save_gpad_data(path: str | Path, data: GPADData) -> None:
         _n_x=data.n_x,
         _horizon=data.horizon,
         _name=np.bytes_(data.name.encode()),
+        _paired=data.paired,
     )
 
 
@@ -143,4 +144,5 @@ def load_gpad_data(path: str | Path) -> GPADData:
             n_x=int(f["_n_x"]),
             horizon=int(f["_horizon"]),
             name=bytes(f["_name"]).decode(),
+            paired=bool(f["_paired"]) if "_paired" in f.files else False,
         )

@@ -55,26 +55,33 @@ def data_specs(like: GPADData, model_axis: str | None = None) -> GPADData:
     import dataclasses
 
     ma = model_axis
+    if like.paired:
+        # half-stack layout: the dual dimension m_h shards; the +/- pair
+        # axis (size 2) replicates
+        pD_map, pD_const = P(None, None, ma), P(None, ma)
+    else:
+        pD_map, pD_const = P(None, ma), P(ma)
     return dataclasses.replace(
         like,
-        MG_T=P(ma, None),  # (m, n_z): rows sharded
-        GL_T=P(None, ma),  # (n_z, m): cols sharded
+        MG_T=P(ma, None),  # (m or m_h, n_z): rows sharded
+        GL_T=P(None, ma),  # (n_z, m or m_h): cols sharded
         gP_map=P(),
         gP_const=P(),
-        pD_map=P(None, ma),
-        pD_const=P(ma),
+        pD_map=pD_map,
+        pD_const=pD_const,
+        D=None if like.D is None else P(ma, None),  # dual-Hessian rows shard
         L=P(),
         theta=P(),
         beta=P(),
     )
 
 
-def result_specs(data_axis: str | None, model_axis: str | None) -> SolveResult:
+def result_specs(data_axis: str | None, model_axis: str | None, paired: bool = False) -> SolveResult:
     da, ma = data_axis, model_axis
     return SolveResult(
         u=P(da, None),
         z=P(da, None),
-        y=P(da, ma),
+        y=P(da, None, ma) if paired else P(da, ma),
         iterations=P(da),
         residual=P(da),
         gap=P(da),
@@ -111,8 +118,11 @@ def solve_batch_sharded(
     n_model = mesh.shape[model_axis] if model_axis else 1
     if X0.shape[0] % n_data:
         raise ValueError(f"batch {X0.shape[0]} not divisible by data axis {n_data}")
-    if data.m % n_model:
-        raise ValueError(f"m={data.m} not divisible by model axis {n_model}")
+    m_dim = data.m_half if data.paired else data.m
+    if m_dim % n_model:
+        raise ValueError(
+            f"dual dim {m_dim} not divisible by model axis {n_model}"
+        )
 
     inner_cfg = dataclasses.replace(
         config,
@@ -127,7 +137,7 @@ def solve_batch_sharded(
         local_solve,
         mesh=mesh,
         in_specs=(data_specs(data, model_axis), P(data_axis, None)),
-        out_specs=result_specs(data_axis, model_axis),
+        out_specs=result_specs(data_axis, model_axis, paired=data.paired),
         check_vma=False,
     )
     return shmapped(data, X0)

@@ -47,6 +47,13 @@ class SolverConfig:
     eps_V: float = 1e-6  # duality-gap tolerance (acceldualgrad.m:13)
     check_every: int = 10  # K, cadence of the eps test (paper sec. 5.1 uses K=10)
     engine: str = "xla"  # "xla" | "pallas"
+    form: str = "auto"  # "auto" | "mvp" | "dual": iteration algebra. "mvp"
+    # runs the four explicit steps (two rectangular MVPs per iteration, the
+    # reference's structure); "dual" runs the collapsed dual-only iteration
+    # (one square (m_h, m_h) matmul per iteration against the precomputed
+    # dual Hessian D, primal recovered after the loop) — needs paired data
+    # with D, fixed mode, and no model-axis TP. "auto" picks "dual" when
+    # available.
     matmul_dtype: str = "float32"  # operand dtype for the hot matmuls
     precision: str = "highest"  # lax matmul precision for fp32 operands on TPU
     # ("highest" = true fp32 on the MXU; "default" = fastest, bf16-ish passes)
@@ -58,9 +65,11 @@ class SolverConfig:
 
 
 def affine_params(data: GPADData, x0: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-scenario dual constants: g_P(x0), p_D(x0) (acceldualgrad.m:21,23)."""
-    g_P = x0 @ data.gP_map + data.gP_const
-    p_D = x0 @ data.pD_map + data.pD_const
+    """Per-scenario dual constants: g_P(x0), p_D(x0) (acceldualgrad.m:21,23).
+
+    In the paired layout ``p_D`` has shape (..., 2, m_h)."""
+    g_P = jnp.tensordot(x0, data.gP_map, axes=1) + data.gP_const
+    p_D = jnp.tensordot(x0, data.pD_map, axes=1) + data.pD_const
     return g_P, p_D
 
 
@@ -89,12 +98,22 @@ def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
     reduced with a single psum; steps 1/3/4 are embarrassingly local.
     """
     w = y + beta_k * (y - y_prev)
-    zhat_partial = mm(w, data.MG_T)
+    if data.paired:
+        # half-stack layout: contract the +/- difference once (step 2) and
+        # apply the single product with both signs (step 4) — half the flops
+        w_diff = w[..., 0, :] - w[..., 1, :]
+        zhat_partial = mm(w_diff, data.MG_T)
+    else:
+        zhat_partial = mm(w, data.MG_T)
     if model_axis is not None:
         zhat_partial = lax.psum(zhat_partial, model_axis)
     zhat = -zhat_partial - g_P
     z = (1.0 - theta_k) * z + theta_k * zhat
-    y_next = jnp.maximum(w + mm(zhat, data.GL_T) + p_D, 0.0)
+    if data.paired:
+        q = mm(zhat, data.GL_T)
+        y_next = jnp.maximum(w + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
+    else:
+        y_next = jnp.maximum(w + mm(zhat, data.GL_T) + p_D, 0.0)
     return w, zhat, z, y_next
 
 
@@ -102,11 +121,20 @@ def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None):
     """Primal violation max(G z - b) and gap surrogate -w' g(zhat).
 
     Recovered from the scaled operands: g(z) = L * (G_L z + p_D)."""
-    gz = data.L * (mm(z, data.GL_T) + p_D)
-    gzh = data.L * (mm(zhat, data.GL_T) + p_D)
-    viol_z = jnp.max(gz, axis=-1)
-    viol_zhat = jnp.max(gzh, axis=-1)
-    gap = -jnp.sum(w * gzh, axis=-1)
+    if data.paired:
+        qz = mm(z, data.GL_T)
+        qzh = mm(zhat, data.GL_T)
+        gz = data.L * (jnp.stack([qz, -qz], axis=-2) + p_D)
+        gzh = data.L * (jnp.stack([qzh, -qzh], axis=-2) + p_D)
+        viol_z = jnp.max(gz, axis=(-2, -1))
+        viol_zhat = jnp.max(gzh, axis=(-2, -1))
+        gap = -jnp.sum(w * gzh, axis=(-2, -1))
+    else:
+        gz = data.L * (mm(z, data.GL_T) + p_D)
+        gzh = data.L * (mm(zhat, data.GL_T) + p_D)
+        viol_z = jnp.max(gz, axis=-1)
+        viol_zhat = jnp.max(gzh, axis=-1)
+        gap = -jnp.sum(w * gzh, axis=-1)
     if model_axis is not None:
         viol_z = lax.pmax(viol_z, model_axis)
         viol_zhat = lax.pmax(viol_zhat, model_axis)
@@ -116,12 +144,86 @@ def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None):
 
 def _init_state(data: GPADData, batch_shape):
     zeros = functools.partial(jnp.zeros, dtype=jnp.float32)
-    y = zeros(batch_shape + (data.m,))
-    y_prev = zeros(batch_shape + (data.m,))
+    dual_shape = (2, data.m_half) if data.paired else (data.m,)
+    y = zeros(batch_shape + dual_shape)
+    y_prev = zeros(batch_shape + dual_shape)
     z = zeros(batch_shape + (data.n_z,))
-    w = zeros(batch_shape + (data.m,))
+    w = zeros(batch_shape + dual_shape)
     zhat = zeros(batch_shape + (data.n_z,))
     return y, y_prev, z, w, zhat
+
+
+def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
+    """Dual-only fixed-budget loop (see GPADData.D).
+
+    Per iteration: one (B, m_h) @ (m_h, m_h) matmul + SAXPYs. The primal
+    z is reconstructed once after the loop from the accumulated momentum
+    combination s of the w-difference iterates:
+
+        zhat_k = -(wd_k @ MG_T) - g_P,  z_K = sum_k c_k zhat_k
+        => z_K = -(s_K @ MG_T) - a_K g_P,   s following the same convex
+           recursion as z, and a_K = 1 - prod_k (1 - theta_k).
+    """
+    mm = _make_matmul(config)
+    batch_shape = g_P.shape[:-1]
+    m_h = data.m_half
+    zeros = functools.partial(jnp.zeros, dtype=jnp.float32)
+    y = zeros(batch_shape + (2, m_h))
+    y_prev = zeros(batch_shape + (2, m_h))
+    w = zeros(batch_shape + (2, m_h))
+    s = zeros(batch_shape + (m_h,))
+    e = mm(g_P, data.GL_T)  # (B, m_h), hoisted out of the loop
+
+    def body(k, carry):
+        y, y_prev, s, _ = carry
+        theta_k, beta_k = data.theta[k], data.beta[k]
+        w = y + beta_k * (y - y_prev)
+        wd = w[..., 0, :] - w[..., 1, :]
+        q = -mm(wd, data.D) - e
+        y_next = jnp.maximum(w + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
+        s = (1.0 - theta_k) * s + theta_k * wd
+        return y_next, y, s, w
+
+    y, y_prev, s, w = lax.fori_loop(
+        0, config.iterations, body, (y, y_prev, s, w), unroll=config.unroll
+    )
+    a = 1.0 - jnp.prod(1.0 - data.theta[: config.iterations])
+    z = -mm(s, data.MG_T) - a * g_P
+    wd = w[..., 0, :] - w[..., 1, :]
+    zhat = -mm(wd, data.MG_T) - g_P
+    viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm)
+    iters = jnp.full(batch_shape, config.iterations, dtype=jnp.int32)
+    return SolveResult(
+        u=z[..., : data.n_u],
+        z=z,
+        y=y,
+        iterations=iters,
+        residual=jnp.maximum(viol_z, 0.0),
+        gap=gap,
+        converged=jnp.ones(batch_shape, dtype=bool),
+    )
+
+
+def resolve_form(data: GPADData, config: SolverConfig) -> str:
+    """Pick the iteration algebra for this (data, config) combination."""
+    dual_ok = (
+        data.paired
+        and data.D is not None
+        and config.mode == "fixed"
+        and config.model_axis is None
+    )
+    if config.form == "auto":
+        return "dual" if dual_ok else "mvp"
+    if config.form == "dual":
+        if not dual_ok:
+            raise ValueError(
+                "form='dual' needs paired data with D, fixed mode, and no "
+                "model-axis sharding"
+            )
+        return "dual"
+    if config.form == "mvp":
+        return "mvp"
+    raise ValueError(f"unknown form: {config.form!r}")
 
 
 def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
@@ -242,8 +344,11 @@ def solve_batch(data: GPADData, x0: jax.Array, config: SolverConfig = SolverConf
     if config.engine != "xla":
         raise ValueError(f"unknown engine: {config.engine!r}")
     if config.mode == "fixed":
+        if resolve_form(data, config) == "dual":
+            return _solve_fixed_dual(data, g_P, p_D, config)
         return _solve_fixed(data, g_P, p_D, config)
     if config.mode == "eps":
+        resolve_form(data, config)  # validate form compatibility
         return _solve_eps(data, g_P, p_D, config)
     raise ValueError(f"unknown mode: {config.mode!r}")
 

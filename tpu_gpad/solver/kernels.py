@@ -79,7 +79,8 @@ def pick_batch_tile(B: int, m_p: int, nz_p: int) -> int | None:
 
 
 def fits_vmem(data: GPADData) -> bool:
-    m_p = _round_up(data.m, LANE)
+    m_dim = data.m_half if data.paired else data.m
+    m_p = _round_up(m_dim, LANE)
     nz_p = _round_up(data.n_z, LANE)
     return pick_batch_tile(8, m_p, nz_p) is not None
 
@@ -153,6 +154,323 @@ def _gpad_kernel(
     zhat_ref[:] = zhat
 
 
+def _gpad_kernel_dual(
+    # scalar prefetch
+    theta_ref,
+    beta_ref,
+    # tensor inputs
+    e_ref,
+    pDp_ref,
+    pDm_ref,
+    D_ref,
+    # outputs
+    s_ref,
+    yp_ref,
+    ym_ref,
+    wp_ref,
+    wm_ref,
+    *,
+    iterations: int,
+    mm_dtype,
+    precision,
+):
+    """Dual-only GPAD loop: ONE square matmul per iteration.
+
+    q = -(w+ - w-) @ D - e; y projects as usual; the momentum-combined
+    w-difference accumulator s is the only primal-side state (z is
+    reconstructed outside the kernel). See GPADData.D."""
+    D = D_ref[:].astype(mm_dtype)  # (m_hp, m_hp)
+    e = e_ref[:]  # (B_t, m_hp)
+    p_Dp = pDp_ref[:]
+    p_Dm = pDm_ref[:]
+    f32 = jnp.float32
+    y0 = p_Dp * 0.0
+
+    def body(k, carry):
+        yp, ym, yp_prev, ym_prev, s, _, _ = carry
+        beta_k = beta_ref[k]
+        theta_k = theta_ref[k]
+        wp = yp + beta_k * (yp - yp_prev)
+        wm = ym + beta_k * (ym - ym_prev)
+        wd = wp - wm
+        q = (
+            -jnp.dot(
+                wd.astype(mm_dtype), D,
+                preferred_element_type=f32, precision=precision,
+            )
+            - e
+        )
+        yp_next = jnp.maximum(wp + q + p_Dp, 0.0)
+        ym_next = jnp.maximum(wm - q + p_Dm, 0.0)
+        s = (1.0 - theta_k) * s + theta_k * wd
+        return yp_next, ym_next, yp, ym, s, wp, wm
+
+    yp, ym, _, _, s, wp, wm = jax.lax.fori_loop(
+        0, iterations, body, (y0, y0, y0, y0, y0, y0, y0)
+    )
+    s_ref[:] = s
+    yp_ref[:] = yp
+    ym_ref[:] = ym
+    wp_ref[:] = wp
+    wm_ref[:] = wm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "matmul_dtype", "precision", "interpret"),
+)
+def gpad_pallas_fixed_dual(
+    data: GPADData,
+    g_P: jax.Array,
+    p_D: jax.Array,
+    *,
+    iterations: int,
+    matmul_dtype: str = "float32",
+    precision: str = "highest",
+    interpret: bool = False,
+):
+    """Dual-form fused kernel. Returns (z, y, w, zhat) like the other
+    entry points; z/zhat are reconstructed with two post-loop matmuls."""
+    B = g_P.shape[0]
+    m_h, n_z = data.m_half, data.n_z
+    m_hp = _round_up(m_h, LANE)
+    nz_p = _round_up(n_z, LANE)
+    B_t = pick_batch_tile(B, m_hp, max(nz_p, m_hp))
+    if B_t is None:
+        raise ValueError(
+            f"problem (m_half={m_h}) does not fit the fused dual kernel's "
+            "VMEM budget; use engine='xla'"
+        )
+    B_p = _round_up(B, B_t)
+
+    mm_dtype = jnp.dtype(matmul_dtype)
+    prec = (
+        jax.lax.Precision(precision.lower())
+        if mm_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    # e = g_P @ GL_T hoisted out of the kernel (one rectangular matmul)
+    e = jnp.matmul(
+        g_P.astype(mm_dtype),
+        data.GL_T.astype(mm_dtype),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    D = _pad2(data.D, m_hp, m_hp)
+    eP = _pad2(e, B_p, m_hp)
+    pDp = _pad2(p_D[:, 0, :], B_p, m_hp)
+    pDm = _pad2(p_D[:, 1, :], B_p, m_hp)
+    theta = data.theta[:iterations]
+    beta = data.beta[:iterations]
+
+    kernel = functools.partial(
+        _gpad_kernel_dual, iterations=iterations, mm_dtype=mm_dtype, precision=prec
+    )
+    batch_spec_m = pl.BlockSpec(
+        (B_t, m_hp), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    )
+    s, yp, ym, wp, wm = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B_p // B_t,),
+            in_specs=[
+                batch_spec_m,  # e
+                batch_spec_m,  # p_D plus
+                batch_spec_m,  # p_D minus
+                pl.BlockSpec(
+                    (m_hp, m_hp), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
+                ),  # D (fetched once)
+            ],
+            out_specs=[batch_spec_m] * 5,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_p * m_hp * m_hp * iterations,
+            bytes_accessed=4 * (m_hp * m_hp + 4 * B_p * m_hp),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(theta, beta, eP, pDp, pDm, D)
+
+    s = s[:B, :m_h]
+    a = 1.0 - jnp.prod(1.0 - theta)
+    mm = lambda x, M: jnp.matmul(
+        x.astype(mm_dtype), M.astype(mm_dtype),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    z = -mm(s, data.MG_T) - a * g_P
+    wd = wp[:B, :m_h] - wm[:B, :m_h]
+    zhat = -mm(wd, data.MG_T) - g_P
+    y = jnp.stack([yp[:B, :m_h], ym[:B, :m_h]], axis=1)
+    w = jnp.stack([wp[:B, :m_h], wm[:B, :m_h]], axis=1)
+    return z, y, w, zhat
+
+
+def _gpad_kernel_paired(
+    # scalar prefetch
+    theta_ref,
+    beta_ref,
+    # tensor inputs
+    gP_ref,
+    pDp_ref,
+    pDm_ref,
+    MG_ref,
+    GL_ref,
+    # outputs
+    z_ref,
+    yp_ref,
+    ym_ref,
+    wp_ref,
+    wm_ref,
+    zhat_ref,
+    *,
+    iterations: int,
+    mm_dtype,
+    precision,
+):
+    """Half-stack GPAD loop: one MVP per step against P instead of [P; -P].
+
+    Step 2 contracts (w+ - w-) with MG_T once; step 4 computes q = zhat@GL_T
+    once and projects both sign applications. Half the MXU work of the dense
+    kernel at identical math (the dual y merely permutes)."""
+    MG = MG_ref[:].astype(mm_dtype)  # (m_hp, nz_p)
+    GL = GL_ref[:].astype(mm_dtype)  # (nz_p, m_hp)
+    g_P = gP_ref[:]  # (B_t, nz_p)
+    p_Dp = pDp_ref[:]  # (B_t, m_hp)
+    p_Dm = pDm_ref[:]
+    f32 = jnp.float32
+    y0 = p_Dp * 0.0
+    z0 = g_P * 0.0
+
+    def body(k, carry):
+        yp, ym, yp_prev, ym_prev, z, _, _, _ = carry
+        beta_k = beta_ref[k]
+        theta_k = theta_ref[k]
+        wp = yp + beta_k * (yp - yp_prev)
+        wm = ym + beta_k * (ym - ym_prev)
+        zhat = (
+            -jnp.dot(
+                (wp - wm).astype(mm_dtype), MG,
+                preferred_element_type=f32, precision=precision,
+            )
+            - g_P
+        )
+        z = (1.0 - theta_k) * z + theta_k * zhat
+        q = jnp.dot(
+            zhat.astype(mm_dtype), GL,
+            preferred_element_type=f32, precision=precision,
+        )
+        yp_next = jnp.maximum(wp + q + p_Dp, 0.0)
+        ym_next = jnp.maximum(wm - q + p_Dm, 0.0)
+        return yp_next, ym_next, yp, ym, z, wp, wm, zhat
+
+    yp, ym, _, _, z, wp, wm, zhat = jax.lax.fori_loop(
+        0, iterations, body, (y0, y0, y0, y0, z0, y0, y0, z0)
+    )
+    z_ref[:] = z
+    yp_ref[:] = yp
+    ym_ref[:] = ym
+    wp_ref[:] = wp
+    wm_ref[:] = wm
+    zhat_ref[:] = zhat
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "matmul_dtype", "precision", "interpret"),
+)
+def gpad_pallas_fixed_paired(
+    data: GPADData,
+    g_P: jax.Array,
+    p_D: jax.Array,
+    *,
+    iterations: int,
+    matmul_dtype: str = "float32",
+    precision: str = "highest",
+    interpret: bool = False,
+):
+    """Paired-layout fused kernel. ``p_D`` has shape (B, 2, m_h); returns
+    (z, y, w, zhat) with y/w in (B, 2, m_h)."""
+    B = g_P.shape[0]
+    m_h, n_z = data.m_half, data.n_z
+    m_hp = _round_up(m_h, LANE)
+    nz_p = _round_up(n_z, LANE)
+    B_t = pick_batch_tile(B, m_hp, nz_p)
+    if B_t is None:
+        raise ValueError(
+            f"problem (m_half={m_h}, n_z={n_z}) does not fit the fused "
+            "kernel's VMEM budget; use engine='xla'"
+        )
+    B_p = _round_up(B, B_t)
+
+    MG = _pad2(data.MG_T, m_hp, nz_p)
+    GL = _pad2(data.GL_T, nz_p, m_hp)
+    gP = _pad2(g_P, B_p, nz_p)
+    pDp = _pad2(p_D[:, 0, :], B_p, m_hp)
+    pDm = _pad2(p_D[:, 1, :], B_p, m_hp)
+    theta = data.theta[:iterations]
+    beta = data.beta[:iterations]
+
+    mm_dtype = jnp.dtype(matmul_dtype)
+    prec = (
+        jax.lax.Precision(precision.lower())
+        if mm_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _gpad_kernel_paired, iterations=iterations, mm_dtype=mm_dtype, precision=prec
+    )
+    batch_spec_nz = pl.BlockSpec(
+        (B_t, nz_p), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    )
+    batch_spec_m = pl.BlockSpec(
+        (B_t, m_hp), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda r, c: pl.BlockSpec(
+        (r, c), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
+    )
+    z, yp, ym, wp, wm, zhat = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B_p // B_t,),
+            in_specs=[
+                batch_spec_nz,  # g_P
+                batch_spec_m,  # p_D plus rows
+                batch_spec_m,  # p_D minus rows
+                full(m_hp, nz_p),  # MG_T (half stack)
+                full(nz_p, m_hp),  # GL_T
+            ],
+            out_specs=[
+                batch_spec_nz,
+                batch_spec_m,
+                batch_spec_m,
+                batch_spec_m,
+                batch_spec_m,
+                batch_spec_nz,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B_p, nz_p), jnp.float32),
+            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
+            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
+            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
+            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
+            jax.ShapeDtypeStruct((B_p, nz_p), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_p * m_hp * nz_p * 2 * iterations,
+            bytes_accessed=4 * (2 * m_hp * nz_p + B_p * (2 * m_hp + nz_p)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(theta, beta, gP, pDp, pDm, MG, GL)
+    y = jnp.stack([yp[:B, :m_h], ym[:B, :m_h]], axis=1)
+    w = jnp.stack([wp[:B, :m_h], wm[:B, :m_h]], axis=1)
+    return z[:B, :n_z], y, w, zhat[:B, :n_z]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "matmul_dtype", "precision", "interpret"),
@@ -190,11 +508,19 @@ def gpad_pallas_fixed(
     beta = data.beta[:iterations]
 
     grid = (B_p // B_t,)
+    mm_dtype = jnp.dtype(matmul_dtype)
+    # fp32 contract precision is only meaningful (and only valid in Mosaic)
+    # for fp32 operands; bf16 operands use the MXU's native pass.
+    prec = (
+        jax.lax.Precision(precision.lower())
+        if mm_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     kernel = functools.partial(
         _gpad_kernel,
         iterations=iterations,
-        mm_dtype=jnp.dtype(matmul_dtype),
-        precision=jax.lax.Precision(precision.lower()),
+        mm_dtype=mm_dtype,
+        precision=prec,
     )
     # index maps receive (grid_idx, *scalar_prefetch_refs)
     batch_spec_nz = pl.BlockSpec(
@@ -256,7 +582,10 @@ def solve_batch_pallas(data: GPADData, g_P: jax.Array, p_D: jax.Array, config) -
     batch_shape = g_P.shape[:-1]
     Bflat = int(np.prod(batch_shape)) if batch_shape else 1
     gP2 = g_P.reshape(Bflat, data.n_z)
-    pD2 = p_D.reshape(Bflat, data.m)
+    if data.paired:
+        pD2 = p_D.reshape(Bflat, 2, data.m_half)
+    else:
+        pD2 = p_D.reshape(Bflat, data.m)
     interpret = jax.default_backend() != "tpu"
 
     if config.mode == "eps":
@@ -267,7 +596,14 @@ def solve_batch_pallas(data: GPADData, g_P: jax.Array, p_D: jax.Array, config) -
 
         res = _core._solve_eps(data, gP2, pD2, dataclasses.replace(config, engine="xla"))
     else:
-        z, y, w, zhat = gpad_pallas_fixed(
+        form = _core.resolve_form(data, config)
+        if form == "dual":
+            fixed = gpad_pallas_fixed_dual
+        elif data.paired:
+            fixed = gpad_pallas_fixed_paired
+        else:
+            fixed = gpad_pallas_fixed
+        z, y, w, zhat = fixed(
             data,
             gP2,
             pD2,

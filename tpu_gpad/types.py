@@ -128,14 +128,34 @@ class GPADData:
     gP_const: jax.Array  # (n_z,)
     pD_map: jax.Array  # (n_x, m)
     pD_const: jax.Array  # (m,)
+    # --- paired (half-stack) layout -------------------------------------
+    # MPC box/coupling constraint stacks pair every row with its negation
+    # (gpad.m:84-85 builds [S; -S; I; -I; K; -K]). When ``paired`` is True
+    # the operands are stored for the half stack P (m_h = m/2 rows):
+    # ``MG_T`` is (m_h, n_z), ``GL_T`` is (n_z, m_h), and all dual-sized
+    # vectors use shape (..., 2, m_h) with index 0 = +P rows, 1 = -P rows.
+    # Step 2 contracts (w[+] - w[-]) against the half stack and step 4
+    # computes one product and applies it with both signs — HALF the flops
+    # and half the constraint-matrix memory of the dense layout the
+    # reference uses (kernel_functions.cu treats G as fully dense).
     L: jax.Array  # () Lipschitz constant used for the 1/L scaling
     theta: jax.Array  # (max_iters,) momentum schedule
     beta: jax.Array  # (max_iters,)
+    D: Optional[jax.Array] = None  # (m_h, m_h) scaled dual Hessian
+    # = P H^-1 P' / L, precomputed for the dual-only iteration form: steps
+    # 2+4 collapse into q = -(w+ - w-) @ D - e with e = g_P @ GL_T per
+    # scenario, and the primal z is recovered AFTER the loop from the
+    # accumulated s = sum_k c_k (w+ - w-)_k via one matmul. One square MXU
+    # matmul per iteration instead of two rectangular ones; z/zhat never
+    # touched in the hot loop. (Pure algebra on acceldualgrad.m:43-52 — no
+    # reference analogue; the CUDA code runs all four steps explicitly every
+    # iteration, main.cu:160-175.)
     # static metadata
     n_u: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_x: int = dataclasses.field(metadata=dict(static=True), default=0)
     horizon: int = dataclasses.field(metadata=dict(static=True), default=0)
     name: str = dataclasses.field(metadata=dict(static=True), default="gpad")
+    paired: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def n_z(self) -> int:
@@ -143,6 +163,13 @@ class GPADData:
 
     @property
     def m(self) -> int:
+        """Total number of inequality constraints."""
+        return self.MG_T.shape[0] * (2 if self.paired else 1)
+
+    @property
+    def m_half(self) -> int:
+        if not self.paired:
+            raise ValueError("m_half only exists for paired layouts")
         return self.MG_T.shape[0]
 
     @property
@@ -159,11 +186,12 @@ _register_pytree_dataclass(
         "gP_const",
         "pD_map",
         "pD_const",
+        "D",
         "L",
         "theta",
         "beta",
     ),
-    meta_fields=("n_u", "n_x", "horizon", "name"),
+    meta_fields=("n_u", "n_x", "horizon", "name", "paired"),
 )
 
 

@@ -26,12 +26,24 @@ def _run_chain(fn, k: int) -> float:
     return time.perf_counter() - t0
 
 
-def device_time_per_call(fn, k_small: int = 2, k_large: int = 22, repeats: int = 3) -> float:
+def device_time_per_call(
+    fn,
+    k_small: int = 2,
+    k_large: int = 22,
+    repeats: int = 3,
+    min_window_s: float = 0.15,
+) -> float:
     """Per-call device execution time of ``fn`` in seconds (slope method).
 
     ``fn`` must return a jax array whose first element forces the whole
-    computation (true for any solver output)."""
+    computation (true for any solver output). ``k_large`` is scaled up
+    adaptively so the measured window is at least ``min_window_s`` — with a
+    ~30 ms tunnel RPC floor, a window shorter than that is pure noise."""
     _run_chain(fn, 2)  # warm up compile + caches
+    t_probe = _run_chain(fn, k_large) / k_large
+    if t_probe * (k_large - k_small) < min_window_s:
+        k_large = k_small + max(int(min_window_s / max(t_probe, 1e-7)), 20)
+        k_large = min(k_large, 20000)
     best = np.inf
     for _ in range(repeats):
         t_small = _run_chain(fn, k_small)
