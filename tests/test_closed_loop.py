@@ -63,3 +63,39 @@ def test_plot_smoke(tmp_path):
     fig = plot_closed_loop(res, path=str(out))
     if fig is not None:
         assert out.exists()
+
+
+def test_warm_start_improves_accuracy():
+    """With the same small iteration budget, warm-started closed loop tracks
+    the converged trajectory much better than cold starts. Uses the n=10
+    reference initial SoCs (gpad.m:9) whose +-0.45 cells keep state
+    constraints active (nontrivial duals)."""
+    prob = problems.battery(n_cells=10, horizon=8)
+    x0 = problems.battery_default_x0(10)
+    ref = simulate(prob, x0, n_steps=40, config=SolverConfig(iterations=1500))
+    cold = simulate(prob, x0, n_steps=40, config=SolverConfig(iterations=15))
+    warm = simulate(prob, x0, n_steps=40, config=SolverConfig(iterations=15),
+                    warm_start=True)
+    # sample 0 is identical by construction (no history yet); compare after
+    # the warm start has history to exploit
+    err_cold = np.abs(np.asarray(cold.U[5:]) - np.asarray(ref.U[5:])).max()
+    err_warm = np.abs(np.asarray(warm.U[5:]) - np.asarray(ref.U[5:])).max()
+    assert err_warm < 0.5 * err_cold, (err_cold, err_warm)
+
+
+def test_warm_start_solve_api():
+    """Warm-starting from a good dual gets closer to the exact optimum in 50
+    iterations than 200 cold iterations did."""
+    import tpu_gpad
+    from tpu_gpad.solver import solve_batch
+    from tpu_gpad.solver.qp import solve_condensed_qp
+
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=6))
+    data = tpu_gpad.dualize(qp, iterations=200, paired=True)
+    x0 = np.asarray(problems.battery_default_x0(3, seed=1), dtype=np.float32)[None]
+    exact = solve_condensed_qp(qp, x0[0]).z[: qp.n_u]
+    r1 = solve_batch(data, x0, config=SolverConfig(iterations=200))
+    r2 = solve_batch(data, x0, config=SolverConfig(iterations=50), y0=r1.y)
+    e1 = np.abs(np.asarray(r1.u[0]) - exact).max()
+    e2 = np.abs(np.asarray(r2.u[0]) - exact).max()
+    assert e2 <= e1 * 1.05, (e1, e2)

@@ -51,7 +51,7 @@ jax.tree_util.register_dataclass(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "config"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "config", "warm_start"))
 def _simulate_jit(
     data: GPADData,
     A: jax.Array,
@@ -59,14 +59,26 @@ def _simulate_jit(
     X0: jax.Array,
     n_steps: int,
     config: SolverConfig,
+    warm_start: bool,
 ) -> ClosedLoopResult:
-    def step(x, _):
-        res = solve_batch(data, x, config=config)
+    batch = X0.shape[0]
+    dual_shape = (
+        (batch, 2, data.m_half) if data.paired else (batch, data.m)
+    )
+    y_init = jnp.zeros(dual_shape, dtype=jnp.float32)
+
+    def step(carry, _):
+        x, y_ws = carry
+        res = solve_batch(
+            data, x, config=config, y0=y_ws if warm_start else None
+        )
         u = res.u
         x_next = x @ A.T + u @ B.T  # plant propagation (gpad.m:93)
-        return x_next, (x, u, res.residual, res.iterations)
+        return (x_next, res.y), (x, u, res.residual, res.iterations)
 
-    x_final, (Xs, Us, Rs, Its) = jax.lax.scan(step, X0, None, length=n_steps)
+    (x_final, _), (Xs, Us, Rs, Its) = jax.lax.scan(
+        step, (X0, y_init), None, length=n_steps
+    )
     X = jnp.concatenate([Xs, x_final[None]], axis=0)
     return ClosedLoopResult(X=X, U=Us, residual=Rs, iterations=Its)
 
@@ -78,14 +90,23 @@ def simulate(
     config: SolverConfig = SolverConfig(),
     data: GPADData | None = None,
     iterations: int = 100,
+    warm_start: bool = False,
+    paired: bool | str = "auto",
 ) -> ClosedLoopResult:
     """Run the closed loop: condense once, then scan solve->actuate->propagate.
 
     ``x0`` may be (n_x,) for a single plant or (B, n_x) for a batch of
-    scenarios simulated in lockstep.
+    scenarios simulated in lockstep. ``warm_start`` seeds each sample's dual
+    iterate with the previous sample's solution (consecutive MPC QPs differ
+    only in x0, so their duals are close) — the reference cold-starts every
+    solve (``acceldualgrad.m:28-33``).
     """
     if data is None:
-        data = dualize(condense(problem), iterations=max(iterations, config.iterations or 0))
+        data = dualize(
+            condense(problem),
+            iterations=max(iterations, config.iterations or 0),
+            paired=paired,
+        )
     if config.iterations is None:
         import dataclasses
 
@@ -93,7 +114,7 @@ def simulate(
     X0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
     A = jnp.asarray(problem.A, dtype=jnp.float32)
     B = jnp.asarray(problem.B, dtype=jnp.float32)
-    return _simulate_jit(data, A, B, X0, n_steps, config)
+    return _simulate_jit(data, A, B, X0, n_steps, config, warm_start)
 
 
 def plot_closed_loop(result: ClosedLoopResult, scenario: int = 0, path: str | None = None):

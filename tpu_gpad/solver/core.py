@@ -142,18 +142,25 @@ def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None):
     return viol_z, viol_zhat, gap
 
 
-def _init_state(data: GPADData, batch_shape):
+def _init_state(data: GPADData, batch_shape, y0=None):
+    """Initial iterates; ``y0`` warm-starts the dual (both y and y_prev, so
+    the first extrapolation step is momentum-free from the warm point)."""
     zeros = functools.partial(jnp.zeros, dtype=jnp.float32)
     dual_shape = (2, data.m_half) if data.paired else (data.m,)
-    y = zeros(batch_shape + dual_shape)
-    y_prev = zeros(batch_shape + dual_shape)
+    if y0 is None:
+        y = zeros(batch_shape + dual_shape)
+    else:
+        y = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=jnp.float32), batch_shape + dual_shape
+        )
+    y_prev = y
     z = zeros(batch_shape + (data.n_z,))
     w = zeros(batch_shape + dual_shape)
     zhat = zeros(batch_shape + (data.n_z,))
     return y, y_prev, z, w, zhat
 
 
-def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
+def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> SolveResult:
     """Dual-only fixed-budget loop (see GPADData.D).
 
     Per iteration: one (B, m_h) @ (m_h, m_h) matmul + SAXPYs. The primal
@@ -168,8 +175,13 @@ def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveRe
     batch_shape = g_P.shape[:-1]
     m_h = data.m_half
     zeros = functools.partial(jnp.zeros, dtype=jnp.float32)
-    y = zeros(batch_shape + (2, m_h))
-    y_prev = zeros(batch_shape + (2, m_h))
+    if y0 is None:
+        y = zeros(batch_shape + (2, m_h))
+    else:
+        y = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=jnp.float32), batch_shape + (2, m_h)
+        )
+    y_prev = y
     w = zeros(batch_shape + (2, m_h))
     s = zeros(batch_shape + (m_h,))
     e = mm(g_P, data.GL_T)  # (B, m_h), hoisted out of the loop
@@ -226,10 +238,10 @@ def resolve_form(data: GPADData, config: SolverConfig) -> str:
     raise ValueError(f"unknown form: {config.form!r}")
 
 
-def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
+def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> SolveResult:
     mm = _make_matmul(config)
     batch_shape = g_P.shape[:-1]
-    y, y_prev, z, w, zhat = _init_state(data, batch_shape)
+    y, y_prev, z, w, zhat = _init_state(data, batch_shape, y0)
 
     def body(k, carry):
         y, y_prev, z, _, _ = carry
@@ -255,10 +267,10 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
     )
 
 
-def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
+def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> SolveResult:
     mm = _make_matmul(config)
     batch_shape = g_P.shape[:-1]
-    y, y_prev, z, w, zhat = _init_state(data, batch_shape)
+    y, y_prev, z, w, zhat = _init_state(data, batch_shape, y0)
     converged = jnp.zeros(batch_shape, dtype=bool)
     iters = jnp.full(batch_shape, config.iterations, dtype=jnp.int32)
     z_out = z  # primal point captured at first convergence per scenario
@@ -320,12 +332,24 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig) -> SolveResult:
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def solve_batch(data: GPADData, x0: jax.Array, config: SolverConfig = SolverConfig()) -> SolveResult:
+def solve_batch(
+    data: GPADData,
+    x0: jax.Array,
+    config: SolverConfig = SolverConfig(),
+    y0: jax.Array | None = None,
+) -> SolveResult:
     """Solve a batch of MPC QPs: ``x0`` has shape (..., n_x).
 
     All scenarios share the plant (hence ``MG_T``/``GL_T``); per-scenario
     constants are the affine maps of x0. The returned ``SolveResult`` fields
     carry the same leading batch dims.
+
+    ``y0`` warm-starts the dual iterate (e.g. the previous closed-loop
+    sample's ``result.y``) — the reference always cold-starts from zero
+    (``acceldualgrad.m:28-33``); warm starting cuts the iterations needed
+    per closed-loop sample severalfold. Shape must broadcast to the dual
+    state shape ((..., m) dense / (..., 2, m_half) paired). Note the
+    certified bounds of ``tpu_gpad.bounds`` assume the cold start.
     """
     import dataclasses as _dc
 
@@ -337,22 +361,31 @@ def solve_batch(data: GPADData, x0: jax.Array, config: SolverConfig = SolverConf
         )
     config = _dc.replace(config, iterations=n_iters)
     g_P, p_D = affine_params(data, x0)
-    if config.engine == "pallas":
+    if config.engine == "pallas" and y0 is None:
         from tpu_gpad.solver import kernels
 
         return kernels.solve_batch_pallas(data, g_P, p_D, config)
-    if config.engine != "xla":
+    # warm starts route through the XLA engine (the fused kernels assume the
+    # cold start; XLA fuses this path equally well)
+    if config.engine not in ("xla", "pallas"):
         raise ValueError(f"unknown engine: {config.engine!r}")
     if config.mode == "fixed":
         if resolve_form(data, config) == "dual":
-            return _solve_fixed_dual(data, g_P, p_D, config)
-        return _solve_fixed(data, g_P, p_D, config)
+            return _solve_fixed_dual(data, g_P, p_D, config, y0)
+        return _solve_fixed(data, g_P, p_D, config, y0)
     if config.mode == "eps":
         resolve_form(data, config)  # validate form compatibility
-        return _solve_eps(data, g_P, p_D, config)
+        return _solve_eps(data, g_P, p_D, config, y0)
     raise ValueError(f"unknown mode: {config.mode!r}")
 
 
-def solve(data: GPADData, x0: jax.Array, config: SolverConfig = SolverConfig()) -> SolveResult:
+def solve(
+    data: GPADData,
+    x0: jax.Array,
+    config: SolverConfig = SolverConfig(),
+    y0: jax.Array | None = None,
+) -> SolveResult:
     """Single-scenario solve: ``x0`` of shape (n_x,)."""
-    return solve_batch(data, x0[None, :], config=config)
+    if y0 is not None and y0.ndim in (1, 2):
+        y0 = y0[None]
+    return solve_batch(data, x0[None, :], config=config, y0=y0)
