@@ -117,6 +117,35 @@ def write_solver_dataset(path: str | Path, ds: SolverDataset, negated_mg: bool =
     Path(path).write_text("\n".join(parts) + "\n")
 
 
+def dataset_to_gpad_data(ds: SolverDataset) -> GPADData:
+    """Bridge a reference-format :class:`SolverDataset` into :class:`GPADData`.
+
+    A dataset file bakes the parameter ``x0`` into ``g_P``/``p_D``
+    (``main.cu:34-64`` reads them fully formed), so the affine maps here are
+    zero and any ``x0`` of shape (n_x=1,) reproduces the shipped constants.
+    The result runs through the normal :func:`tpu_gpad.solve` path
+    (any engine/mode), with ``x0 = jnp.zeros((1,))``.
+    """
+    import jax.numpy as jnp
+
+    n_z = ds.n_u * ds.N
+    return GPADData(
+        MG_T=jnp.asarray(ds.M_G.T),  # (m, n_z)
+        GL_T=jnp.asarray(ds.G_L.T),  # (n_z, m)
+        gP_map=jnp.zeros((1, n_z), dtype=jnp.float32),
+        gP_const=jnp.asarray(ds.g_P),
+        pD_map=jnp.zeros((1, ds.m), dtype=jnp.float32),
+        pD_const=jnp.asarray(ds.p_D),
+        L=jnp.asarray(ds.L, dtype=jnp.float32),
+        theta=jnp.asarray(ds.theta),
+        beta=jnp.asarray(ds.beta),
+        n_u=ds.n_u,
+        n_x=1,
+        horizon=ds.N,
+        name=f"dataset_nu{ds.n_u}_N{ds.N}_m{ds.m}",
+    )
+
+
 def save_gpad_data(path: str | Path, data: GPADData) -> None:
     """Native format: one ``.npz`` with arrays + static metadata."""
     arrays = {
