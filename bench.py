@@ -27,7 +27,7 @@ def main():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--iterations", type=int, default=100)
-    parser.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--engine", default="pallas", choices=["xla", "pallas"])
     args = parser.parse_args()
 
     import jax
@@ -95,12 +95,24 @@ def main():
     detail["single_solve_client_ms_p50"] = float(np.percentile(lat, 50) * 1e3)
     detail["single_solve_client_ms_p99"] = float(np.percentile(lat, 99) * 1e3)
 
-    # --- bf16 operands variant ---
+    # --- fast-mode variants: default matmul precision (1-pass bf16 MXU) and
+    # bf16 operands; ~5e-3 u* accuracy instead of the fp32-highest ~1e-6 ---
+    cfg_fast = SolverConfig(iterations=iters, engine=args.engine, precision="default")
+    t_fast = device_time_per_call(
+        lambda: solve_batch(data, X0, config=cfg_fast).u, k_large=k_large
+    )
+    detail["throughput_fast_precision_solves_per_sec"] = batch / t_fast
     cfg_bf16 = SolverConfig(iterations=iters, engine=args.engine, matmul_dtype="bfloat16")
     t_bf16 = device_time_per_call(
         lambda: solve_batch(data, X0, config=cfg_bf16).u, k_large=k_large
     )
     detail["throughput_bf16_solves_per_sec"] = batch / t_bf16
+    # --- engine cross-check: XLA loop engine on the same workload ---
+    cfg_xla = SolverConfig(iterations=iters, engine="xla")
+    t_xla = device_time_per_call(
+        lambda: solve_batch(data, X0, config=cfg_xla).u, k_large=k_large
+    )
+    detail["throughput_xla_engine_solves_per_sec"] = batch / t_xla
 
     # --- long horizon N=50 (BASELINE config 2) ---
     if not args.quick:

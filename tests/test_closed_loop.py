@@ -99,3 +99,19 @@ def test_warm_start_solve_api():
     e1 = np.abs(np.asarray(r1.u[0]) - exact).max()
     e2 = np.abs(np.asarray(r2.u[0]) - exact).max()
     assert e2 <= e1 * 1.05, (e1, e2)
+
+
+def test_closed_loop_pallas_engine_with_warm_start():
+    """The fused dual kernel drives the closed loop (incl. y0 warm starts)."""
+    problem = problems.battery(n_cells=3, horizon=4)
+    x0 = np.asarray(problems.battery_default_x0(3, seed=2), dtype=np.float32)
+    from tpu_gpad.closed_loop import simulate
+
+    r_xla = simulate(problem, x0, n_steps=15, iterations=40,
+                     config=SolverConfig(iterations=40, engine="xla"),
+                     warm_start=True)
+    r_pl = simulate(problem, x0, n_steps=15, iterations=40,
+                    config=SolverConfig(iterations=40, engine="pallas"),
+                    warm_start=True)
+    np.testing.assert_allclose(
+        np.asarray(r_pl.U), np.asarray(r_xla.U), atol=5e-5)

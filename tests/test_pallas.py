@@ -73,6 +73,62 @@ def test_pallas_bf16_operands(battery_data):
     np.testing.assert_allclose(np.asarray(rb.u), np.asarray(r32.u), atol=5e-2)
 
 
+@pytest.fixture(scope="module")
+def battery_data_paired():
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=10))
+    data = tpu_gpad.dualize(qp, iterations=100, paired=True)
+    return qp, data
+
+
+def test_pallas_dual_matches_xla_dual(battery_data_paired):
+    """The scenario-minor fused dual kernel vs the XLA dual-form loop."""
+    qp, data = battery_data_paired
+    X0 = _x0_batch(12, qp.n_x)
+    r_xla = solve_batch(
+        data, X0, config=SolverConfig(iterations=60, engine="xla", form="dual")
+    )
+    r_pl = solve_batch(
+        data, X0, config=SolverConfig(iterations=60, engine="pallas", form="dual")
+    )
+    np.testing.assert_allclose(np.asarray(r_pl.z), np.asarray(r_xla.z), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_pl.y), np.asarray(r_xla.y), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_pl.residual), np.asarray(r_xla.residual), atol=2e-5
+    )
+
+
+def test_pallas_dual_matches_oracle_u(battery_data_paired):
+    qp, data = battery_data_paired
+    X0 = _x0_batch(4, qp.n_x, seed=3)
+    res = solve_batch(data, X0, config=SolverConfig(iterations=100, engine="pallas"))
+    for i in range(X0.shape[0]):
+        ref = gpad_solve_qp(qp, X0[i].astype(np.float64), iterations=100)
+        np.testing.assert_allclose(np.asarray(res.u[i]), ref.u, atol=1e-4)
+
+
+def test_pallas_dual_odd_batch(battery_data_paired):
+    qp, data = battery_data_paired
+    X0 = _x0_batch(7, qp.n_x, seed=9)
+    r7 = solve_batch(data, X0, config=SolverConfig(iterations=40, engine="pallas"))
+    r1 = tpu_gpad.solve(data, X0[4], config=SolverConfig(iterations=40, engine="pallas"))
+    np.testing.assert_allclose(np.asarray(r1.u[0]), np.asarray(r7.u[4]), atol=1e-6)
+
+
+def test_pallas_dual_warm_start(battery_data_paired):
+    """y0 warm start through the dual kernel matches the XLA engine's."""
+    qp, data = battery_data_paired
+    X0 = _x0_batch(6, qp.n_x, seed=21)
+    cfg_pl = SolverConfig(iterations=50, engine="pallas", form="dual")
+    cfg_xla = SolverConfig(iterations=50, engine="xla", form="dual")
+    r1 = solve_batch(data, X0, config=cfg_xla)
+    w_pl = solve_batch(data, X0, config=cfg_pl, y0=r1.y)
+    w_xla = solve_batch(data, X0, config=cfg_xla, y0=r1.y)
+    np.testing.assert_allclose(np.asarray(w_pl.u), np.asarray(w_xla.u), atol=2e-5)
+    # warm != cold (the seed actually flows into the kernel)
+    cold = solve_batch(data, X0, config=cfg_pl)
+    assert np.abs(np.asarray(w_pl.y) - np.asarray(cold.y)).max() > 1e-6
+
+
 def test_fits_vmem_guard():
     from tpu_gpad.solver import kernels
 

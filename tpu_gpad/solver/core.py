@@ -361,12 +361,14 @@ def solve_batch(
         )
     config = _dc.replace(config, iterations=n_iters)
     g_P, p_D = affine_params(data, x0)
-    if config.engine == "pallas" and y0 is None:
+    if config.engine == "pallas" and (
+        y0 is None or resolve_form(data, config) == "dual"
+    ):
         from tpu_gpad.solver import kernels
 
-        return kernels.solve_batch_pallas(data, g_P, p_D, config)
-    # warm starts route through the XLA engine (the fused kernels assume the
-    # cold start; XLA fuses this path equally well)
+        return kernels.solve_batch_pallas(data, g_P, p_D, config, y0=y0)
+    # mvp-form warm starts route through the XLA engine (those fused kernels
+    # assume the cold start; XLA fuses that path equally well)
     if config.engine not in ("xla", "pallas"):
         raise ValueError(f"unknown engine: {config.engine!r}")
     if config.mode == "fixed":

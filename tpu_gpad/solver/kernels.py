@@ -78,6 +78,22 @@ def pick_batch_tile(B: int, m_p: int, nz_p: int) -> int | None:
     return 8 if vmem_bytes(8, m_p, nz_p) <= _VMEM_BUDGET else None
 
 
+def pick_lane_tile(B: int, S: int, n_arrays: int = 26) -> int | None:
+    """Batch-tile (lane) width for the scenario-minor dual kernel.
+
+    VMEM holds ~``n_arrays`` (S, B_t) fp32 arrays: 7 loop carries, body
+    temporaries, plus 4 input and 5 output blocks each DOUBLE-buffered by
+    Mosaic's grid pipeline (measured scoped-vmem on v5e: ~25 arrays; the
+    N=50 battery problem OOMs at 14). Bigger tiles amortize grid/loop
+    overhead; the curve is flat past 1024 lanes."""
+    for bt in (1024, 512, 256, LANE):
+        if bt > max(B, LANE):
+            continue
+        if n_arrays * 4 * S * bt <= _VMEM_BUDGET:
+            return bt
+    return LANE if n_arrays * 4 * S * LANE <= _VMEM_BUDGET else None
+
+
 def fits_vmem(data: GPADData) -> bool:
     m_dim = data.m_half if data.paired else data.m
     m_p = _round_up(m_dim, LANE)
@@ -158,11 +174,12 @@ def _gpad_kernel_dual(
     # scalar prefetch
     theta_ref,
     beta_ref,
-    # tensor inputs
-    e_ref,
-    pDp_ref,
-    pDm_ref,
-    D_ref,
+    # tensor inputs (all scenario-minor: shape (S, B_t), batch on LANES)
+    cp_ref,
+    cm_ref,
+    y0p_ref,
+    y0m_ref,
+    Dn_ref,
     # outputs
     s_ref,
     yp_ref,
@@ -176,15 +193,33 @@ def _gpad_kernel_dual(
 ):
     """Dual-only GPAD loop: ONE square matmul per iteration.
 
-    q = -(w+ - w-) @ D - e; y projects as usual; the momentum-combined
-    w-difference accumulator s is the only primal-side state (z is
-    reconstructed outside the kernel). See GPADData.D."""
-    D = D_ref[:].astype(mm_dtype)  # (m_hp, m_hp)
-    e = e_ref[:]  # (B_t, m_hp)
-    p_Dp = pDp_ref[:]
-    p_Dm = pDm_ref[:]
+    Scenario-minor ("transposed") layout: every state array is (S, B_t)
+    with the *batch* on the 128-wide lane dimension and the dual rows on
+    sublanes. The dual dimension m_h of MPC problems (e.g. 70) is far from
+    a lane multiple, so the batch-major layout (B_t, m_pad=128) wastes
+    ~45% of every VPU op on padding lanes; here the batch is always a lane
+    multiple and m_h only pays 8-sublane rounding (70 -> 72, 3%). The loop
+    is VPU-bound (the (S,S) matmul is tiny), so this layout choice is
+    worth ~1.7x on its own — measured on TPU v5e, see BENCH_DETAIL.json.
+
+    Algebra (identical to acceldualgrad.m:43-52 collapsed to the dual):
+        w+- = y+- + beta (y+- - y_prev+-)
+        d   = -D (w+ - w-)                      [MXU, symmetric D negated
+                                                 offline into Dn]
+        y+  = relu(w+ + d + cp),  cp = p_D+ - e [e = GL g_P folded offline]
+        y-  = relu(w- - d + cm),  cm = p_D- + e
+        s  += theta (wd - s)                    [convex comb for primal
+                                                 recovery outside]
+    """
+    Dn = Dn_ref[:].astype(mm_dtype)  # (S, S) == -D, padded
+    cp = cp_ref[:]  # (S, B_t)
+    cm = cm_ref[:]
     f32 = jnp.float32
-    y0 = p_Dp * 0.0
+    zero = cp * 0.0
+    # warm start: y and y_prev both seeded from y0 (zeros when cold —
+    # matching core._init_state); s/w always start at zero
+    y0p = y0p_ref[:]
+    y0m = y0m_ref[:]
 
     def body(k, carry):
         yp, ym, yp_prev, ym_prev, s, _, _ = carry
@@ -193,20 +228,17 @@ def _gpad_kernel_dual(
         wp = yp + beta_k * (yp - yp_prev)
         wm = ym + beta_k * (ym - ym_prev)
         wd = wp - wm
-        q = (
-            -jnp.dot(
-                wd.astype(mm_dtype), D,
-                preferred_element_type=f32, precision=precision,
-            )
-            - e
+        d = jnp.dot(
+            Dn, wd.astype(mm_dtype),
+            preferred_element_type=f32, precision=precision,
         )
-        yp_next = jnp.maximum(wp + q + p_Dp, 0.0)
-        ym_next = jnp.maximum(wm - q + p_Dm, 0.0)
-        s = (1.0 - theta_k) * s + theta_k * wd
+        yp_next = jnp.maximum(wp + d + cp, 0.0)
+        ym_next = jnp.maximum(wm - d + cm, 0.0)
+        s = s + theta_k * (wd - s)
         return yp_next, ym_next, yp, ym, s, wp, wm
 
     yp, ym, _, _, s, wp, wm = jax.lax.fori_loop(
-        0, iterations, body, (y0, y0, y0, y0, y0, y0, y0)
+        0, iterations, body, (y0p, y0m, y0p, y0m, zero, zero, zero)
     )
     s_ref[:] = s
     yp_ref[:] = yp
@@ -223,19 +255,20 @@ def gpad_pallas_fixed_dual(
     data: GPADData,
     g_P: jax.Array,
     p_D: jax.Array,
+    y0: jax.Array | None = None,
     *,
     iterations: int,
     matmul_dtype: str = "float32",
     precision: str = "highest",
     interpret: bool = False,
 ):
-    """Dual-form fused kernel. Returns (z, y, w, zhat) like the other
-    entry points; z/zhat are reconstructed with two post-loop matmuls."""
+    """Dual-form fused kernel (scenario-minor layout — see
+    ``_gpad_kernel_dual``). Returns (z, y, w, zhat) like the other entry
+    points; z/zhat are reconstructed with two post-loop matmuls."""
     B = g_P.shape[0]
     m_h, n_z = data.m_half, data.n_z
-    m_hp = _round_up(m_h, LANE)
-    nz_p = _round_up(n_z, LANE)
-    B_t = pick_batch_tile(B, m_hp, max(nz_p, m_hp))
+    S = _round_up(m_h, SUBLANE)  # dual rows on SUBLANES: 8-rounding, not 128
+    B_t = pick_lane_tile(B, S)
     if B_t is None:
         raise ValueError(
             f"problem (m_half={m_h}) does not fit the fused dual kernel's "
@@ -249,25 +282,34 @@ def gpad_pallas_fixed_dual(
         if mm_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    # e = g_P @ GL_T hoisted out of the kernel (one rectangular matmul)
+    # e = g_P @ GL_T hoisted out of the kernel (one rectangular matmul), then
+    # folded with p_D into the per-scenario relu offsets cp/cm
     e = jnp.matmul(
         g_P.astype(mm_dtype),
         data.GL_T.astype(mm_dtype),
         precision=prec,
         preferred_element_type=jnp.float32,
     )
-    D = _pad2(data.D, m_hp, m_hp)
-    eP = _pad2(e, B_p, m_hp)
-    pDp = _pad2(p_D[:, 0, :], B_p, m_hp)
-    pDm = _pad2(p_D[:, 1, :], B_p, m_hp)
+    cpT = _pad2((p_D[:, 0, :] - e).T, S, B_p)
+    cmT = _pad2((p_D[:, 1, :] + e).T, S, B_p)
+    if y0 is None:
+        y0pT = jnp.zeros((S, B_p), dtype=jnp.float32)
+        y0mT = y0pT
+    else:
+        y0b = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=jnp.float32), (B, 2, data.m_half)
+        )
+        y0pT = _pad2(y0b[:, 0, :].T, S, B_p)
+        y0mT = _pad2(y0b[:, 1, :].T, S, B_p)
+    Dn = _pad2(-data.D, S, S)  # symmetric, negation folded offline
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
 
     kernel = functools.partial(
         _gpad_kernel_dual, iterations=iterations, mm_dtype=mm_dtype, precision=prec
     )
-    batch_spec_m = pl.BlockSpec(
-        (B_t, m_hp), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    lane_spec = pl.BlockSpec(
+        (S, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
     s, yp, ym, wp, wm = pl.pallas_call(
         kernel,
@@ -275,35 +317,36 @@ def gpad_pallas_fixed_dual(
             num_scalar_prefetch=2,
             grid=(B_p // B_t,),
             in_specs=[
-                batch_spec_m,  # e
-                batch_spec_m,  # p_D plus
-                batch_spec_m,  # p_D minus
+                lane_spec,  # cp
+                lane_spec,  # cm
+                lane_spec,  # y0 plus rows (zeros when cold)
+                lane_spec,  # y0 minus rows
                 pl.BlockSpec(
-                    (m_hp, m_hp), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
-                ),  # D (fetched once)
+                    (S, S), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
+                ),  # -D (fetched once)
             ],
-            out_specs=[batch_spec_m] * 5,
+            out_specs=[lane_spec] * 5,
         ),
-        out_shape=[jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((S, B_p), jnp.float32)] * 5,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B_p * m_hp * m_hp * iterations,
-            bytes_accessed=4 * (m_hp * m_hp + 4 * B_p * m_hp),
+            flops=2 * S * S * B_p * iterations,
+            bytes_accessed=4 * (S * S + 7 * S * B_p),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, eP, pDp, pDm, D)
+    )(theta, beta, cpT, cmT, y0pT, y0mT, Dn)
 
-    s = s[:B, :m_h]
+    sT = s[:m_h, :B].T
     a = 1.0 - jnp.prod(1.0 - theta)
     mm = lambda x, M: jnp.matmul(
         x.astype(mm_dtype), M.astype(mm_dtype),
         precision=prec, preferred_element_type=jnp.float32,
     )
-    z = -mm(s, data.MG_T) - a * g_P
-    wd = wp[:B, :m_h] - wm[:B, :m_h]
+    z = -mm(sT, data.MG_T) - a * g_P
+    wd = (wp[:m_h, :B] - wm[:m_h, :B]).T
     zhat = -mm(wd, data.MG_T) - g_P
-    y = jnp.stack([yp[:B, :m_h], ym[:B, :m_h]], axis=1)
-    w = jnp.stack([wp[:B, :m_h], wm[:B, :m_h]], axis=1)
+    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    w = jnp.stack([wp[:m_h, :B].T, wm[:m_h, :B].T], axis=1)
     return z, y, w, zhat
 
 
@@ -567,7 +610,9 @@ def gpad_pallas_fixed(
     return z[:B, :n_z], y[:B, :m], w[:B, :m], zhat[:B, :n_z]
 
 
-def solve_batch_pallas(data: GPADData, g_P: jax.Array, p_D: jax.Array, config) -> SolveResult:
+def solve_batch_pallas(
+    data: GPADData, g_P: jax.Array, p_D: jax.Array, config, y0=None
+) -> SolveResult:
     """Pallas-engine entry called from ``solver.core.solve_batch``.
 
     Residuals/gap are recovered outside the kernel with one cheap matmul
@@ -594,7 +639,9 @@ def solve_batch_pallas(data: GPADData, g_P: jax.Array, p_D: jax.Array, config) -
         # path — hard-real-time fixed budget, main.cu:87 — is the kernel).
         import dataclasses
 
-        res = _core._solve_eps(data, gP2, pD2, dataclasses.replace(config, engine="xla"))
+        res = _core._solve_eps(
+            data, gP2, pD2, dataclasses.replace(config, engine="xla"), y0
+        )
     else:
         form = _core.resolve_form(data, config)
         if form == "dual":
@@ -603,6 +650,15 @@ def solve_batch_pallas(data: GPADData, g_P: jax.Array, p_D: jax.Array, config) -
             fixed = gpad_pallas_fixed_paired
         else:
             fixed = gpad_pallas_fixed
+        if y0 is not None and form != "dual":
+            raise ValueError(
+                "pallas warm starts are only supported by the dual form"
+            )
+        kw = {}
+        if form == "dual":
+            if y0 is not None and y0.ndim > 1 and y0.shape[0] not in (1, Bflat):
+                y0 = y0.reshape((Bflat,) + y0.shape[-2:])
+            kw["y0"] = y0
         z, y, w, zhat = fixed(
             data,
             gP2,
@@ -611,6 +667,7 @@ def solve_batch_pallas(data: GPADData, g_P: jax.Array, p_D: jax.Array, config) -
             matmul_dtype=config.matmul_dtype,
             precision=config.precision,
             interpret=interpret,
+            **kw,
         )
         mm = _core._make_matmul(config)
         viol_z, _, gap = _core._residuals(data, gP2, pD2, z, zhat, w, mm)
