@@ -97,3 +97,22 @@ def test_info_with_bound(capsys):
 def test_unknown_problem_rejected(capsys):
     with pytest.raises(SystemExit):
         main(["solve", "--problem", "nonsense"])
+
+
+def test_sweep_sharded(capsys, tmp_path):
+    """--sharded spreads chunks over the (virtual 8-device) mesh, with a
+    ragged last chunk exercising the padding path."""
+    res = str(tmp_path / "out.npz")
+    out, saved = run_cli(
+        capsys, "sweep", "--cells", "3", "--horizon", "4",
+        "--iterations", "40", "--batch", "44", "--chunk-size", "16",
+        "--sharded", "--out", res,
+    )
+    assert out["scenarios"] == 44 and out["converged_all"] in (True, False)
+    direct, = run_cli(
+        capsys, "sweep", "--cells", "3", "--horizon", "4",
+        "--iterations", "40", "--batch", "44", "--chunk-size", "16",
+    )
+    with np.load(res) as f:
+        U_sharded = f["U"]
+    assert U_sharded.shape == (44, 3)

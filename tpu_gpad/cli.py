@@ -45,7 +45,7 @@ def _add_solver_args(p):
     p.add_argument("--mode", default="fixed", choices=["fixed", "eps"])
     p.add_argument("--eps-g", type=float, default=1e-6)
     p.add_argument("--eps-v", type=float, default=1e-6)
-    p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--engine", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--form", default="auto", choices=["auto", "mvp", "dual"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="operand dtype for the hot matmuls")
@@ -177,10 +177,29 @@ def cmd_sweep(args) -> int:
         tpu_gpad.condense(problem), iterations=args.iterations,
         paired=_paired(args))
     X0 = _scenarios(args, problem.n_x)
+    solve_fn = None
+    if args.sharded:
+        import jax
+        import numpy as _np
+
+        from tpu_gpad.parallel import make_mesh, solve_batch_sharded
+
+        mesh = make_mesh()
+        n_data = mesh.shape["data"]
+
+        def solve_fn(d, x, c):
+            # pad the (possibly ragged last) chunk to the mesh width
+            pad = (-x.shape[0]) % n_data
+            xp = _np.pad(x, ((0, pad), (0, 0))) if pad else x
+            res = solve_batch_sharded(d, xp, c, mesh=mesh)
+            if pad:
+                res = jax.tree.map(lambda a: a[: x.shape[0]], res)
+            return res
+
     out = run_sweep(
         data, X0, _solver_config(args),
         chunk_size=args.chunk_size, checkpoint=args.checkpoint,
-        progress=args.progress,
+        solve_fn=solve_fn, progress=args.progress,
     )
     _emit({
         "problem": data.name,
@@ -296,6 +315,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--x0", help="text file of initial states")
     p.add_argument("--chunk-size", type=int, default=4096)
+    p.add_argument("--sharded", action="store_true",
+                   help="spread each chunk over all visible devices "
+                        "(shard_map scenario data-parallelism)")
     p.add_argument("--checkpoint", help="npz checkpoint path (resume if exists)")
     p.add_argument("--out", help="write result arrays to this npz")
     p.add_argument("--progress", action="store_true")

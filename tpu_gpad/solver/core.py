@@ -46,7 +46,11 @@ class SolverConfig:
     eps_g: float = 1e-6  # primal feasibility tolerance (acceldualgrad.m:12)
     eps_V: float = 1e-6  # duality-gap tolerance (acceldualgrad.m:13)
     check_every: int = 10  # K, cadence of the eps test (paper sec. 5.1 uses K=10)
-    engine: str = "xla"  # "xla" | "pallas"
+    engine: str = "auto"  # "auto" | "xla" | "pallas". "auto" picks the fused
+    # Pallas kernel when it applies (TPU backend, fixed mode, problem fits
+    # the VMEM budget) and the XLA loop engine otherwise (CPU, eps mode,
+    # model-axis TP, oversized problems). Forcing "pallas" off-TPU runs the
+    # kernel in interpret mode (slow; meant for tests).
     form: str = "auto"  # "auto" | "mvp" | "dual": iteration algebra. "mvp"
     # runs the four explicit steps (two rectangular MVPs per iteration, the
     # reference's structure); "dual" runs the collapsed dual-only iteration
@@ -216,6 +220,40 @@ def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -
     )
 
 
+def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
+    """Pick the execution engine for this (data, config, warm-start) combo.
+
+    "auto" (the default) uses the fused Pallas kernel exactly when it is
+    the fast choice: TPU backend, fixed-iteration mode, no model-axis TP,
+    and the problem fits the kernel's VMEM budget. Warm starts are only
+    fused in the dual form; mvp-form warm starts take the XLA loop (those
+    kernels assume the cold start). Forcing engine="pallas" is honored
+    everywhere (interpret mode off-TPU — slow, meant for tests)."""
+    if config.engine == "xla":
+        return "xla"
+    if config.engine == "pallas":
+        # mvp-form warm starts are the one unsupported combination
+        if y0 is not None and resolve_form(data, config) != "dual":
+            return "xla"
+        return "pallas"
+    if config.engine != "auto":
+        raise ValueError(f"unknown engine: {config.engine!r}")
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if config.mode != "fixed" or config.model_axis is not None:
+        return "xla"
+    if y0 is not None and resolve_form(data, config) != "dual":
+        return "xla"
+    from tpu_gpad.solver import kernels
+
+    if resolve_form(data, config) == "dual":
+        if kernels.pick_lane_tile(1, kernels._round_up(data.m_half, 8)) is None:
+            return "xla"
+    elif not kernels.fits_vmem(data):
+        return "xla"
+    return "pallas"
+
+
 def resolve_form(data: GPADData, config: SolverConfig) -> str:
     """Pick the iteration algebra for this (data, config) combination."""
     dual_ok = (
@@ -361,16 +399,11 @@ def solve_batch(
         )
     config = _dc.replace(config, iterations=n_iters)
     g_P, p_D = affine_params(data, x0)
-    if config.engine == "pallas" and (
-        y0 is None or resolve_form(data, config) == "dual"
-    ):
+    engine = resolve_engine(data, config, y0)
+    if engine == "pallas":
         from tpu_gpad.solver import kernels
 
         return kernels.solve_batch_pallas(data, g_P, p_D, config, y0=y0)
-    # mvp-form warm starts route through the XLA engine (those fused kernels
-    # assume the cold start; XLA fuses that path equally well)
-    if config.engine not in ("xla", "pallas"):
-        raise ValueError(f"unknown engine: {config.engine!r}")
     if config.mode == "fixed":
         if resolve_form(data, config) == "dual":
             return _solve_fixed_dual(data, g_P, p_D, config, y0)

@@ -95,21 +95,25 @@ def pick_lane_tile(B: int, S: int, n_arrays: int = 26) -> int | None:
 
 
 def fits_vmem(data: GPADData) -> bool:
-    m_dim = data.m_half if data.paired else data.m
-    m_p = _round_up(m_dim, LANE)
-    nz_p = _round_up(data.n_z, LANE)
-    return pick_batch_tile(8, m_p, nz_p) is not None
+    """Can the smallest (128-lane) tile of the dense/paired fused kernel fit?"""
+    if data.paired:
+        m_p = _round_up(data.m_half, LANE)
+        nz_p = _round_up(data.n_z, LANE)
+        return pick_batch_tile(8, m_p, nz_p) is not None
+    S_m = _round_up(data.m, SUBLANE)
+    S_z = _round_up(data.n_z, SUBLANE)
+    return (2 * 4 * S_m * S_z + 4 * LANE * (13 * S_m + 9 * S_z)) <= _VMEM_BUDGET
 
 
 def _gpad_kernel(
     # scalar prefetch
     theta_ref,
     beta_ref,
-    # tensor inputs
-    gP_ref,
-    pD_ref,
-    MG_ref,
-    GL_ref,
+    # tensor inputs (scenario-minor: batch on LANES, see _gpad_kernel_dual)
+    gP_ref,  # (S_z, B_t)
+    pD_ref,  # (S_m, B_t)
+    MGt_ref,  # (S_z, S_m) == MG_T'
+    GLt_ref,  # (S_m, S_z) == GL_T'
     # outputs
     z_ref,
     y_ref,
@@ -120,11 +124,18 @@ def _gpad_kernel(
     mm_dtype,
     precision,
 ):
-    """One batch tile: run the full GPAD loop with VMEM-resident state."""
-    MG = MG_ref[:].astype(mm_dtype)  # (m_p, nz_p)
-    GL = GL_ref[:].astype(mm_dtype)  # (nz_p, m_p)
-    g_P = gP_ref[:]  # (B_t, nz_p)
-    p_D = pD_ref[:]  # (B_t, m_p)
+    """One batch tile: the full 4-step GPAD loop, dense constraint stack.
+
+    Scenario-minor layout: dual-sized state (y, w) is (S_m, B_t) and
+    primal-sized state (z, zhat) is (S_z, B_t) with the batch on lanes —
+    m and n_z pay 8-sublane rounding instead of 128-lane rounding (e.g.
+    the reference dataset shape m=140, n_z=30 pads to 144/32 rows, not
+    256/128 lanes). Both MVPs become (rows, contraction) @ (contraction,
+    lanes) MXU matmuls against once-fetched transposed operands."""
+    MGt = MGt_ref[:].astype(mm_dtype)  # (S_z, S_m)
+    GLt = GLt_ref[:].astype(mm_dtype)  # (S_m, S_z)
+    g_P = gP_ref[:]  # (S_z, B_t)
+    p_D = pD_ref[:]  # (S_m, B_t)
 
     f32 = jnp.float32
     # Initial iterates derived from loaded operands (not a zeros broadcast):
@@ -139,10 +150,10 @@ def _gpad_kernel(
         theta_k = theta_ref[k]
         # Step 1 (SAXPY): w = y + beta (y - y_prev)        [VPU]
         w = y + beta_k * (y - y_prev)
-        # Step 2 (MVP):   zhat = -(w @ MG_T) - g_P         [MXU]
+        # Step 2 (MVP):   zhat = -(MG_T' w) - g_P          [MXU]
         zhat = (
             -jnp.dot(
-                w.astype(mm_dtype), MG,
+                MGt, w.astype(mm_dtype),
                 preferred_element_type=f32, precision=precision,
             )
             - g_P
@@ -153,7 +164,7 @@ def _gpad_kernel(
         y_next = jnp.maximum(
             w
             + jnp.dot(
-                zhat.astype(mm_dtype), GL,
+                GLt, zhat.astype(mm_dtype),
                 preferred_element_type=f32, precision=precision,
             )
             + p_D,
@@ -530,12 +541,21 @@ def gpad_pallas_fixed(
 ):
     """Run the fused fixed-budget GPAD kernel on a (B, n_z)/(B, m) batch.
 
-    Returns padded-stripped final (z, y, w, zhat)."""
+    Scenario-minor layout (see ``_gpad_kernel``). Returns padded-stripped
+    final (z, y, w, zhat) in the batch-major external convention."""
     B = g_P.shape[0]
     m, n_z = data.m, data.n_z
-    m_p = _round_up(m, LANE)
-    nz_p = _round_up(n_z, LANE)
-    B_t = pick_batch_tile(B, m_p, nz_p)
+    S_m = _round_up(m, SUBLANE)
+    S_z = _round_up(n_z, SUBLANE)
+    # VMEM holds ~13 (S_m, B_t) + ~9 (S_z, B_t) arrays (carries + double-
+    # buffered in/out blocks) plus the two constant operands
+    mats = 2 * 4 * S_m * S_z
+
+    def fits(bt):
+        return mats + 4 * bt * (13 * S_m + 9 * S_z) <= _VMEM_BUDGET
+
+    B_t = next((bt for bt in (1024, 512, 256, LANE)
+                if bt <= max(B, LANE) and fits(bt)), None)
     if B_t is None:
         raise ValueError(
             f"problem (m={m}, n_z={n_z}) does not fit the fused kernel's VMEM "
@@ -543,10 +563,10 @@ def gpad_pallas_fixed(
         )
     B_p = _round_up(B, B_t)
 
-    MG = _pad2(data.MG_T, m_p, nz_p)
-    GL = _pad2(data.GL_T, nz_p, m_p)
-    gP = _pad2(g_P, B_p, nz_p)
-    pD = _pad2(p_D, B_p, m_p)
+    MGt = _pad2(data.MG_T.T, S_z, S_m)  # (n_z, m) padded
+    GLt = _pad2(data.GL_T.T, S_m, S_z)  # (m, n_z) padded
+    gPT = _pad2(g_P.T, S_z, B_p)
+    pDT = _pad2(p_D.T, S_m, B_p)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
 
@@ -566,48 +586,53 @@ def gpad_pallas_fixed(
         precision=prec,
     )
     # index maps receive (grid_idx, *scalar_prefetch_refs)
-    batch_spec_nz = pl.BlockSpec(
-        (B_t, nz_p), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    lane_spec_z = pl.BlockSpec(
+        (S_z, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
-    batch_spec_m = pl.BlockSpec(
-        (B_t, m_p), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    lane_spec_m = pl.BlockSpec(
+        (S_m, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda r, c: pl.BlockSpec(
         (r, c), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
     )
 
-    flops_mm = 2 * B_t * m_p * nz_p * 2 * iterations * (B_p // B_t)
+    flops_mm = 2 * S_m * S_z * 2 * iterations * B_p
     z, y, w, zhat = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # theta, beta -> SMEM
             grid=grid,
             in_specs=[
-                batch_spec_nz,  # g_P
-                batch_spec_m,  # p_D
-                full(m_p, nz_p),  # MG_T (constant index map: fetched once)
-                full(nz_p, m_p),  # GL_T
+                lane_spec_z,  # g_P
+                lane_spec_m,  # p_D
+                full(S_z, S_m),  # MG_T' (constant index map: fetched once)
+                full(S_m, S_z),  # GL_T'
             ],
             out_specs=[
-                batch_spec_nz,  # z
-                batch_spec_m,  # y
-                batch_spec_m,  # w
-                batch_spec_nz,  # zhat
+                lane_spec_z,  # z
+                lane_spec_m,  # y
+                lane_spec_m,  # w
+                lane_spec_z,  # zhat
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B_p, nz_p), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, m_p), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, m_p), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, nz_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_m, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_m, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops_mm, bytes_accessed=4 * (2 * m_p * nz_p + B_p * (m_p + nz_p)),
+            flops=flops_mm, bytes_accessed=mats + 4 * B_p * (2 * S_m + 2 * S_z),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, gP, pD, MG, GL)
-    return z[:B, :n_z], y[:B, :m], w[:B, :m], zhat[:B, :n_z]
+    )(theta, beta, gPT, pDT, MGt, GLt)
+    return (
+        z[:n_z, :B].T,
+        y[:m, :B].T,
+        w[:m, :B].T,
+        zhat[:n_z, :B].T,
+    )
 
 
 def solve_batch_pallas(
