@@ -129,6 +129,40 @@ def test_pallas_dual_warm_start(battery_data_paired):
     assert np.abs(np.asarray(w_pl.y) - np.asarray(cold.y)).max() > 1e-6
 
 
+def test_pallas_eps_dual_chunked(battery_data_paired):
+    """The chunked eps-mode kernel agrees with the XLA Algorithm-1 loop."""
+    qp, data = battery_data_paired
+    X0 = _x0_batch(6, qp.n_x, seed=13)
+    kw = dict(mode="eps", eps_g=1e-4, eps_V=1e-4, check_every=10, iterations=100)
+    r_xla = solve_batch(data, X0, config=SolverConfig(engine="xla", **kw))
+    r_pl = solve_batch(data, X0, config=SolverConfig(engine="pallas", **kw))
+    assert np.array_equal(np.asarray(r_pl.converged), np.asarray(r_xla.converged))
+    # iteration counts may differ by one check window at residual ~ eps
+    # boundaries (different rounding between the mvp and dual algebra)
+    assert (
+        np.abs(np.asarray(r_pl.iterations) - np.asarray(r_xla.iterations)).max()
+        <= 10
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pl.u), np.asarray(r_xla.u), atol=2e-4
+    )
+    # converged scenarios deliver eps-optimal points: feasibility within eps_g
+    conv = np.asarray(r_pl.converged)
+    assert np.asarray(r_pl.residual)[conv].max() <= 1e-4 + 1e-6
+    assert conv.any()
+
+
+def test_pallas_eps_dual_warm_start(battery_data_paired):
+    qp, data = battery_data_paired
+    X0 = _x0_batch(4, qp.n_x, seed=17)
+    kw = dict(mode="eps", eps_g=1e-4, eps_V=1e-4, check_every=10, iterations=100)
+    r1 = solve_batch(data, X0, config=SolverConfig(engine="pallas", **kw))
+    r2 = solve_batch(data, X0, config=SolverConfig(engine="pallas", **kw), y0=r1.y)
+    # warm-started from a converged dual, every scenario passes on the
+    # first check window
+    assert np.asarray(r2.iterations).max() <= 10
+
+
 def test_fits_vmem_guard():
     from tpu_gpad.solver import kernels
 

@@ -1,0 +1,99 @@
+"""BASELINE.json config sweep: throughput across the five benchmark configs.
+
+Covers what bench.py's headline doesn't: the double-integrator / mass-spring
+horizon sweep (config 4) and a 100k+ scenario checkpointed sweep (the
+single-chip stand-in for config 5 — the pod-slice variant adds shard_map
+over more chips, same code path via ``sweep --sharded``).
+
+Writes BENCH_CONFIGS.json. Run on the real chip:  python tools/bench_configs.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    import os
+
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+
+    import tpu_gpad
+    from tpu_gpad import problems
+    from tpu_gpad.solver import SolverConfig, solve_batch
+    from tpu_gpad.utils import device_time_per_call
+
+    out = {"device": str(jax.devices()[0]), "iterations": 100}
+    cfg = SolverConfig(iterations=100)
+    rng = np.random.default_rng(0)
+
+    def bench_one(problem, batch, x_scale=0.4):
+        data = tpu_gpad.dualize(
+            tpu_gpad.condense(problem), iterations=100, paired="auto")
+        X0 = jnp.asarray(
+            rng.uniform(-x_scale, x_scale, size=(batch, problem.n_x))
+            .astype(np.float32))
+        t = device_time_per_call(
+            lambda: solve_batch(data, X0, config=cfg).u, k_large=10)
+        return {
+            "n_z": data.n_z, "m": data.m, "paired": data.paired,
+            "batch": batch,
+            "solves_per_sec": round(batch / t, 1),
+            "device_us_per_solve": round(t * 1e6 / batch, 3),
+        }
+
+    # config 4: double integrator + mass-spring over horizon {10, 30, 100}
+    sweep = {}
+    for N in (10, 30, 100):
+        sweep[f"double_integrator_N{N}"] = bench_one(
+            problems.double_integrator(horizon=N), batch=2048, x_scale=5.0)
+        print(f"double_integrator N={N}: "
+              f"{sweep[f'double_integrator_N{N}']['solves_per_sec']:.0f} /s",
+              flush=True)
+    for N in (10, 30):
+        sweep[f"mass_spring_N{N}"] = bench_one(
+            problems.mass_spring(n_masses=4, horizon=N), batch=1024,
+            x_scale=0.5)
+        print(f"mass_spring N={N}: "
+              f"{sweep[f'mass_spring_N{N}']['solves_per_sec']:.0f} /s",
+              flush=True)
+    out["horizon_sweep"] = sweep
+
+    # config 5 (single-chip stand-in): 131072-scenario checkpointed sweep
+    from tpu_gpad.sweep import run_sweep
+
+    problem = problems.battery(n_cells=3, horizon=10)
+    data = tpu_gpad.dualize(
+        tpu_gpad.condense(problem), iterations=100, paired="auto")
+    B = 131072
+    X0 = rng.uniform(-0.5, 0.5, size=(B, 3)).astype(np.float32)
+    # warm the jit cache so the sweep measures steady-state throughput
+    solve_batch(data, jnp.asarray(X0[:8192]), config=cfg).u.block_until_ready()
+    res = run_sweep(data, X0, cfg, chunk_size=8192)
+    out["sweep_131k"] = {
+        "scenarios": B,
+        "wall_s": round(res.wall_s, 3),
+        "solves_per_sec_wall": round(B / res.wall_s, 1),
+    }
+    print(f"131k sweep: {out['sweep_131k']['solves_per_sec_wall']:.0f} /s wall",
+          flush=True)
+
+    path = Path(__file__).resolve().parent.parent / "BENCH_CONFIGS.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

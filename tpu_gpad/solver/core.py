@@ -240,7 +240,23 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
         raise ValueError(f"unknown engine: {config.engine!r}")
     if jax.default_backend() != "tpu":
         return "xla"
-    if config.mode != "fixed" or config.model_axis is not None:
+    if config.model_axis is not None:
+        return "xla"
+    if config.mode == "eps":
+        # the chunked pallas eps path covers the single-process dual form
+        # with a chunk-aligned budget; everything else takes the XLA loop
+        dual_ok = data.paired and data.D is not None and config.form != "mvp"
+        n_iters = (
+            config.iterations if config.iterations is not None else data.max_iters
+        )
+        if (
+            dual_ok
+            and not config.collective_axes
+            and n_iters % max(config.check_every, 1) == 0
+        ):
+            return "pallas"
+        return "xla"
+    if config.mode != "fixed":
         return "xla"
     if y0 is not None and resolve_form(data, config) != "dual":
         return "xla"

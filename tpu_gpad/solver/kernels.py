@@ -361,6 +361,243 @@ def gpad_pallas_fixed_dual(
     return z, y, w, zhat
 
 
+def _gpad_kernel_dual_chunk(
+    # scalar prefetch
+    theta_ref,
+    beta_ref,
+    k0_ref,
+    # tensor inputs (scenario-minor, (S, B_t))
+    cp_ref,
+    cm_ref,
+    ypi_ref,
+    ymi_ref,
+    ypp_i_ref,
+    ymp_i_ref,
+    si_ref,
+    Dn_ref,
+    # outputs
+    yp_ref,
+    ym_ref,
+    ypp_ref,
+    ymp_ref,
+    s_ref,
+    wp_ref,
+    wm_ref,
+    *,
+    chunk: int,
+    mm_dtype,
+    precision,
+):
+    """``chunk`` dual-form iterations starting at schedule offset ``k0``.
+
+    The eps-termination (Algorithm 1) building block: the host checks the
+    stopping test every ``check_every`` iterations (paper sec. 5.1's K), so
+    the kernel advances the VMEM-resident state by exactly one check window
+    and hands (y, y_prev, s, w) back for the residual test. Same algebra as
+    ``_gpad_kernel_dual``."""
+    Dn = Dn_ref[:].astype(mm_dtype)
+    cp = cp_ref[:]
+    cm = cm_ref[:]
+    k0 = k0_ref[0]
+    f32 = jnp.float32
+    zero = cp * 0.0
+
+    def body(i, carry):
+        yp, ym, yp_prev, ym_prev, s, _, _ = carry
+        beta_k = beta_ref[k0 + i]
+        theta_k = theta_ref[k0 + i]
+        wp = yp + beta_k * (yp - yp_prev)
+        wm = ym + beta_k * (ym - ym_prev)
+        wd = wp - wm
+        d = jnp.dot(
+            Dn, wd.astype(mm_dtype),
+            preferred_element_type=f32, precision=precision,
+        )
+        yp_next = jnp.maximum(wp + d + cp, 0.0)
+        ym_next = jnp.maximum(wm - d + cm, 0.0)
+        s = s + theta_k * (wd - s)
+        return yp_next, ym_next, yp, ym, s, wp, wm
+
+    init = (
+        ypi_ref[:], ymi_ref[:], ypp_i_ref[:], ymp_i_ref[:], si_ref[:],
+        zero, zero,
+    )
+    yp, ym, ypp, ymp, s, wp, wm = jax.lax.fori_loop(0, chunk, body, init)
+    yp_ref[:] = yp
+    ym_ref[:] = ym
+    ypp_ref[:] = ypp
+    ymp_ref[:] = ymp
+    s_ref[:] = s
+    wp_ref[:] = wp
+    wm_ref[:] = wm
+
+
+def _dual_chunk_call(
+    data, cpT, cmT, Dn, theta, beta, S, B_p, B_t,
+    mm_dtype, prec, chunk, interpret,
+):
+    """Build the jit-reusable chunk invocation (one compile per shape)."""
+    kernel = functools.partial(
+        _gpad_kernel_dual_chunk, chunk=chunk, mm_dtype=mm_dtype, precision=prec
+    )
+    lane_spec = pl.BlockSpec(
+        (S, B_t), lambda i, th, be, k0: (0, i), memory_space=pltpu.VMEM
+    )
+    specs = dict(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # theta, beta, k0
+            grid=(B_p // B_t,),
+            in_specs=[lane_spec] * 7 + [
+                pl.BlockSpec(
+                    (S, S), lambda i, th, be, k0: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=[lane_spec] * 7,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((S, B_p), jnp.float32)] * 7,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * S * B_p * chunk,
+            bytes_accessed=4 * (S * S + 14 * S * B_p),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def call(k0, yp, ym, ypp, ymp, s):
+        return pl.pallas_call(kernel, **specs)(
+            theta, beta, jnp.asarray([k0], dtype=jnp.int32),
+            cpT, cmT, yp, ym, ypp, ymp, s, Dn,
+        )
+
+    return call
+
+
+def gpad_pallas_eps_dual(
+    data: GPADData,
+    g_P: jax.Array,
+    p_D: jax.Array,
+    config,
+    y0: jax.Array | None = None,
+) -> SolveResult:
+    """Algorithm-1 (eps-termination) solve with the fused dual kernel.
+
+    Chunked execution: the kernel advances all scenarios by ``check_every``
+    iterations with VMEM-resident state; between chunks the host-side jitted
+    while_loop computes the primal/gap residual test (two rectangular
+    matmuls), captures each scenario's first eps-optimal point, and stops
+    when every scenario (psum'd over ``collective_axes``) has converged —
+    the reference never implemented this mode (the MATLAB test is commented
+    out, acceldualgrad.m:66-79; main.cu fixes N_v=100)."""
+    from jax import lax
+
+    from tpu_gpad.solver import core as _core
+
+    B = g_P.shape[0]
+    m_h = data.m_half
+    S = _round_up(m_h, SUBLANE)
+    B_t = pick_lane_tile(B, S)
+    if B_t is None:
+        raise ValueError("problem too large for the fused dual kernel's VMEM")
+    B_p = _round_up(B, B_t)
+    iterations = config.iterations
+    C = min(config.check_every, iterations)
+    n_full = iterations // C
+
+    mm_dtype = jnp.dtype(config.matmul_dtype)
+    prec = (
+        jax.lax.Precision(config.precision.lower())
+        if mm_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    mm = _core._make_matmul(config)
+    e = mm(g_P, data.GL_T)
+    cpT = _pad2((p_D[:, 0, :] - e).T, S, B_p)
+    cmT = _pad2((p_D[:, 1, :] + e).T, S, B_p)
+    Dn = _pad2(-data.D, S, S)
+    theta = data.theta[:iterations]
+    beta = data.beta[:iterations]
+    interpret = jax.default_backend() != "tpu"
+    call = _dual_chunk_call(
+        data, cpT, cmT, Dn, theta, beta, S, B_p, B_t,
+        mm_dtype, prec, C, interpret,
+    )
+
+    if y0 is None:
+        ypT = jnp.zeros((S, B_p), dtype=jnp.float32)
+        ymT = ypT
+    else:
+        y0b = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=jnp.float32), (B, 2, m_h)
+        )
+        ypT = _pad2(y0b[:, 0, :].T, S, B_p)
+        ymT = _pad2(y0b[:, 1, :].T, S, B_p)
+    zero = jnp.zeros((S, B_p), dtype=jnp.float32)
+
+    def recover(sT, wpT, wmT):
+        """(z, zhat, w) in batch-major convention from transposed state."""
+        s_bm = sT[:m_h, :B].T
+        wd = (wpT[:m_h, :B] - wmT[:m_h, :B]).T
+        z = -mm(s_bm, data.MG_T) - g_P  # a = 1 (theta_0 = 1)
+        zhat = -mm(wd, data.MG_T) - g_P
+        w = jnp.stack([wpT[:m_h, :B].T, wmT[:m_h, :B].T], axis=1)
+        return z, zhat, w
+
+    converged0 = jnp.zeros((B,), dtype=bool)
+    iters0 = jnp.full((B,), iterations, dtype=jnp.int32)
+    z_out0 = jnp.zeros((B, data.n_z), dtype=jnp.float32)
+
+    def cond(carry):
+        c, done, *_ = carry
+        return jnp.logical_and(c < n_full, jnp.logical_not(done))
+
+    def body(carry):
+        c, done, yp, ym, ypp, ymp, s, _, _, converged, iters, z_out = carry
+        k0 = c * C
+        yp, ym, ypp, ymp, s, wp, wm = call(k0, yp, ym, ypp, ymp, s)
+        z, zhat, w = recover(s, wp, wm)
+        viol_z, viol_zhat, gap = _core._residuals(
+            data, g_P, p_D, z, zhat, w, mm
+        )
+        ok_z = viol_z <= config.eps_g
+        ok_zhat = jnp.logical_and(viol_zhat <= config.eps_g, gap <= config.eps_V)
+        ok = jnp.logical_or(ok_z, ok_zhat)
+        newly = jnp.logical_and(ok, jnp.logical_not(converged))
+        iters = jnp.where(newly, k0 + C, iters)
+        z_sel = jnp.where(ok_z[..., None], z, zhat)
+        z_out = jnp.where(newly[..., None], z_sel, z_out)
+        converged = jnp.logical_or(converged, ok)
+        n_unconverged = jnp.sum(jnp.logical_not(converged).astype(jnp.int32))
+        for ax in config.collective_axes:
+            n_unconverged = lax.psum(n_unconverged, ax)
+        return (
+            c + 1, n_unconverged == 0, yp, ym, ypp, ymp, s, wp, wm,
+            converged, iters, z_out,
+        )
+
+    carry = (
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        ypT, ymT, ypT, ymT, zero, zero, zero, converged0, iters0, z_out0,
+    )
+    (
+        c, done, yp, ym, ypp, ymp, s, wp, wm, converged, iters, z_out
+    ) = lax.while_loop(cond, body, carry)
+
+    z, zhat, w = recover(s, wp, wm)
+    z_final = jnp.where(converged[..., None], z_out, z)
+    viol_z, _, gap = _core._residuals(data, g_P, p_D, z_final, zhat, w, mm)
+    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    return SolveResult(
+        u=z_final[..., : data.n_u],
+        z=z_final,
+        y=y,
+        iterations=iters,
+        residual=jnp.maximum(viol_z, 0.0),
+        gap=gap,
+        converged=converged,
+    )
+
+
 def _gpad_kernel_paired(
     # scalar prefetch
     theta_ref,
@@ -659,14 +896,24 @@ def solve_batch_pallas(
     interpret = jax.default_backend() != "tpu"
 
     if config.mode == "eps":
-        # Epsilon mode needs the collective stopping test and per-scenario
-        # capture logic; route it through the XLA engine (the hot production
-        # path — hard-real-time fixed budget, main.cu:87 — is the kernel).
-        import dataclasses
-
-        res = _core._solve_eps(
-            data, gP2, pD2, dataclasses.replace(config, engine="xla"), y0
+        dual_ok = (
+            data.paired
+            and data.D is not None
+            and config.model_axis is None
+            and config.form in ("auto", "dual")
+            and config.iterations % max(config.check_every, 1) == 0
+            and pick_lane_tile(1, _round_up(data.m_half, SUBLANE)) is not None
         )
+        if dual_ok:
+            res = gpad_pallas_eps_dual(data, gP2, pD2, config, y0)
+        else:
+            # mvp-form eps (or a non-divisible check cadence) routes through
+            # the XLA engine's while_loop.
+            import dataclasses
+
+            res = _core._solve_eps(
+                data, gP2, pD2, dataclasses.replace(config, engine="xla"), y0
+            )
     else:
         form = _core.resolve_form(data, config)
         if form == "dual":
