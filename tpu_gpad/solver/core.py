@@ -279,6 +279,11 @@ def resolve_form(data: GPADData, config: SolverConfig) -> str:
         and config.model_axis is None
     )
     if config.form == "auto":
+        # The dual form wins across measured sizes: fewer VPU ops at small
+        # m_h (VPU-bound regime) and, at long horizons where the MXU
+        # dominates, its single m_h^2 product runs at ~72% of fp32-highest
+        # peak (N=50 battery, v5e) — the mvp form's 4*m_h*n_z flops are
+        # fewer on paper (m_h = 2 n_z + N) but measured slower end-to-end.
         return "dual" if dual_ok else "mvp"
     if config.form == "dual":
         if not dual_ok:

@@ -622,13 +622,18 @@ def _gpad_kernel_paired(
 ):
     """Half-stack GPAD loop: one MVP per step against P instead of [P; -P].
 
-    Step 2 contracts (w+ - w-) with MG_T once; step 4 computes q = zhat@GL_T
-    once and projects both sign applications. Half the MXU work of the dense
-    kernel at identical math (the dual y merely permutes)."""
-    MG = MG_ref[:].astype(mm_dtype)  # (m_hp, nz_p)
-    GL = GL_ref[:].astype(mm_dtype)  # (nz_p, m_hp)
-    g_P = gP_ref[:]  # (B_t, nz_p)
-    p_Dp = pDp_ref[:]  # (B_t, m_hp)
+    Step 2 contracts (w+ - w-) with MG_T' once; step 4 computes
+    q = GL_T' zhat once and projects both sign applications — half the MXU
+    work of the dense kernel at identical math (the dual y merely permutes).
+    Scenario-minor layout (batch on lanes, see ``_gpad_kernel_dual``):
+    dual-half state is (S_h, B_t), primal state (S_z, B_t). Preferred over
+    the dual-only form for long horizons, where the two rectangular MVPs
+    (2·m_h·n_z flops) beat the square dual Hessian product (m_h² flops)
+    because m_h = 2·n_z + N > 2·n_z (see ``resolve_form``)."""
+    MGt = MG_ref[:].astype(mm_dtype)  # (S_z, S_h) == MG_T' (half stack)
+    GLt = GL_ref[:].astype(mm_dtype)  # (S_h, S_z) == GL_T'
+    g_P = gP_ref[:]  # (S_z, B_t)
+    p_Dp = pDp_ref[:]  # (S_h, B_t)
     p_Dm = pDm_ref[:]
     f32 = jnp.float32
     y0 = p_Dp * 0.0
@@ -642,14 +647,14 @@ def _gpad_kernel_paired(
         wm = ym + beta_k * (ym - ym_prev)
         zhat = (
             -jnp.dot(
-                (wp - wm).astype(mm_dtype), MG,
+                MGt, (wp - wm).astype(mm_dtype),
                 preferred_element_type=f32, precision=precision,
             )
             - g_P
         )
         z = (1.0 - theta_k) * z + theta_k * zhat
         q = jnp.dot(
-            zhat.astype(mm_dtype), GL,
+            GLt, zhat.astype(mm_dtype),
             preferred_element_type=f32, precision=precision,
         )
         yp_next = jnp.maximum(wp + q + p_Dp, 0.0)
@@ -681,13 +686,20 @@ def gpad_pallas_fixed_paired(
     precision: str = "highest",
     interpret: bool = False,
 ):
-    """Paired-layout fused kernel. ``p_D`` has shape (B, 2, m_h); returns
-    (z, y, w, zhat) with y/w in (B, 2, m_h)."""
+    """Paired-layout fused kernel (scenario-minor). ``p_D`` has shape
+    (B, 2, m_h); returns (z, y, w, zhat) with y/w in (B, 2, m_h)."""
     B = g_P.shape[0]
     m_h, n_z = data.m_half, data.n_z
-    m_hp = _round_up(m_h, LANE)
-    nz_p = _round_up(n_z, LANE)
-    B_t = pick_batch_tile(B, m_hp, nz_p)
+    S_h = _round_up(m_h, SUBLANE)
+    S_z = _round_up(n_z, SUBLANE)
+    mats = 2 * 4 * S_h * S_z
+
+    def fits(bt):
+        # ~20 half-dual arrays (carries + double-buffered blocks) + ~8 primal
+        return mats + 4 * bt * (20 * S_h + 8 * S_z) <= _VMEM_BUDGET
+
+    B_t = next((bt for bt in (1024, 512, 256, LANE)
+                if bt <= max(B, LANE) and fits(bt)), None)
     if B_t is None:
         raise ValueError(
             f"problem (m_half={m_h}, n_z={n_z}) does not fit the fused "
@@ -695,11 +707,11 @@ def gpad_pallas_fixed_paired(
         )
     B_p = _round_up(B, B_t)
 
-    MG = _pad2(data.MG_T, m_hp, nz_p)
-    GL = _pad2(data.GL_T, nz_p, m_hp)
-    gP = _pad2(g_P, B_p, nz_p)
-    pDp = _pad2(p_D[:, 0, :], B_p, m_hp)
-    pDm = _pad2(p_D[:, 1, :], B_p, m_hp)
+    MGt = _pad2(data.MG_T.T, S_z, S_h)  # (n_z, m_h) padded
+    GLt = _pad2(data.GL_T.T, S_h, S_z)  # (m_h, n_z) padded
+    gPT = _pad2(g_P.T, S_z, B_p)
+    pDpT = _pad2(p_D[:, 0, :].T, S_h, B_p)
+    pDmT = _pad2(p_D[:, 1, :].T, S_h, B_p)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
 
@@ -712,11 +724,11 @@ def gpad_pallas_fixed_paired(
     kernel = functools.partial(
         _gpad_kernel_paired, iterations=iterations, mm_dtype=mm_dtype, precision=prec
     )
-    batch_spec_nz = pl.BlockSpec(
-        (B_t, nz_p), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    lane_spec_z = pl.BlockSpec(
+        (S_z, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
-    batch_spec_m = pl.BlockSpec(
-        (B_t, m_hp), lambda i, th, be: (i, 0), memory_space=pltpu.VMEM
+    lane_spec_h = pl.BlockSpec(
+        (S_h, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda r, c: pl.BlockSpec(
         (r, c), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
@@ -727,39 +739,39 @@ def gpad_pallas_fixed_paired(
             num_scalar_prefetch=2,
             grid=(B_p // B_t,),
             in_specs=[
-                batch_spec_nz,  # g_P
-                batch_spec_m,  # p_D plus rows
-                batch_spec_m,  # p_D minus rows
-                full(m_hp, nz_p),  # MG_T (half stack)
-                full(nz_p, m_hp),  # GL_T
+                lane_spec_z,  # g_P
+                lane_spec_h,  # p_D plus rows
+                lane_spec_h,  # p_D minus rows
+                full(S_z, S_h),  # MG_T' (half stack)
+                full(S_h, S_z),  # GL_T'
             ],
             out_specs=[
-                batch_spec_nz,
-                batch_spec_m,
-                batch_spec_m,
-                batch_spec_m,
-                batch_spec_m,
-                batch_spec_nz,
+                lane_spec_z,
+                lane_spec_h,
+                lane_spec_h,
+                lane_spec_h,
+                lane_spec_h,
+                lane_spec_z,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B_p, nz_p), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, m_hp), jnp.float32),
-            jax.ShapeDtypeStruct((B_p, nz_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B_p * m_hp * nz_p * 2 * iterations,
-            bytes_accessed=4 * (2 * m_hp * nz_p + B_p * (2 * m_hp + nz_p)),
+            flops=2 * S_h * S_z * 2 * iterations * B_p,
+            bytes_accessed=mats + 4 * B_p * (4 * S_h + 2 * S_z),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, gP, pDp, pDm, MG, GL)
-    y = jnp.stack([yp[:B, :m_h], ym[:B, :m_h]], axis=1)
-    w = jnp.stack([wp[:B, :m_h], wm[:B, :m_h]], axis=1)
-    return z[:B, :n_z], y, w, zhat[:B, :n_z]
+    )(theta, beta, gPT, pDpT, pDmT, MGt, GLt)
+    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    w = jnp.stack([wp[:m_h, :B].T, wm[:m_h, :B].T], axis=1)
+    return z[:n_z, :B].T, y, w, zhat[:n_z, :B].T
 
 
 @functools.partial(
