@@ -1,0 +1,39 @@
+"""Full-solver parity at the reference's flagship dataset shape.
+
+The largest committed fixture and the ``inputs_manysets`` datasets use
+n_u=30, N=30, m=3660 (``build/step3/4/input.txt`` header; SURVEY.md C9).
+The fused kernels decline this size (VMEM) and the XLA engine takes it.
+"""
+
+import numpy as np
+
+import tpu_gpad
+from tpu_gpad import problems
+from tpu_gpad.solver import SolverConfig, solve_batch
+from tpu_gpad.solver.reference import gpad_solve_qp
+
+
+def test_reference_shape_dims_and_parity():
+    problem = problems.battery(n_cells=30, horizon=30)
+    qp = tpu_gpad.condense(problem)
+    assert qp.n_z == 900
+    assert qp.m == 4 * 30 * 30 + 2 * 30  # == 3660, the reference's law
+
+    data = tpu_gpad.dualize(qp, iterations=60, paired="auto")
+    rng = np.random.default_rng(5)
+    X0 = rng.uniform(-0.3, 0.3, size=(2, 30)).astype(np.float32)
+    res = solve_batch(data, X0, config=SolverConfig(iterations=60))
+    for i in range(2):
+        ref = gpad_solve_qp(qp, X0[i].astype(np.float64), iterations=60)
+        np.testing.assert_allclose(np.asarray(res.u[i]), ref.u, atol=1e-4)
+
+
+def test_reference_shape_falls_back_to_xla():
+    from tpu_gpad.solver import kernels
+    from tpu_gpad.solver.core import resolve_engine
+
+    qp = tpu_gpad.condense(problems.battery(n_cells=30, horizon=30))
+    data = tpu_gpad.dualize(qp, iterations=10, paired="auto")
+    # the dual kernel's VMEM guard rejects m_half=1830
+    assert kernels.pick_lane_tile(256, kernels._round_up(data.m_half, 8)) is None
+    assert resolve_engine(data, SolverConfig(iterations=10)) == "xla"

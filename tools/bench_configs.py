@@ -62,14 +62,30 @@ def main():
         print(f"double_integrator N={N}: "
               f"{sweep[f'double_integrator_N{N}']['solves_per_sec']:.0f} /s",
               flush=True)
-    for N in (10, 30):
+    for N, batch in ((10, 1024), (30, 1024), (100, 256)):
         sweep[f"mass_spring_N{N}"] = bench_one(
-            problems.mass_spring(n_masses=4, horizon=N), batch=1024,
+            problems.mass_spring(n_masses=4, horizon=N), batch=batch,
             x_scale=0.5)
         print(f"mass_spring N={N}: "
               f"{sweep[f'mass_spring_N{N}']['solves_per_sec']:.0f} /s",
               flush=True)
     out["horizon_sweep"] = sweep
+
+    # the reference's flagship dataset shape: n_u=30, N=30, m=3660
+    # (build/step3/4/input.txt header; main.cu's inputs_manysets datasets) —
+    # too large for the fused kernels' VMEM budget, runs on the XLA engine
+    ref_shape = problems.battery(n_cells=30, horizon=30)
+    out["reference_shape_30x30"] = bench_one(ref_shape, batch=256)
+    data_ref = tpu_gpad.dualize(
+        tpu_gpad.condense(ref_shape), iterations=100, paired="auto")
+    x1 = jnp.asarray(
+        rng.uniform(-0.4, 0.4, size=(1, 30)).astype(np.float32))
+    t1 = device_time_per_call(
+        lambda: solve_batch(data_ref, x1, config=cfg).u, k_large=10)
+    out["reference_shape_30x30"]["single_solve_device_ms"] = round(t1 * 1e3, 3)
+    print(f"reference shape 30x30: "
+          f"{out['reference_shape_30x30']['solves_per_sec']:.0f} /s batched, "
+          f"{t1*1e3:.2f} ms single", flush=True)
 
     # config 5 (single-chip stand-in): 131072-scenario checkpointed sweep
     from tpu_gpad.sweep import run_sweep
