@@ -114,6 +114,22 @@ def main():
     )
     detail["throughput_xla_engine_solves_per_sec"] = batch / t_xla
 
+    # --- adaptive restart: eps-mode throughput at a real accuracy target ---
+    if not args.quick:
+        data_eps = tpu_gpad.dualize(qp, iterations=2000, paired="auto")
+        kw = dict(mode="eps", eps_g=1e-5, eps_V=1e-5, check_every=10,
+                  iterations=2000)
+        cfg_re = SolverConfig(restart=True, engine=args.engine, **kw)
+        res_re = solve_batch(data_eps, X0, config=cfg_re)
+        detail["eps1e5_restart_max_iterations"] = int(
+            np.max(np.asarray(res_re.iterations)))
+        detail["eps1e5_restart_all_converged"] = bool(
+            np.all(np.asarray(res_re.converged)))
+        t_re = device_time_per_call(
+            lambda: solve_batch(data_eps, X0, config=cfg_re).u, k_large=8
+        )
+        detail["eps1e5_restart_solves_per_sec"] = batch / t_re
+
     # --- long horizon N=50 (BASELINE config 2) ---
     if not args.quick:
         qp50 = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=50))

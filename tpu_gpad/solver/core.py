@@ -66,6 +66,15 @@ class SolverConfig:
     # over (tensor parallelism): step-2 partial products are psum'd per
     # iteration; residual reductions become pmax/psum over this axis
     unroll: int = 1  # fori_loop unroll factor
+    restart: bool = False  # O'Donoghue-Candes adaptive restart: reset the
+    # momentum recursion (theta -> 1, extrapolation cleared) per scenario
+    # whenever the momentum direction opposes the projected-gradient step,
+    # (w - y+) . (y+ - y) > 0. Turns the O(1/k^2) tail into effectively
+    # linear convergence on the bundled MPC duals (machine precision in
+    # ~100 iterations vs ~1e-3 for the plain schedule; eps=1e-6 in ~60
+    # iterations vs ~230). No reference analogue; theta/beta are computed
+    # on the fly per scenario and the certified bounds of tpu_gpad.bounds
+    # do not apply.
 
 
 def affine_params(data: GPADData, x0: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -101,7 +110,7 @@ def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
     across the mesh inside shard_map) step 2's row-slice partial products are
     reduced with a single psum; steps 1/3/4 are embarrassingly local.
     """
-    w = y + beta_k * (y - y_prev)
+    w = y + _expand_to(jnp.asarray(beta_k), y) * (y - y_prev)
     if data.paired:
         # half-stack layout: contract the +/- difference once (step 2) and
         # apply the single product with both signs (step 4) — half the flops
@@ -112,7 +121,8 @@ def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
     if model_axis is not None:
         zhat_partial = lax.psum(zhat_partial, model_axis)
     zhat = -zhat_partial - g_P
-    z = (1.0 - theta_k) * z + theta_k * zhat
+    theta_z = _expand_to(jnp.asarray(theta_k), z)
+    z = (1.0 - theta_z) * z + theta_z * zhat
     if data.paired:
         q = mm(zhat, data.GL_T)
         y_next = jnp.maximum(w + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
@@ -144,6 +154,37 @@ def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None):
         viol_zhat = lax.pmax(viol_zhat, model_axis)
         gap = lax.psum(gap, model_axis)
     return viol_z, viol_zhat, gap
+
+
+def _expand_to(v, like):
+    """Append trailing singleton dims so ``v`` broadcasts against ``like``."""
+    return v.reshape(v.shape + (1,) * (like.ndim - v.ndim))
+
+
+def _momentum(config: "SolverConfig", data: GPADData, k, th, th_prev):
+    """Raw (theta_k, beta_k): precomputed schedule scalars normally; the
+    per-scenario on-the-fly recursion (carried th, th_prev) in restart
+    mode. Consumers expand with ``_expand_to`` against their operand."""
+    if not config.restart:
+        return data.theta[k], data.beta[k]
+    return th, th * (1.0 / th_prev - 1.0)
+
+
+def _restart_update(config: "SolverConfig", th, th_prev, y, y_next, w):
+    """Advance the momentum recursion, resetting scenarios whose momentum
+    direction opposes the projected-gradient step (O'Donoghue-Candes):
+    restart iff (w - y+) . (y+ - y) > 0. Returns (y_prev', th', th_prev')."""
+    tail = tuple(range(th.ndim, y.ndim))
+    r = jnp.sum((w - y_next) * (y_next - y), axis=tail)
+    if config.model_axis is not None:
+        r = lax.psum(r, config.model_axis)
+    mask = r > 0.0
+    th_next = jnp.where(
+        mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5
+    )
+    th_prev_next = jnp.where(mask, 1.0, th)
+    y_prev_next = jnp.where(_expand_to(mask, y), y_next, y)
+    return y_prev_next, th_next, th_prev_next
 
 
 def _init_state(data: GPADData, batch_shape, y0=None):
@@ -190,18 +231,28 @@ def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -
     s = zeros(batch_shape + (m_h,))
     e = mm(g_P, data.GL_T)  # (B, m_h), hoisted out of the loop
 
+    ones = jnp.ones(batch_shape, dtype=jnp.float32)
+
     def body(k, carry):
-        y, y_prev, s, _ = carry
-        theta_k, beta_k = data.theta[k], data.beta[k]
-        w = y + beta_k * (y - y_prev)
+        y, y_prev, s, _, th, th_prev = carry
+        theta_k, beta_k = _momentum(config, data, k, th, th_prev)
+        w = y + _expand_to(jnp.asarray(beta_k), y) * (y - y_prev)
         wd = w[..., 0, :] - w[..., 1, :]
         q = -mm(wd, data.D) - e
         y_next = jnp.maximum(w + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
-        s = (1.0 - theta_k) * s + theta_k * wd
-        return y_next, y, s, w
+        theta_s = _expand_to(jnp.asarray(theta_k), s)
+        s = (1.0 - theta_s) * s + theta_s * wd
+        if config.restart:
+            y_prev_n, th, th_prev = _restart_update(
+                config, th, th_prev, y, y_next, w
+            )
+        else:
+            y_prev_n = y
+        return y_next, y_prev_n, s, w, th, th_prev
 
-    y, y_prev, s, w = lax.fori_loop(
-        0, config.iterations, body, (y, y_prev, s, w), unroll=config.unroll
+    y, y_prev, s, w, _, _ = lax.fori_loop(
+        0, config.iterations, body, (y, y_prev, s, w, ones, ones),
+        unroll=config.unroll,
     )
     a = 1.0 - jnp.prod(1.0 - data.theta[: config.iterations])
     z = -mm(s, data.MG_T) - a * g_P
@@ -241,6 +292,12 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if jax.default_backend() != "tpu":
         return "xla"
     if config.model_axis is not None:
+        return "xla"
+    if config.restart and not (
+        data.paired and data.D is not None and config.form != "mvp"
+    ):
+        # the fused kernels carry the restart momentum recursion only in
+        # the dual form
         return "xla"
     if config.mode == "eps":
         # the chunked pallas eps path covers the single-process dual form
@@ -301,17 +358,26 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Sol
     mm = _make_matmul(config)
     batch_shape = g_P.shape[:-1]
     y, y_prev, z, w, zhat = _init_state(data, batch_shape, y0)
+    ones = jnp.ones(batch_shape, dtype=jnp.float32)
 
     def body(k, carry):
-        y, y_prev, z, _, _ = carry
+        y, y_prev, z, _, _, th, th_prev = carry
+        theta_k, beta_k = _momentum(config, data, k, th, th_prev)
         w, zhat, z, y_next = _iteration(
-            data, g_P, p_D, data.theta[k], data.beta[k], y, y_prev, z, mm,
+            data, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
             config.model_axis,
         )
-        return y_next, y, z, w, zhat
+        if config.restart:
+            y_prev_n, th, th_prev = _restart_update(
+                config, th, th_prev, y, y_next, w
+            )
+        else:
+            y_prev_n = y
+        return y_next, y_prev_n, z, w, zhat, th, th_prev
 
-    y, y_prev, z, w, zhat = lax.fori_loop(
-        0, config.iterations, body, (y, y_prev, z, w, zhat), unroll=config.unroll
+    y, y_prev, z, w, zhat, _, _ = lax.fori_loop(
+        0, config.iterations, body, (y, y_prev, z, w, zhat, ones, ones),
+        unroll=config.unroll,
     )
     viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm, config.model_axis)
     iters = jnp.full(batch_shape, config.iterations, dtype=jnp.int32)
@@ -341,12 +407,19 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
         return jnp.logical_and(k < config.iterations, jnp.logical_not(done))
 
     def body(carry):
-        k, done, y, y_prev, z, w, zhat, converged, iters, z_out = carry
+        k, done, y, y_prev, z, w, zhat, converged, iters, z_out, th, th_prev = carry
+        theta_k, beta_k = _momentum(config, data, k, th, th_prev)
         w, zhat, z, y_next = _iteration(
-            data, g_P, p_D, data.theta[k], data.beta[k], y, y_prev, z, mm,
+            data, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
             config.model_axis,
         )
-        y_prev, y = y, y_next
+        if config.restart:
+            y_prev, th, th_prev = _restart_update(
+                config, th, th_prev, y, y_next, w
+            )
+        else:
+            y_prev = y
+        y = y_next
 
         def check(args):
             converged, iters, z_out = args
@@ -371,10 +444,11 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
         for ax in config.collective_axes:
             n_unconverged = lax.psum(n_unconverged, ax)
         done = n_unconverged == 0
-        return k + 1, done, y, y_prev, z, w, zhat, converged, iters, z_out
+        return k + 1, done, y, y_prev, z, w, zhat, converged, iters, z_out, th, th_prev
 
-    carry = (k0, done, y, y_prev, z, w, zhat, converged, iters, z_out)
-    (k, done, y, y_prev, z, w, zhat, converged, iters, z_out) = lax.while_loop(
+    ones = jnp.ones(batch_shape, dtype=jnp.float32)
+    carry = (k0, done, y, y_prev, z, w, zhat, converged, iters, z_out, ones, ones)
+    (k, done, y, y_prev, z, w, zhat, converged, iters, z_out, _, _) = lax.while_loop(
         cond, body, carry
     )
     z_final = jnp.where(converged[..., None], z_out, z)
@@ -413,7 +487,9 @@ def solve_batch(
     import dataclasses as _dc
 
     n_iters = config.iterations if config.iterations is not None else data.max_iters
-    if n_iters > data.max_iters:
+    if n_iters > data.max_iters and not config.restart:
+        # restart mode computes theta/beta on the fly and ignores the
+        # shipped schedule, so any budget is fine there
         raise ValueError(
             f"config asks for {n_iters} iterations but the shipped momentum "
             f"schedule only has {data.max_iters}; re-dualize with a longer one"

@@ -201,6 +201,7 @@ def _gpad_kernel_dual(
     iterations: int,
     mm_dtype,
     precision,
+    restart: bool = False,
 ):
     """Dual-only GPAD loop: ONE square matmul per iteration.
 
@@ -231,11 +232,18 @@ def _gpad_kernel_dual(
     # matching core._init_state); s/w always start at zero
     y0p = y0p_ref[:]
     y0m = y0m_ref[:]
+    # per-scenario momentum recursion state for adaptive restart: one
+    # (1, B_t) lane row each (derived from loaded data for layout)
+    one_row = cp[0:1, :] * 0.0 + 1.0
 
     def body(k, carry):
-        yp, ym, yp_prev, ym_prev, s, _, _ = carry
-        beta_k = beta_ref[k]
-        theta_k = theta_ref[k]
+        yp, ym, yp_prev, ym_prev, s, _, _, th, thp = carry
+        if restart:
+            theta_k = th  # (1, B_t), broadcasts over sublanes
+            beta_k = th * (1.0 / thp - 1.0)
+        else:
+            beta_k = beta_ref[k]
+            theta_k = theta_ref[k]
         wp = yp + beta_k * (yp - yp_prev)
         wm = ym + beta_k * (ym - ym_prev)
         wd = wp - wm
@@ -246,10 +254,31 @@ def _gpad_kernel_dual(
         yp_next = jnp.maximum(wp + d + cp, 0.0)
         ym_next = jnp.maximum(wm - d + cm, 0.0)
         s = s + theta_k * (wd - s)
-        return yp_next, ym_next, yp, ym, s, wp, wm
+        if restart:
+            # O'Donoghue-Candes: restart iff (w - y+) . (y+ - y) > 0,
+            # summed over both dual halves (padded rows contribute zeros)
+            r = jnp.sum(
+                (wp - yp_next) * (yp_next - yp)
+                + (wm - ym_next) * (ym_next - ym),
+                axis=0,
+                keepdims=True,
+            )
+            mask = r > 0.0
+            th_next = jnp.where(
+                mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5
+            )
+            thp_next = jnp.where(mask, 1.0, th)
+            yp_prev_n = jnp.where(mask, yp_next, yp)
+            ym_prev_n = jnp.where(mask, ym_next, ym)
+            return (
+                yp_next, ym_next, yp_prev_n, ym_prev_n, s, wp, wm,
+                th_next, thp_next,
+            )
+        return yp_next, ym_next, yp, ym, s, wp, wm, th, thp
 
-    yp, ym, _, _, s, wp, wm = jax.lax.fori_loop(
-        0, iterations, body, (y0p, y0m, y0p, y0m, zero, zero, zero)
+    yp, ym, _, _, s, wp, wm, _, _ = jax.lax.fori_loop(
+        0, iterations, body,
+        (y0p, y0m, y0p, y0m, zero, zero, zero, one_row, one_row),
     )
     s_ref[:] = s
     yp_ref[:] = yp
@@ -260,7 +289,9 @@ def _gpad_kernel_dual(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "matmul_dtype", "precision", "interpret"),
+    static_argnames=(
+        "iterations", "matmul_dtype", "precision", "interpret", "restart"
+    ),
 )
 def gpad_pallas_fixed_dual(
     data: GPADData,
@@ -272,6 +303,7 @@ def gpad_pallas_fixed_dual(
     matmul_dtype: str = "float32",
     precision: str = "highest",
     interpret: bool = False,
+    restart: bool = False,
 ):
     """Dual-form fused kernel (scenario-minor layout — see
     ``_gpad_kernel_dual``). Returns (z, y, w, zhat) like the other entry
@@ -317,7 +349,8 @@ def gpad_pallas_fixed_dual(
     beta = data.beta[:iterations]
 
     kernel = functools.partial(
-        _gpad_kernel_dual, iterations=iterations, mm_dtype=mm_dtype, precision=prec
+        _gpad_kernel_dual, iterations=iterations, mm_dtype=mm_dtype,
+        precision=prec, restart=restart,
     )
     lane_spec = pl.BlockSpec(
         (S, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
@@ -374,6 +407,7 @@ def _gpad_kernel_dual_chunk(
     ypp_i_ref,
     ymp_i_ref,
     si_ref,
+    mi_ref,
     Dn_ref,
     # outputs
     yp_ref,
@@ -383,10 +417,12 @@ def _gpad_kernel_dual_chunk(
     s_ref,
     wp_ref,
     wm_ref,
+    mo_ref,
     *,
     chunk: int,
     mm_dtype,
     precision,
+    restart: bool = False,
 ):
     """``chunk`` dual-form iterations starting at schedule offset ``k0``.
 
@@ -401,11 +437,20 @@ def _gpad_kernel_dual_chunk(
     k0 = k0_ref[0]
     f32 = jnp.float32
     zero = cp * 0.0
+    # momentum-recursion rows (restart mode): mi[(0,1), :] = (th, th_prev),
+    # persisted across chunk invocations through HBM
+    mom = mi_ref[:]
 
     def body(i, carry):
-        yp, ym, yp_prev, ym_prev, s, _, _ = carry
-        beta_k = beta_ref[k0 + i]
-        theta_k = theta_ref[k0 + i]
+        yp, ym, yp_prev, ym_prev, s, _, _, mom = carry
+        if restart:
+            th = mom[0:1, :]
+            thp = mom[1:2, :]
+            theta_k = th
+            beta_k = th * (1.0 / thp - 1.0)
+        else:
+            beta_k = beta_ref[k0 + i]
+            theta_k = theta_ref[k0 + i]
         wp = yp + beta_k * (yp - yp_prev)
         wm = ym + beta_k * (ym - ym_prev)
         wd = wp - wm
@@ -416,13 +461,33 @@ def _gpad_kernel_dual_chunk(
         yp_next = jnp.maximum(wp + d + cp, 0.0)
         ym_next = jnp.maximum(wm - d + cm, 0.0)
         s = s + theta_k * (wd - s)
-        return yp_next, ym_next, yp, ym, s, wp, wm
+        if restart:
+            r = jnp.sum(
+                (wp - yp_next) * (yp_next - yp)
+                + (wm - ym_next) * (ym_next - ym),
+                axis=0,
+                keepdims=True,
+            )
+            mask = r > 0.0
+            th_next = jnp.where(
+                mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5
+            )
+            thp_next = jnp.where(mask, 1.0, th)
+            yp_prev_n = jnp.where(mask, yp_next, yp)
+            ym_prev_n = jnp.where(mask, ym_next, ym)
+            mom = jnp.concatenate(
+                [th_next, thp_next, mom[2:, :]], axis=0
+            )
+            return (
+                yp_next, ym_next, yp_prev_n, ym_prev_n, s, wp, wm, mom
+            )
+        return yp_next, ym_next, yp, ym, s, wp, wm, mom
 
     init = (
         ypi_ref[:], ymi_ref[:], ypp_i_ref[:], ymp_i_ref[:], si_ref[:],
-        zero, zero,
+        zero, zero, mom,
     )
-    yp, ym, ypp, ymp, s, wp, wm = jax.lax.fori_loop(0, chunk, body, init)
+    yp, ym, ypp, ymp, s, wp, wm, mom = jax.lax.fori_loop(0, chunk, body, init)
     yp_ref[:] = yp
     ym_ref[:] = ym
     ypp_ref[:] = ypp
@@ -430,32 +495,40 @@ def _gpad_kernel_dual_chunk(
     s_ref[:] = s
     wp_ref[:] = wp
     wm_ref[:] = wm
+    mo_ref[:] = mom
 
 
 def _dual_chunk_call(
     data, cpT, cmT, Dn, theta, beta, S, B_p, B_t,
-    mm_dtype, prec, chunk, interpret,
+    mm_dtype, prec, chunk, interpret, restart=False,
 ):
     """Build the jit-reusable chunk invocation (one compile per shape)."""
     kernel = functools.partial(
-        _gpad_kernel_dual_chunk, chunk=chunk, mm_dtype=mm_dtype, precision=prec
+        _gpad_kernel_dual_chunk, chunk=chunk, mm_dtype=mm_dtype,
+        precision=prec, restart=restart,
     )
     lane_spec = pl.BlockSpec(
         (S, B_t), lambda i, th, be, k0: (0, i), memory_space=pltpu.VMEM
+    )
+    mom_spec = pl.BlockSpec(
+        (SUBLANE, B_t), lambda i, th, be, k0: (0, i), memory_space=pltpu.VMEM
     )
     specs = dict(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # theta, beta, k0
             grid=(B_p // B_t,),
-            in_specs=[lane_spec] * 7 + [
+            in_specs=[lane_spec] * 7 + [mom_spec] + [
                 pl.BlockSpec(
                     (S, S), lambda i, th, be, k0: (0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ],
-            out_specs=[lane_spec] * 7,
+            out_specs=[lane_spec] * 7 + [mom_spec],
         ),
-        out_shape=[jax.ShapeDtypeStruct((S, B_p), jnp.float32)] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((S, B_p), jnp.float32)] * 7
+            + [jax.ShapeDtypeStruct((SUBLANE, B_p), jnp.float32)]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * S * S * B_p * chunk,
             bytes_accessed=4 * (S * S + 14 * S * B_p),
@@ -464,10 +537,10 @@ def _dual_chunk_call(
         interpret=interpret,
     )
 
-    def call(k0, yp, ym, ypp, ymp, s):
+    def call(k0, yp, ym, ypp, ymp, s, mom):
         return pl.pallas_call(kernel, **specs)(
             theta, beta, jnp.asarray([k0], dtype=jnp.int32),
-            cpT, cmT, yp, ym, ypp, ymp, s, Dn,
+            cpT, cmT, yp, ym, ypp, ymp, s, mom, Dn,
         )
 
     return call
@@ -520,7 +593,7 @@ def gpad_pallas_eps_dual(
     interpret = jax.default_backend() != "tpu"
     call = _dual_chunk_call(
         data, cpT, cmT, Dn, theta, beta, S, B_p, B_t,
-        mm_dtype, prec, C, interpret,
+        mm_dtype, prec, C, interpret, restart=config.restart,
     )
 
     if y0 is None:
@@ -552,9 +625,9 @@ def gpad_pallas_eps_dual(
         return jnp.logical_and(c < n_full, jnp.logical_not(done))
 
     def body(carry):
-        c, done, yp, ym, ypp, ymp, s, _, _, converged, iters, z_out = carry
+        c, done, yp, ym, ypp, ymp, s, _, _, mom, converged, iters, z_out = carry
         k0 = c * C
-        yp, ym, ypp, ymp, s, wp, wm = call(k0, yp, ym, ypp, ymp, s)
+        yp, ym, ypp, ymp, s, wp, wm, mom = call(k0, yp, ym, ypp, ymp, s, mom)
         z, zhat, w = recover(s, wp, wm)
         viol_z, viol_zhat, gap = _core._residuals(
             data, g_P, p_D, z, zhat, w, mm
@@ -571,16 +644,18 @@ def gpad_pallas_eps_dual(
         for ax in config.collective_axes:
             n_unconverged = lax.psum(n_unconverged, ax)
         return (
-            c + 1, n_unconverged == 0, yp, ym, ypp, ymp, s, wp, wm,
+            c + 1, n_unconverged == 0, yp, ym, ypp, ymp, s, wp, wm, mom,
             converged, iters, z_out,
         )
 
+    mom0 = jnp.ones((SUBLANE, B_p), dtype=jnp.float32)
     carry = (
         jnp.asarray(0, jnp.int32), jnp.asarray(False),
-        ypT, ymT, ypT, ymT, zero, zero, zero, converged0, iters0, z_out0,
+        ypT, ymT, ypT, ymT, zero, zero, zero, mom0,
+        converged0, iters0, z_out0,
     )
     (
-        c, done, yp, ym, ypp, ymp, s, wp, wm, converged, iters, z_out
+        c, done, yp, ym, ypp, ymp, s, wp, wm, mom, converged, iters, z_out
     ) = lax.while_loop(cond, body, carry)
 
     z, zhat, w = recover(s, wp, wm)
@@ -898,6 +973,11 @@ def solve_batch_pallas(
             "engine='pallas' does not support dual-dimension tensor "
             "parallelism; use engine='xla' for model-axis sharding"
         )
+    if config.restart and not (data.paired and data.D is not None):
+        raise ValueError(
+            "engine='pallas' supports restart=True only in the dual form "
+            "(paired data with D); use engine='xla' here"
+        )
     batch_shape = g_P.shape[:-1]
     Bflat = int(np.prod(batch_shape)) if batch_shape else 1
     gP2 = g_P.reshape(Bflat, data.n_z)
@@ -938,11 +1018,16 @@ def solve_batch_pallas(
             raise ValueError(
                 "pallas warm starts are only supported by the dual form"
             )
+        if config.restart and form != "dual":
+            raise ValueError(
+                "engine='pallas' supports restart=True only in the dual form"
+            )
         kw = {}
         if form == "dual":
             if y0 is not None and y0.ndim > 1 and y0.shape[0] not in (1, Bflat):
                 y0 = y0.reshape((Bflat,) + y0.shape[-2:])
             kw["y0"] = y0
+            kw["restart"] = config.restart
         z, y, w, zhat = fixed(
             data,
             gP2,

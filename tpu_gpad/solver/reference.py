@@ -71,6 +71,7 @@ def gpad_solve(
     eps_g: float | None = None,
     eps_V: float | None = None,
     check_every: int = 1,
+    restart: bool = False,
 ) -> OracleResult:
     """Full GPAD loop on raw dual constants (reference acceldualgrad.m:39-64).
 
@@ -81,6 +82,16 @@ def gpad_solve(
     enables). The feasibility residual is recovered from the scaled
     quantities as g(z) = L * (G_L z + p_D), so ``L`` is required for
     epsilon mode.
+
+    ``restart=True`` enables O'Donoghue-Candes gradient-based adaptive
+    restart (no reference analogue): when the momentum direction opposes
+    the projected-gradient step, i.e. (w - y+) . (y+ - y) > 0, the theta
+    recursion resets to 1 and the extrapolation is cleared. On the bundled
+    MPC duals this turns the O(1/k^2) tail into effectively linear
+    convergence (machine precision within ~100 iterations where the plain
+    schedule reaches ~1e-3). The momentum scalars are then computed on the
+    fly (the shipped theta/beta arrays are ignored), and the certified
+    iteration bounds of ``tpu_gpad.bounds`` no longer apply.
     """
     M_G = np.asarray(M_G, dtype=np.float32)
     g_P = np.asarray(g_P, dtype=np.float32)
@@ -99,11 +110,22 @@ def gpad_solve(
         raise ValueError("epsilon termination needs L to unscale the residual")
 
     niter = iterations
+    th = th_prev = 1.0  # on-the-fly recursion state (restart mode)
     for k in range(iterations):
-        w = step1(y, y_prev, float(beta[k]))
+        if restart:
+            theta_k = th
+            beta_k = th * (1.0 / th_prev - 1.0)
+        else:
+            theta_k, beta_k = float(theta[k]), float(beta[k])
+        w = step1(y, y_prev, beta_k)
         zhat = step2(M_G, w, g_P, negated_mg=negated_mg)
-        z = step3(z, zhat, float(theta[k]))
+        z = step3(z, zhat, theta_k)
         y_next = step4(G_L, w, p_D, zhat)
+        if restart and float((w - y_next) @ (y_next - y)) > 0.0:
+            th = th_prev = 1.0
+            y_prev = y = y_next
+            continue
+        th_prev, th = th, th * (np.sqrt(th * th + 4.0) - th) / 2.0
         y_prev, y = y, y_next
         if eps_mode and (k + 1) % check_every == 0:
             gz = L * (G_L @ z + p_D)  # = G z - b
