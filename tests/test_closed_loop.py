@@ -115,3 +115,23 @@ def test_closed_loop_pallas_engine_with_warm_start():
                     warm_start=True)
     np.testing.assert_allclose(
         np.asarray(r_pl.U), np.asarray(r_xla.U), atol=5e-5)
+
+
+def test_closed_loop_restart_plus_warm_start_is_most_accurate():
+    """restart + warm start at a small budget tracks the exact-QP loop."""
+    from tpu_gpad.closed_loop import simulate
+    from tpu_gpad.solver.qp import solve_condensed_qp
+
+    problem = problems.battery(n_cells=3, horizon=4)
+    x0 = np.asarray(problems.battery_default_x0(3, seed=0), dtype=np.float32)
+    res = simulate(problem, x0, n_steps=10, iterations=30,
+                   config=SolverConfig(iterations=30, restart=True),
+                   warm_start=True)
+    # exact closed loop for comparison
+    qp = tpu_gpad.condense(problem)
+    x = x0.astype(np.float64)
+    for t in range(10):
+        u = solve_condensed_qp(qp, x).z[: qp.n_u]
+        err = np.abs(np.asarray(res.U[t, 0]) - u).max()
+        assert err < 2e-4, (t, err)
+        x = problem.A @ x + problem.B @ u

@@ -49,6 +49,9 @@ def _add_solver_args(p):
     p.add_argument("--form", default="auto", choices=["auto", "mvp", "dual"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="operand dtype for the hot matmuls")
+    p.add_argument("--restart", action="store_true",
+                   help="adaptive momentum restart (near-linear convergence; "
+                        "certified iteration bounds no longer apply)")
     p.add_argument("--paired", default="auto", choices=["auto", "on", "off"],
                    help="half-stack [P;-P] layout (halves MVP flops)")
 
@@ -64,6 +67,7 @@ def _solver_config(args):
         engine=args.engine,
         form=args.form,
         matmul_dtype=args.dtype,
+        restart=getattr(args, "restart", False),
     )
 
 
