@@ -125,3 +125,16 @@ def test_restart_rejected_by_pallas_mvp(setup):
             dense, X0,
             config=SolverConfig(iterations=50, restart=True, engine="pallas"),
         )
+
+
+def test_solve_to_accuracy(setup):
+    qp, data, X0 = setup
+    res = tpu_gpad.solve_to_accuracy(data, X0, tol=1e-5)
+    assert bool(np.all(np.asarray(res.converged)))
+    assert np.asarray(res.residual).max() <= 1e-5 + 1e-7
+    for i in range(2):
+        exact = solve_condensed_qp(qp, X0[i]).z[: qp.n_u]
+        assert np.abs(np.asarray(res.u[i]) - exact).max() < 1e-4
+    # single-scenario form
+    r1 = tpu_gpad.solve_to_accuracy(data, X0[0], tol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.u[0]), np.asarray(res.u[0]), atol=1e-6)

@@ -21,7 +21,7 @@ from tpu_gpad.types import LinearMPCProblem, CondensedQP, GPADData, SolveResult
 from tpu_gpad.condense import condense, dualize
 from tpu_gpad.schedule import momentum_schedule
 from tpu_gpad import problems, io
-from tpu_gpad.solver import solve, solve_batch
+from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 
 __version__ = "0.1.0"
 
@@ -37,4 +37,5 @@ __all__ = [
     "io",
     "solve",
     "solve_batch",
+    "solve_to_accuracy",
 ]

@@ -8,6 +8,11 @@
   VMEM.
 """
 
-from tpu_gpad.solver.core import solve, solve_batch, SolverConfig
+from tpu_gpad.solver.core import (
+    solve,
+    solve_batch,
+    solve_to_accuracy,
+    SolverConfig,
+)
 
-__all__ = ["solve", "solve_batch", "SolverConfig"]
+__all__ = ["solve", "solve_batch", "solve_to_accuracy", "SolverConfig"]
