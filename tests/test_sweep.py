@@ -66,3 +66,19 @@ def test_sweep_checkpoint_invalidated_on_shape_change(tmp_path):
     # different chunking: checkpoint must not be reused
     run_sweep(data, X0, cfg, chunk_size=25, checkpoint=ck, solve_fn=counting_solve)
     assert len(calls) == 2
+
+
+def test_sweep_checkpoint_invalidated_on_config_change(tmp_path):
+    data, X0 = _setup()
+    ck = tmp_path / "sweep.npz"
+    run_sweep(data, X0, SolverConfig(iterations=60), chunk_size=16, checkpoint=ck)
+    calls = []
+
+    def counting_solve(d, x, c):
+        calls.append(x.shape[0])
+        return solve_batch(d, x, config=c)
+
+    # different iteration budget: stale rows must NOT be reused
+    run_sweep(data, X0, SolverConfig(iterations=30), chunk_size=16,
+              checkpoint=ck, solve_fn=counting_solve)
+    assert len(calls) == 4

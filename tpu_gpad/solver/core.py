@@ -283,8 +283,12 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if config.engine == "xla":
         return "xla"
     if config.engine == "pallas":
-        # mvp-form warm starts are the one unsupported combination
-        if y0 is not None and resolve_form(data, config) != "dual":
+        # mvp-form warm starts are the one unsupported combination (the
+        # dual-capability test is on the data, NOT resolve_form, because
+        # resolve_form never reports "dual" in eps mode while the chunked
+        # eps kernel does support dual-form warm starts)
+        dual_capable = data.paired and data.D is not None and config.form != "mvp"
+        if y0 is not None and not dual_capable:
             return "xla"
         return "pallas"
     if config.engine != "auto":
@@ -320,7 +324,7 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     from tpu_gpad.solver import kernels
 
     if resolve_form(data, config) == "dual":
-        if kernels.pick_lane_tile(1, kernels._round_up(data.m_half, 8)) is None:
+        if not kernels.dual_fits_vmem(data):
             return "xla"
     elif not kernels.fits_vmem(data):
         return "xla"
@@ -538,7 +542,11 @@ def solve_to_accuracy(
     for the plain schedule). Convenience wrapper over ``solve_batch`` with
     ``mode='eps'``; check ``result.converged`` for scenarios that hit
     ``max_iterations`` first. ``x0`` may be (n_x,) or (B, n_x)."""
-    max_iterations -= max_iterations % max(check_every, 1)  # chunk-aligned
+    check_every = max(check_every, 1)
+    # chunk-aligned, and never rounded down to zero iterations
+    max_iterations = max(
+        max_iterations - max_iterations % check_every, check_every
+    )
     config = SolverConfig(
         mode="eps",
         eps_g=tol,

@@ -78,31 +78,67 @@ def pick_batch_tile(B: int, m_p: int, nz_p: int) -> int | None:
     return 8 if vmem_bytes(8, m_p, nz_p) <= _VMEM_BUDGET else None
 
 
-def pick_lane_tile(B: int, S: int, n_arrays: int = 26) -> int | None:
-    """Batch-tile (lane) width for the scenario-minor dual kernel.
+def pick_lane_tile(
+    B: int,
+    S: int,
+    n_arrays: int = 26,
+    extra_per_lane: int = 0,
+    mats: int = 0,
+) -> int | None:
+    """Batch-tile (lane) width for the scenario-minor kernels — the ONE
+    source of truth for their VMEM budgets (the engine-selection guards
+    call it with the same coefficients as the kernels, so 'auto' never
+    picks a kernel that then rejects the problem).
 
-    VMEM holds ~``n_arrays`` (S, B_t) fp32 arrays: 7 loop carries, body
-    temporaries, plus 4 input and 5 output blocks each DOUBLE-buffered by
-    Mosaic's grid pipeline (measured scoped-vmem on v5e: ~25 arrays; the
-    N=50 battery problem OOMs at 14). Bigger tiles amortize grid/loop
-    overhead; the curve is flat past 1024 lanes."""
+    VMEM holds ~``n_arrays`` (S, B_t) fp32 arrays (loop carries, body
+    temporaries, plus in/out blocks each DOUBLE-buffered by Mosaic's grid
+    pipeline — measured scoped-vmem on v5e: ~25 for the fixed dual kernel;
+    the N=50 battery problem OOMs if estimated at 14), plus
+    ``extra_per_lane`` additional fp32 rows per lane (second-space state,
+    e.g. primal (S_z, B_t) arrays) and ``mats`` bytes of constant
+    operands. Bigger tiles amortize grid/loop overhead; the curve is flat
+    past 1024 lanes."""
+    per_lane_bytes = 4 * (n_arrays * S + extra_per_lane)
     for bt in (1024, 512, 256, LANE):
         if bt > max(B, LANE):
             continue
-        if n_arrays * 4 * S * bt <= _VMEM_BUDGET:
+        if mats + per_lane_bytes * bt <= _VMEM_BUDGET:
             return bt
-    return LANE if n_arrays * 4 * S * LANE <= _VMEM_BUDGET else None
+    return LANE if mats + per_lane_bytes * LANE <= _VMEM_BUDGET else None
+
+
+# (n_arrays, extra_per_lane coefficient on S_z) per kernel: carries + body
+# temporaries + double-buffered in/out blocks, per the kernels' signatures
+DUAL_FIXED_ARRAYS = 26
+DUAL_CHUNK_ARRAYS = 36  # 7 lane-in + 7 lane-out + mom blocks, 8 carries
+PAIRED_ARRAYS = (20, 8)  # (dual-half space, primal space)
+DENSE_ARRAYS = (13, 9)
+
+
+def dual_fits_vmem(data: GPADData, chunked: bool = False) -> bool:
+    """Can the smallest tile of the fused dual (or chunked-eps) kernel fit?"""
+    S = _round_up(data.m_half, SUBLANE)
+    n_arrays = DUAL_CHUNK_ARRAYS if chunked else DUAL_FIXED_ARRAYS
+    return pick_lane_tile(1, S, n_arrays, mats=4 * S * S) is not None
 
 
 def fits_vmem(data: GPADData) -> bool:
-    """Can the smallest (128-lane) tile of the dense/paired fused kernel fit?"""
-    if data.paired:
-        m_p = _round_up(data.m_half, LANE)
-        nz_p = _round_up(data.n_z, LANE)
-        return pick_batch_tile(8, m_p, nz_p) is not None
-    S_m = _round_up(data.m, SUBLANE)
+    """Can the smallest (128-lane) tile of the dense/paired mvp kernel fit?
+
+    Uses the SAME coefficients as the kernels' own tile searches so the
+    engine-auto guard and the kernels cannot drift apart."""
     S_z = _round_up(data.n_z, SUBLANE)
-    return (2 * 4 * S_m * S_z + 4 * LANE * (13 * S_m + 9 * S_z)) <= _VMEM_BUDGET
+    if data.paired:
+        S_h = _round_up(data.m_half, SUBLANE)
+        na, nz_coef = PAIRED_ARRAYS
+        return pick_lane_tile(
+            1, S_h, na, nz_coef * S_z, mats=2 * 4 * S_h * S_z
+        ) is not None
+    S_m = _round_up(data.m, SUBLANE)
+    na, nz_coef = DENSE_ARRAYS
+    return pick_lane_tile(
+        1, S_m, na, nz_coef * S_z, mats=2 * 4 * S_m * S_z
+    ) is not None
 
 
 def _gpad_kernel(
@@ -181,6 +217,61 @@ def _gpad_kernel(
     zhat_ref[:] = zhat
 
 
+def _make_dual_body(theta_ref, beta_ref, idx, Dn, cp, cm, *, mm_dtype,
+                    precision, restart):
+    """The shared dual-form iteration body for the fused kernels.
+
+    Carry: (yp, ym, yp_prev, ym_prev, s, wp, wm, th, thp) — all (S, B_t)
+    except th/thp, the (1, B_t) per-scenario momentum-recursion rows used
+    in restart mode. ``idx(i)`` maps the loop counter to the schedule
+    index (identity for the whole-solve kernel, ``k0 + i`` for the
+    eps-mode chunk kernel)."""
+    f32 = jnp.float32
+
+    def body(i, carry):
+        yp, ym, yp_prev, ym_prev, s, _, _, th, thp = carry
+        if restart:
+            theta_k = th  # (1, B_t), broadcasts over sublanes
+            beta_k = th * (1.0 / thp - 1.0)
+        else:
+            k = idx(i)
+            beta_k = beta_ref[k]
+            theta_k = theta_ref[k]
+        wp = yp + beta_k * (yp - yp_prev)
+        wm = ym + beta_k * (ym - ym_prev)
+        wd = wp - wm
+        d = jnp.dot(
+            Dn, wd.astype(mm_dtype),
+            preferred_element_type=f32, precision=precision,
+        )
+        yp_next = jnp.maximum(wp + d + cp, 0.0)
+        ym_next = jnp.maximum(wm - d + cm, 0.0)
+        s = s + theta_k * (wd - s)
+        if restart:
+            # O'Donoghue-Candes: restart iff (w - y+) . (y+ - y) > 0,
+            # summed over both dual halves (padded rows contribute zeros)
+            r = jnp.sum(
+                (wp - yp_next) * (yp_next - yp)
+                + (wm - ym_next) * (ym_next - ym),
+                axis=0,
+                keepdims=True,
+            )
+            mask = r > 0.0
+            th_next = jnp.where(
+                mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5
+            )
+            thp_next = jnp.where(mask, 1.0, th)
+            yp_prev_n = jnp.where(mask, yp_next, yp)
+            ym_prev_n = jnp.where(mask, ym_next, ym)
+            return (
+                yp_next, ym_next, yp_prev_n, ym_prev_n, s, wp, wm,
+                th_next, thp_next,
+            )
+        return yp_next, ym_next, yp, ym, s, wp, wm, th, thp
+
+    return body
+
+
 def _gpad_kernel_dual(
     # scalar prefetch
     theta_ref,
@@ -226,7 +317,6 @@ def _gpad_kernel_dual(
     Dn = Dn_ref[:].astype(mm_dtype)  # (S, S) == -D, padded
     cp = cp_ref[:]  # (S, B_t)
     cm = cm_ref[:]
-    f32 = jnp.float32
     zero = cp * 0.0
     # warm start: y and y_prev both seeded from y0 (zeros when cold —
     # matching core._init_state); s/w always start at zero
@@ -236,46 +326,10 @@ def _gpad_kernel_dual(
     # (1, B_t) lane row each (derived from loaded data for layout)
     one_row = cp[0:1, :] * 0.0 + 1.0
 
-    def body(k, carry):
-        yp, ym, yp_prev, ym_prev, s, _, _, th, thp = carry
-        if restart:
-            theta_k = th  # (1, B_t), broadcasts over sublanes
-            beta_k = th * (1.0 / thp - 1.0)
-        else:
-            beta_k = beta_ref[k]
-            theta_k = theta_ref[k]
-        wp = yp + beta_k * (yp - yp_prev)
-        wm = ym + beta_k * (ym - ym_prev)
-        wd = wp - wm
-        d = jnp.dot(
-            Dn, wd.astype(mm_dtype),
-            preferred_element_type=f32, precision=precision,
-        )
-        yp_next = jnp.maximum(wp + d + cp, 0.0)
-        ym_next = jnp.maximum(wm - d + cm, 0.0)
-        s = s + theta_k * (wd - s)
-        if restart:
-            # O'Donoghue-Candes: restart iff (w - y+) . (y+ - y) > 0,
-            # summed over both dual halves (padded rows contribute zeros)
-            r = jnp.sum(
-                (wp - yp_next) * (yp_next - yp)
-                + (wm - ym_next) * (ym_next - ym),
-                axis=0,
-                keepdims=True,
-            )
-            mask = r > 0.0
-            th_next = jnp.where(
-                mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5
-            )
-            thp_next = jnp.where(mask, 1.0, th)
-            yp_prev_n = jnp.where(mask, yp_next, yp)
-            ym_prev_n = jnp.where(mask, ym_next, ym)
-            return (
-                yp_next, ym_next, yp_prev_n, ym_prev_n, s, wp, wm,
-                th_next, thp_next,
-            )
-        return yp_next, ym_next, yp, ym, s, wp, wm, th, thp
-
+    body = _make_dual_body(
+        theta_ref, beta_ref, lambda i: i, Dn, cp, cm,
+        mm_dtype=mm_dtype, precision=precision, restart=restart,
+    )
     yp, ym, _, _, s, wp, wm, _, _ = jax.lax.fori_loop(
         0, iterations, body,
         (y0p, y0m, y0p, y0m, zero, zero, zero, one_row, one_row),
@@ -311,7 +365,7 @@ def gpad_pallas_fixed_dual(
     B = g_P.shape[0]
     m_h, n_z = data.m_half, data.n_z
     S = _round_up(m_h, SUBLANE)  # dual rows on SUBLANES: 8-rounding, not 128
-    B_t = pick_lane_tile(B, S)
+    B_t = pick_lane_tile(B, S, DUAL_FIXED_ARRAYS, mats=4 * S * S)
     if B_t is None:
         raise ValueError(
             f"problem (m_half={m_h}) does not fit the fused dual kernel's "
@@ -435,59 +489,22 @@ def _gpad_kernel_dual_chunk(
     cp = cp_ref[:]
     cm = cm_ref[:]
     k0 = k0_ref[0]
-    f32 = jnp.float32
     zero = cp * 0.0
     # momentum-recursion rows (restart mode): mi[(0,1), :] = (th, th_prev),
     # persisted across chunk invocations through HBM
     mom = mi_ref[:]
 
-    def body(i, carry):
-        yp, ym, yp_prev, ym_prev, s, _, _, mom = carry
-        if restart:
-            th = mom[0:1, :]
-            thp = mom[1:2, :]
-            theta_k = th
-            beta_k = th * (1.0 / thp - 1.0)
-        else:
-            beta_k = beta_ref[k0 + i]
-            theta_k = theta_ref[k0 + i]
-        wp = yp + beta_k * (yp - yp_prev)
-        wm = ym + beta_k * (ym - ym_prev)
-        wd = wp - wm
-        d = jnp.dot(
-            Dn, wd.astype(mm_dtype),
-            preferred_element_type=f32, precision=precision,
-        )
-        yp_next = jnp.maximum(wp + d + cp, 0.0)
-        ym_next = jnp.maximum(wm - d + cm, 0.0)
-        s = s + theta_k * (wd - s)
-        if restart:
-            r = jnp.sum(
-                (wp - yp_next) * (yp_next - yp)
-                + (wm - ym_next) * (ym_next - ym),
-                axis=0,
-                keepdims=True,
-            )
-            mask = r > 0.0
-            th_next = jnp.where(
-                mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5
-            )
-            thp_next = jnp.where(mask, 1.0, th)
-            yp_prev_n = jnp.where(mask, yp_next, yp)
-            ym_prev_n = jnp.where(mask, ym_next, ym)
-            mom = jnp.concatenate(
-                [th_next, thp_next, mom[2:, :]], axis=0
-            )
-            return (
-                yp_next, ym_next, yp_prev_n, ym_prev_n, s, wp, wm, mom
-            )
-        return yp_next, ym_next, yp, ym, s, wp, wm, mom
-
+    body = _make_dual_body(
+        theta_ref, beta_ref, lambda i: k0 + i, Dn, cp, cm,
+        mm_dtype=mm_dtype, precision=precision, restart=restart,
+    )
     init = (
         ypi_ref[:], ymi_ref[:], ypp_i_ref[:], ymp_i_ref[:], si_ref[:],
-        zero, zero, mom,
+        zero, zero, mom[0:1, :], mom[1:2, :],
     )
-    yp, ym, ypp, ymp, s, wp, wm, mom = jax.lax.fori_loop(0, chunk, body, init)
+    yp, ym, ypp, ymp, s, wp, wm, th, thp = jax.lax.fori_loop(
+        0, chunk, body, init
+    )
     yp_ref[:] = yp
     ym_ref[:] = ym
     ypp_ref[:] = ypp
@@ -495,7 +512,7 @@ def _gpad_kernel_dual_chunk(
     s_ref[:] = s
     wp_ref[:] = wp
     wm_ref[:] = wm
-    mo_ref[:] = mom
+    mo_ref[:] = jnp.concatenate([th, thp, mom[2:, :]], axis=0)
 
 
 def _dual_chunk_call(
@@ -569,12 +586,12 @@ def gpad_pallas_eps_dual(
     B = g_P.shape[0]
     m_h = data.m_half
     S = _round_up(m_h, SUBLANE)
-    B_t = pick_lane_tile(B, S)
+    B_t = pick_lane_tile(B, S, DUAL_CHUNK_ARRAYS, mats=4 * S * S)
     if B_t is None:
         raise ValueError("problem too large for the fused dual kernel's VMEM")
     B_p = _round_up(B, B_t)
     iterations = config.iterations
-    C = min(config.check_every, iterations)
+    C = max(min(config.check_every, iterations), 1)
     n_full = iterations // C
 
     mm_dtype = jnp.dtype(config.matmul_dtype)
@@ -768,13 +785,8 @@ def gpad_pallas_fixed_paired(
     S_h = _round_up(m_h, SUBLANE)
     S_z = _round_up(n_z, SUBLANE)
     mats = 2 * 4 * S_h * S_z
-
-    def fits(bt):
-        # ~20 half-dual arrays (carries + double-buffered blocks) + ~8 primal
-        return mats + 4 * bt * (20 * S_h + 8 * S_z) <= _VMEM_BUDGET
-
-    B_t = next((bt for bt in (1024, 512, 256, LANE)
-                if bt <= max(B, LANE) and fits(bt)), None)
+    na, nz_coef = PAIRED_ARRAYS
+    B_t = pick_lane_tile(B, S_h, na, nz_coef * S_z, mats=mats)
     if B_t is None:
         raise ValueError(
             f"problem (m_half={m_h}, n_z={n_z}) does not fit the fused "
@@ -874,12 +886,8 @@ def gpad_pallas_fixed(
     # VMEM holds ~13 (S_m, B_t) + ~9 (S_z, B_t) arrays (carries + double-
     # buffered in/out blocks) plus the two constant operands
     mats = 2 * 4 * S_m * S_z
-
-    def fits(bt):
-        return mats + 4 * bt * (13 * S_m + 9 * S_z) <= _VMEM_BUDGET
-
-    B_t = next((bt for bt in (1024, 512, 256, LANE)
-                if bt <= max(B, LANE) and fits(bt)), None)
+    na, nz_coef = DENSE_ARRAYS
+    B_t = pick_lane_tile(B, S_m, na, nz_coef * S_z, mats=mats)
     if B_t is None:
         raise ValueError(
             f"problem (m={m}, n_z={n_z}) does not fit the fused kernel's VMEM "
@@ -994,9 +1002,11 @@ def solve_batch_pallas(
             and config.model_axis is None
             and config.form in ("auto", "dual")
             and config.iterations % max(config.check_every, 1) == 0
-            and pick_lane_tile(1, _round_up(data.m_half, SUBLANE)) is not None
+            and dual_fits_vmem(data, chunked=True)
         )
         if dual_ok:
+            if y0 is not None and y0.ndim > 1 and y0.shape[0] not in (1, Bflat):
+                y0 = y0.reshape((Bflat,) + y0.shape[-2:])
             res = gpad_pallas_eps_dual(data, gP2, pD2, config, y0)
         else:
             # mvp-form eps (or a non-divisible check cadence) routes through

@@ -69,10 +69,18 @@ def run_sweep(
     converged = np.zeros(B, dtype=bool)
     start_chunk = 0
 
+    # a checkpoint is only resumable for the same problem, batch, chunking,
+    # and solver config — anything else would silently mix stale rows in
+    cfg_fp = json.dumps(dataclasses.asdict(config), sort_keys=True, default=str)
     ck, meta_p = _ckpt_paths(checkpoint) if checkpoint else (None, None)
     if ck is not None and ck.exists() and meta_p.exists():
         meta = json.loads(meta_p.read_text())
-        if meta["batch"] == B and meta["chunk_size"] == chunk_size:
+        if (
+            meta["batch"] == B
+            and meta["chunk_size"] == chunk_size
+            and meta.get("problem") == data.name
+            and meta.get("config") == cfg_fp
+        ):
             with np.load(ck) as f:
                 U, residual = f["U"], f["residual"]
                 iterations, converged = f["iterations"], f["converged"]
@@ -93,7 +101,7 @@ def run_sweep(
             tmp.replace(ck)
             meta_p.write_text(json.dumps(dict(
                 batch=B, chunk_size=chunk_size, chunks_done=c + 1,
-                n_chunks=n_chunks, problem=data.name,
+                n_chunks=n_chunks, problem=data.name, config=cfg_fp,
             )))
         if progress:
             print(f"chunk {c + 1}/{n_chunks} done "
