@@ -135,3 +135,38 @@ def test_closed_loop_restart_plus_warm_start_is_most_accurate():
         err = np.abs(np.asarray(res.U[t, 0]) - u).max()
         assert err < 2e-4, (t, err)
         x = problem.A @ x + problem.B @ u
+
+
+def test_controller_api_tracks_exact_loop():
+    """Controller.step matches the exact-QP controller and beats cold runs."""
+    from tpu_gpad.closed_loop import Controller
+    from tpu_gpad.solver.qp import solve_condensed_qp
+
+    problem = problems.battery(n_cells=3, horizon=4)
+    qp = tpu_gpad.condense(problem)
+    ctrl = Controller(problem, iterations=30,
+                      config=SolverConfig(iterations=30, restart=True))
+    x = np.asarray(problems.battery_default_x0(3, seed=3), dtype=np.float64)
+    for t in range(8):
+        u = ctrl.step(x.astype(np.float32))
+        assert u.shape == (3,)
+        exact = solve_condensed_qp(qp, x).z[: qp.n_u]
+        assert np.abs(u - exact).max() < 2e-4, (t, np.abs(u - exact).max())
+        x = problem.A @ x + problem.B @ u.astype(np.float64)
+    # reset drops warm start without breaking subsequent solves
+    ctrl.reset()
+    u2 = ctrl.step(x.astype(np.float32))
+    assert np.all(np.isfinite(u2))
+
+
+def test_controller_batched_plants():
+    from tpu_gpad.closed_loop import Controller
+
+    problem = problems.battery(n_cells=3, horizon=4)
+    ctrl = Controller(problem, iterations=40)
+    X = np.random.default_rng(0).uniform(-0.3, 0.3, (5, 3)).astype(np.float32)
+    U = ctrl.step(X)
+    assert U.shape == (5, 3)
+    # batch-size change mid-stream silently drops the warm start
+    u1 = ctrl.step(X[0])
+    np.testing.assert_allclose(u1, U[0], atol=1e-4)

@@ -117,6 +117,64 @@ def simulate(
     return _simulate_jit(data, A, B, X0, n_steps, config, warm_start)
 
 
+class Controller:
+    """Stateful embedded-MPC controller: condense once, then ``step(x) -> u``.
+
+    The serving-side interface the reference implies but never packages:
+    ``gpad.m:79-95`` inlines solve -> apply-first-move each sample and
+    recondenses per solve. Here condensation/dualization happen once in
+    ``__init__`` and each ``step`` is a single jitted solve that
+    warm-starts from the previous sample's dual (``warm_start=True``,
+    the default — consecutive MPC QPs differ only in x0).
+
+    ``step`` accepts one state (n_x,) or a batch (B, n_x) of independent
+    plants and returns the first control move(s) as float32 NumPy. Use
+    ``reset()`` on a plant/setpoint discontinuity to drop the warm start.
+    """
+
+    def __init__(
+        self,
+        problem: LinearMPCProblem,
+        iterations: int = 100,
+        config: SolverConfig | None = None,
+        warm_start: bool = True,
+        paired: bool | str = "auto",
+        data: GPADData | None = None,
+    ):
+        if config is None:
+            config = SolverConfig(iterations=iterations)
+        if config.iterations is None:
+            import dataclasses
+
+            config = dataclasses.replace(config, iterations=iterations)
+        if data is None:
+            data = dualize(
+                condense(problem), iterations=config.iterations, paired=paired
+            )
+        self.problem = problem
+        self.data = data
+        self.config = config
+        self.warm_start = warm_start
+        self._y = None
+        self.last_result = None
+
+    def step(self, x) -> np.ndarray:
+        """Solve the MPC QP at state ``x`` and return u* (applied move)."""
+        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
+        y0 = self._y if self.warm_start else None
+        if y0 is not None and y0.shape[0] != x.shape[0]:
+            y0 = None  # batch size changed: warm start no longer applies
+        res = solve_batch(self.data, x, config=self.config, y0=y0)
+        self._y = res.y
+        self.last_result = res
+        u = np.asarray(res.u, dtype=np.float32)
+        return u[0] if u.shape[0] == 1 else u
+
+    def reset(self) -> None:
+        """Drop the warm-start state (e.g. after a setpoint change)."""
+        self._y = None
+
+
 def plot_closed_loop(result: ClosedLoopResult, scenario: int = 0, path: str | None = None):
     """The reference's two trajectory plots (``gpad.m:98-114``): per-cell SoC
     and balancing currents over time. Returns the matplotlib figure, or None
