@@ -95,27 +95,37 @@ def main():
     detail["single_solve_client_ms_p50"] = float(np.percentile(lat, 50) * 1e3)
     detail["single_solve_client_ms_p99"] = float(np.percentile(lat, 99) * 1e3)
 
-    # --- fast-mode variants: default matmul precision (1-pass bf16 MXU) and
-    # bf16 operands; ~5e-3 u* accuracy instead of the fp32-highest ~1e-6 ---
-    cfg_fast = SolverConfig(iterations=iters, engine=args.engine, precision="default")
-    t_fast = device_time_per_call(
-        lambda: solve_batch(data, X0, config=cfg_fast).u, k_large=k_large
-    )
-    detail["throughput_fast_precision_solves_per_sec"] = batch / t_fast
-    cfg_bf16 = SolverConfig(iterations=iters, engine=args.engine, matmul_dtype="bfloat16")
-    t_bf16 = device_time_per_call(
-        lambda: solve_batch(data, X0, config=cfg_bf16).u, k_large=k_large
-    )
-    detail["throughput_bf16_solves_per_sec"] = batch / t_bf16
-    # --- engine cross-check: XLA loop engine on the same workload ---
-    cfg_xla = SolverConfig(iterations=iters, engine="xla")
-    t_xla = device_time_per_call(
-        lambda: solve_batch(data, X0, config=cfg_xla).u, k_large=k_large
-    )
-    detail["throughput_xla_engine_solves_per_sec"] = batch / t_xla
+    # Optional sections below: a failure (e.g. a compile timeout on the
+    # tunneled chip) must not take down the headline JSON line.
+    def optional(name, fn):
+        try:
+            fn()
+        except Exception as ex:  # pragma: no cover - depends on the device
+            detail[f"{name}_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
-    # --- adaptive restart: eps-mode throughput at a real accuracy target ---
-    if not args.quick:
+    def _fast_modes():
+        # default matmul precision (1-pass bf16 MXU) and bf16 operands;
+        # ~5e-3 u* accuracy instead of the fp32-highest ~1e-6
+        cfg_fast = SolverConfig(iterations=iters, engine=args.engine, precision="default")
+        t_fast = device_time_per_call(
+            lambda: solve_batch(data, X0, config=cfg_fast).u, k_large=k_large
+        )
+        detail["throughput_fast_precision_solves_per_sec"] = batch / t_fast
+        cfg_bf16 = SolverConfig(iterations=iters, engine=args.engine, matmul_dtype="bfloat16")
+        t_bf16 = device_time_per_call(
+            lambda: solve_batch(data, X0, config=cfg_bf16).u, k_large=k_large
+        )
+        detail["throughput_bf16_solves_per_sec"] = batch / t_bf16
+
+    def _xla_engine():
+        cfg_xla = SolverConfig(iterations=iters, engine="xla")
+        t_xla = device_time_per_call(
+            lambda: solve_batch(data, X0, config=cfg_xla).u, k_large=k_large
+        )
+        detail["throughput_xla_engine_solves_per_sec"] = batch / t_xla
+
+    def _eps_restart():
+        # adaptive restart: eps-mode throughput at a real accuracy target
         data_eps = tpu_gpad.dualize(qp, iterations=2000, paired="auto")
         kw = dict(mode="eps", eps_g=1e-5, eps_V=1e-5, check_every=10,
                   iterations=2000)
@@ -130,8 +140,8 @@ def main():
         )
         detail["eps1e5_restart_solves_per_sec"] = batch / t_re
 
-    # --- long horizon N=50 (BASELINE config 2) ---
-    if not args.quick:
+    def _long_horizon():
+        # long horizon N=50 (BASELINE config 2)
         qp50 = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=50))
         data50 = tpu_gpad.dualize(qp50, iterations=max(iters, 100), paired="auto")
         X0_50 = X0[:1024]
@@ -139,6 +149,12 @@ def main():
             lambda: solve_batch(data50, X0_50, config=cfg).u, k_large=10
         )
         detail["long_horizon_N50_solves_per_sec"] = 1024 / t50
+
+    optional("fast_modes", _fast_modes)
+    optional("xla_engine", _xla_engine)
+    if not args.quick:
+        optional("eps_restart", _eps_restart)
+        optional("long_horizon", _long_horizon)
 
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
