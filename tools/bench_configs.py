@@ -87,6 +87,25 @@ def main():
           f"{out['reference_shape_30x30']['solves_per_sec']:.0f} /s batched, "
           f"{t1*1e3:.2f} ms single", flush=True)
 
+    # eps-mode iteration counts at the reference shape, +- adaptive restart
+    data_eps = tpu_gpad.dualize(
+        tpu_gpad.condense(ref_shape), iterations=3000, paired="auto")
+    Xe = jnp.asarray(
+        rng.uniform(-0.3, 0.3, size=(256, 30)).astype(np.float32))
+    kw = dict(mode="eps", eps_g=1e-4, eps_V=1e-4, check_every=20,
+              iterations=3000)
+    eps_stats = {}
+    for restart in (True, False):
+        r = solve_batch(data_eps, Xe, config=SolverConfig(restart=restart, **kw))
+        it = np.asarray(r.iterations)
+        eps_stats["restart" if restart else "plain"] = {
+            "converged": int(np.asarray(r.converged).sum()),
+            "iters_mean": round(float(it.mean()), 1),
+            "iters_max": int(it.max()),
+        }
+    out["reference_shape_eps1e4"] = eps_stats
+    print("reference shape eps1e-4:", eps_stats, flush=True)
+
     # config 5 (single-chip stand-in): 131072-scenario checkpointed sweep
     from tpu_gpad.sweep import run_sweep
 
