@@ -23,6 +23,21 @@ import pytest
 REFERENCE_FIXTURES = "/root/reference/Code/CUDA/FinalProject/build/step3"
 
 
+def backend_tol(cpu: float, tpu: float) -> float:
+    """Backend-aware tolerance.
+
+    On the real chip (opt-in via TPU_GPAD_TEST_ON_TPU=1) fp32 'highest'
+    matmuls are 6-pass bf16 splits, not host fp32: iterate trajectories
+    diverge from the NumPy oracle at relu boundaries, and on near-degenerate
+    problem directions the iteration's fixed point sits ~1e-3 in u* from
+    the fp64 optimum (identical across engines/forms — measured; the same
+    fp32 data reaches 5e-6 on CPU). Feasibility/gap eps-optimality is
+    unaffected; only tight u*-distance assertions need the looser bound."""
+    import jax
+
+    return tpu if jax.default_backend() == "tpu" else cpu
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

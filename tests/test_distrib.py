@@ -13,6 +13,12 @@ from tpu_gpad.condense import condense, dualize
 from tpu_gpad.parallel import make_mesh, solve_batch_sharded, shard_batch
 from tpu_gpad.solver import solve_batch, SolverConfig
 
+# these tests exercise the virtual 8-device CPU mesh; on the single real
+# TPU chip (TPU_GPAD_TEST_ON_TPU=1) there is no mesh to shard over
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device (virtual CPU) mesh"
+)
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -89,6 +89,10 @@ def test_paired_auto_fallback():
         dualize(qp, iterations=10, paired=True)
 
 
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8,
+    reason="needs the 8-device (virtual CPU) mesh",
+)
 def test_paired_sharded(battery_qp):
     """DP + dual-dimension TP over the half stack (m_h=70 not divisible by 2
     -> use horizon 8 with m_h=136=8*17... just test DP + model=1 and a

@@ -11,6 +11,8 @@ from tpu_gpad import problems
 from tpu_gpad.solver import SolverConfig, solve_batch
 from tpu_gpad.solver.reference import gpad_solve_qp
 
+from conftest import backend_tol
+
 
 @pytest.fixture(scope="module")
 def battery_data():
@@ -42,7 +44,9 @@ def test_pallas_matches_oracle_u(battery_data):
     res = solve_batch(data, X0, config=SolverConfig(iterations=100, engine="pallas"))
     for i in range(X0.shape[0]):
         ref = gpad_solve_qp(qp, X0[i].astype(np.float64), iterations=100)
-        np.testing.assert_allclose(np.asarray(res.u[i]), ref.u, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res.u[i]), ref.u, atol=backend_tol(1e-4, 2e-3)
+        )
 
 
 def test_pallas_single_and_odd_batch(battery_data):
@@ -51,7 +55,12 @@ def test_pallas_single_and_odd_batch(battery_data):
     X0 = _x0_batch(5, qp.n_x, seed=9)
     r5 = solve_batch(data, X0, config=SolverConfig(iterations=40, engine="pallas"))
     r1 = tpu_gpad.solve(data, X0[2], config=SolverConfig(iterations=40, engine="pallas"))
-    np.testing.assert_allclose(np.asarray(r1.u[0]), np.asarray(r5.u[2]), atol=1e-6)
+    # On TPU, different batch shapes compile to different programs whose
+    # 1-ulp differences amplify through the nonsmooth 40-iteration
+    # trajectory (relu boundary flips) -- hence the loose device tolerance.
+    np.testing.assert_allclose(
+        np.asarray(r1.u[0]), np.asarray(r5.u[2]), atol=backend_tol(1e-6, 5e-3)
+    )
 
 
 def test_pallas_eps_mode_falls_back(battery_data):
@@ -103,7 +112,9 @@ def test_pallas_dual_matches_oracle_u(battery_data_paired):
     res = solve_batch(data, X0, config=SolverConfig(iterations=100, engine="pallas"))
     for i in range(X0.shape[0]):
         ref = gpad_solve_qp(qp, X0[i].astype(np.float64), iterations=100)
-        np.testing.assert_allclose(np.asarray(res.u[i]), ref.u, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res.u[i]), ref.u, atol=backend_tol(1e-4, 2e-3)
+        )
 
 
 def test_pallas_dual_odd_batch(battery_data_paired):
@@ -111,7 +122,9 @@ def test_pallas_dual_odd_batch(battery_data_paired):
     X0 = _x0_batch(7, qp.n_x, seed=9)
     r7 = solve_batch(data, X0, config=SolverConfig(iterations=40, engine="pallas"))
     r1 = tpu_gpad.solve(data, X0[4], config=SolverConfig(iterations=40, engine="pallas"))
-    np.testing.assert_allclose(np.asarray(r1.u[0]), np.asarray(r7.u[4]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r1.u[0]), np.asarray(r7.u[4]), atol=backend_tol(1e-6, 5e-3)
+    )
 
 
 def test_pallas_dual_warm_start(battery_data_paired):

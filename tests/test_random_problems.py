@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 
 import tpu_gpad
+
+from conftest import backend_tol
 from tpu_gpad import problems
 from tpu_gpad.solver import SolverConfig, solve_batch
 from tpu_gpad.solver.qp import solve_condensed_qp
@@ -35,7 +37,7 @@ def test_random_plant_matches_exact_qp(seed, coupled):
             continue  # infeasible start: no ground truth to compare
         checked += 1
         err = np.abs(np.asarray(res.u[i]) - sol.z[: qp.n_u]).max()
-        assert err < 5e-4, (seed, i, err)
+        assert err < backend_tol(5e-4, 5e-3), (seed, i, err)
     assert checked >= 4  # the box must yield mostly-feasible starts
 
 

@@ -8,6 +8,8 @@ The fused kernels decline this size (VMEM) and the XLA engine takes it.
 import numpy as np
 
 import tpu_gpad
+
+from conftest import backend_tol
 from tpu_gpad import problems
 from tpu_gpad.solver import SolverConfig, solve_batch
 from tpu_gpad.solver.reference import gpad_solve_qp
@@ -25,7 +27,9 @@ def test_reference_shape_dims_and_parity():
     res = solve_batch(data, X0, config=SolverConfig(iterations=60))
     for i in range(2):
         ref = gpad_solve_qp(qp, X0[i].astype(np.float64), iterations=60)
-        np.testing.assert_allclose(np.asarray(res.u[i]), ref.u, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res.u[i]), ref.u, atol=backend_tol(1e-4, 5e-3)
+        )
 
 
 def test_reference_shape_falls_back_to_xla():
