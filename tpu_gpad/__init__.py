@@ -22,6 +22,7 @@ from tpu_gpad.condense import condense, dualize
 from tpu_gpad.schedule import momentum_schedule
 from tpu_gpad import problems, io
 from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
+from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
 
 __version__ = "0.1.0"
@@ -41,4 +42,6 @@ __all__ = [
     "solve_to_accuracy",
     "Controller",
     "simulate",
+    "polish",
+    "polish_batch",
 ]

@@ -109,6 +109,103 @@ def solve_qp_exact(
     return QPSolution(z, lam_full, np.asarray(sorted(W)), max_iter, "max_iter")
 
 
+def polish(
+    qp,
+    x0: np.ndarray,
+    z: np.ndarray,
+    slack_tol: float = 1e-4,
+    tol: float = 1e-9,
+    max_refine: int = 30,
+) -> QPSolution:
+    """Active-set polish of a (near-)solution ``z`` to machine precision.
+
+    Identify the active constraints of the accelerator's solution by their
+    primal slacks, solve the equality-constrained KKT system in float64 on
+    the host, and refine (add violated rows / drop negative-multiplier
+    rows) until the KKT conditions hold. Starting from a converged GPAD
+    iterate this typically costs ONE dense KKT solve — turning an
+    fp32-accuracy device solve into an exact optimum, including on TPU
+    where the fp32-highest iteration plateaus ~1e-3 from the fp64 optimum
+    on near-degenerate directions (docs/DESIGN.md). No reference analogue
+    (the reference never recovers beyond fp32).
+
+    Equality-encoded pairs (the battery problem's charge coupling appears
+    as ``K z <= 0`` AND ``-K z <= 0``, ``gpad.m:84-85``) are deduplicated
+    to keep the KKT system nonsingular.
+    """
+    H = np.asarray(qp.H, dtype=np.float64)
+    G = np.asarray(qp.G, dtype=np.float64)
+    x0 = np.asarray(x0, dtype=np.float64)
+    f = qp.F.T @ x0 + qp.g
+    b = qp.b0 + qp.E @ x0
+    z = np.asarray(z, dtype=np.float64)
+    m, n = G.shape
+
+    slack = b - G @ z
+    scale = 1.0 + np.abs(b)
+    active = list(np.flatnonzero(slack < slack_tol * scale))
+
+    def dedup(idx):
+        """Drop rows that are exact negations of earlier kept rows."""
+        kept = []
+        for i in idx:
+            if any(
+                np.array_equal(G[i], -G[j]) and b[i] == -b[j] for j in kept
+            ):
+                continue
+            kept.append(i)
+        return kept
+
+    lam_full = np.zeros(m)
+    for _ in range(max_refine):
+        W = dedup(active)
+        if len(W) > n:  # over-determined guess: keep the tightest rows
+            W = sorted(W, key=lambda i: slack[i])[:n]
+        G_a = G[W] if W else np.zeros((0, n))
+        b_a = b[W] if W else np.zeros(0)
+        try:
+            z_new, lam = _kkt_solve(H, f, G_a, b_a)
+        except np.linalg.LinAlgError:
+            sol = np.linalg.lstsq(
+                np.block([[H, G_a.T], [G_a, np.zeros((len(W),) * 2)]]),
+                np.concatenate([-f, b_a]),
+                rcond=None,
+            )[0]
+            z_new, lam = sol[:n], sol[n:]
+        viol = G @ z_new - b
+        viol[W] = 0.0
+        if viol.max() > tol * scale[int(np.argmax(viol))]:
+            active = W + [int(np.argmax(viol / scale))]
+            continue
+        if len(W) and lam.min() < -tol:
+            drop = W[int(np.argmin(lam))]
+            active = [i for i in W if i != drop]
+            continue
+        lam_full[:] = 0.0
+        if W:
+            lam_full[np.asarray(W)] = np.maximum(lam, 0.0)
+        return QPSolution(
+            z_new, lam_full, np.asarray(sorted(W)), 1, "optimal"
+        )
+    # refinement did not settle: fall back to the full exact solver
+    return solve_qp_exact(H, f, G, b)
+
+
+def polish_batch(qp, X0, Z, **kw):
+    """Polish a batch: ``X0`` (B, n_x) parameters, ``Z`` (B, n_z) device
+    solutions (e.g. ``np.asarray(result.z)``). Returns (Z_exact, statuses);
+    rows whose refinement fell back still carry the exact answer."""
+    X0 = np.asarray(X0, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    out = np.empty_like(Z)
+    statuses = []
+    for i in range(X0.shape[0]):
+        sol = polish(qp, X0[i], Z[i], **kw)
+        out[i] = sol.z
+        statuses.append(sol.status)
+    return out, statuses
+
+
 def solve_qp_admm(
     H: np.ndarray,
     f: np.ndarray,
