@@ -42,7 +42,9 @@ def prediction_matrices(A: np.ndarray, B: np.ndarray, N: int) -> tuple[np.ndarra
     return T, S
 
 
-def condense(problem: LinearMPCProblem) -> CondensedQP:
+def condense(
+    problem: LinearMPCProblem, soft_state: float | None = None
+) -> CondensedQP:
     """Condense an MPC problem into the parametric QP of ``CondensedQP``.
 
     Cost: sum_{k=1..N} x_k' Q x_k + sum_{k=0..N-1} u_k' R u_k, which after
@@ -50,6 +52,18 @@ def condense(problem: LinearMPCProblem) -> CondensedQP:
     (reference ``gpad.m:76-77``). Constraint stack rows, in reference order
     (``gpad.m:84-85``): state upper box, state lower box, input upper box,
     input lower box, coupling +, coupling -.
+
+    ``soft_state``: if set, the state box constraints are SOFTENED with
+    quadratic slack penalties of weight ``soft_state`` — the decision
+    vector becomes ``[z; s_up; s_lo]`` with ``S z - s_up <= xmax - T x0``,
+    ``-S z - s_lo <= -xmin + T x0``, ``s >= 0``, and cost
+    ``+ soft_state/2 (|s_up|^2 + |s_lo|^2)``. The result is a QP of the
+    same parametric class, so everything downstream (dualize, engines,
+    bounds, polish) works unchanged; the QP stays feasible for ANY x0
+    (infeasible hard problems become large-violation soft ones) — a
+    standard production-MPC necessity the reference lacks. Input boxes
+    and couplings remain hard. Primal recovery is unaffected:
+    ``u* = z[:n_u]`` still (slacks sit at the tail of the vector).
     """
     N = problem.horizon
     n_x, n_u = problem.n_x, problem.n_u
@@ -93,6 +107,47 @@ def condense(problem: LinearMPCProblem) -> CondensedQP:
     G = np.concatenate(G_rows, axis=0)
     b0 = np.concatenate(b_rows, axis=0)
     E = np.concatenate(E_rows, axis=0)
+
+    if soft_state is not None:
+        if soft_state <= 0:
+            raise ValueError("soft_state penalty weight must be positive")
+        n_up = n_x * N if problem.x_max is not None else 0
+        n_lo = n_x * N if problem.x_min is not None else 0
+        n_s = n_up + n_lo
+        if n_s == 0:
+            raise ValueError("soft_state set but the problem has no state box")
+        m0 = G.shape[0]
+        # extended decision vector [z; s_up; s_lo]
+        H = np.block([
+            [H, np.zeros((n_z, n_s))],
+            [np.zeros((n_s, n_z)), soft_state * np.eye(n_s)],
+        ])
+        F = np.concatenate([F, np.zeros((n_x, n_s))], axis=1)
+        # slack columns: -I on the state-box rows (stacked first, in order)
+        S_cols = np.zeros((m0, n_s))
+        S_cols[:n_up, :n_up] = -np.eye(n_up)
+        S_cols[n_up : n_up + n_lo, n_up : n_up + n_lo] = -np.eye(n_lo)
+        G = np.concatenate([G, S_cols], axis=1)
+        # slack nonnegativity: -s <= 0
+        G = np.concatenate(
+            [G, np.concatenate(
+                [np.zeros((n_s, n_z)), -np.eye(n_s)], axis=1)],
+            axis=0,
+        )
+        b0 = np.concatenate([b0, np.zeros(n_s)])
+        E = np.concatenate([E, np.zeros((n_s, n_x))], axis=0)
+        return CondensedQP(
+            H=H,
+            F=F,
+            g=np.zeros(n_z + n_s),
+            G=G,
+            b0=b0,
+            E=E,
+            n_u=n_u,
+            n_x=n_x,
+            horizon=N,
+            name=problem.name + "_soft",
+        )
 
     return CondensedQP(
         H=H,

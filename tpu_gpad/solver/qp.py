@@ -47,13 +47,15 @@ def solve_qp_exact(
     b: np.ndarray,
     max_iter: int = 500,
     tol: float = 1e-10,
+    z0: np.ndarray | None = None,
 ) -> QPSolution:
     """Primal active-set method for strictly convex inequality QPs.
 
     Classic textbook scheme (Nocedal & Wright, Alg. 16.3): start at the
     unconstrained minimizer clipped into feasibility via a blocking-constraint
     line search, then add/drop constraints from the working set until the KKT
-    conditions hold.
+    conditions hold. ``z0``: optional (near-feasible) warm-start point,
+    e.g. an ADMM phase-1 solution when z = 0 is infeasible.
     """
     H = np.asarray(H, dtype=np.float64)
     f = np.asarray(f, dtype=np.float64)
@@ -63,15 +65,22 @@ def solve_qp_exact(
 
     # Feasible start: z = 0 is feasible for all bundled problems (b >= 0 when
     # x0 is interior); otherwise back off toward the analytic center cheaply.
-    z = np.zeros(n)
+    z = np.zeros(n) if z0 is None else np.asarray(z0, dtype=np.float64).copy()
+    feas_tol = 1e-9 * (1.0 + np.abs(b).max())
     viol = G @ z - b
-    if viol.max() > 0:
-        # crude feasibility restoration: pull along -G' viol_+ until feasible
+    if viol.max() > feas_tol:
+        # feasibility restoration: least-squares steps pushing violated rows
+        # onto their boundary. The target is the boundary itself (margin 0):
+        # equality-encoded +/- row pairs (K z <= 0 AND -K z <= 0) have no
+        # strict interior, so pushing strictly inside can never terminate.
+        # Rows left within feas_tol of the boundary are accepted — the
+        # active-set line search handles boundary starts.
         for _ in range(100):
-            step = G.T @ np.maximum(viol, 0.0)
-            z = z - step / max(np.linalg.norm(step), 1e-12) * 0.1
+            V = viol > 0
+            dz = np.linalg.lstsq(G[V], -viol[V], rcond=None)[0]
+            z = z + dz
             viol = G @ z - b
-            if viol.max() <= 0:
+            if viol.max() <= feas_tol:
                 break
         else:
             return QPSolution(z, np.zeros(m), np.zeros(0, int), 0, "infeasible_start")
@@ -188,7 +197,11 @@ def polish(
             z_new, lam_full, np.asarray(sorted(W)), 1, "optimal"
         )
     # refinement did not settle: fall back to the full exact solver
-    return solve_qp_exact(H, f, G, b)
+    sol = solve_qp_exact(H, f, G, b, z0=z)
+    if sol.status == "infeasible_start":
+        phase1 = solve_qp_admm(H, f, G, b, tol=1e-12)
+        sol = solve_qp_exact(H, f, G, b, z0=phase1.z)
+    return sol
 
 
 def polish_batch(qp, X0, Z, **kw):
@@ -243,12 +256,24 @@ def solve_qp_admm(
 
 
 def solve_condensed_qp(qp, x0, method: str = "active_set") -> QPSolution:
-    """Ground-truth solve of a ``CondensedQP`` at parameter x0."""
+    """Ground-truth solve of a ``CondensedQP`` at parameter x0.
+
+    When z = 0 is not feasible (e.g. soft-constrained problems with the
+    measured state outside the hard box), the active-set method is
+    restarted from an ADMM phase-1 point."""
     x0 = np.asarray(x0, dtype=np.float64)
     f = qp.F.T @ x0 + qp.g
     b = qp.b0 + qp.E @ x0
     if method == "active_set":
-        return solve_qp_exact(qp.H, f, qp.G, b)
+        sol = solve_qp_exact(qp.H, f, qp.G, b)
+        if sol.status == "infeasible_start":
+            phase1 = solve_qp_admm(qp.H, f, qp.G, b, tol=1e-12)
+            # pull strictly inside along the worst violations before the
+            # crude restoration (ADMM iterates are only feasible in the limit)
+            sol = solve_qp_exact(qp.H, f, qp.G, b, z0=phase1.z)
+            if sol.status == "infeasible_start":
+                return phase1
+        return sol
     if method == "admm":
         return solve_qp_admm(qp.H, f, qp.G, b)
     raise ValueError(f"unknown method: {method!r}")
