@@ -177,3 +177,28 @@ def test_controller_batched_plants():
     # batch-size change mid-stream silently drops the warm start
     u1 = ctrl.step(X[0])
     np.testing.assert_allclose(u1, U[0], atol=backend_tol(1e-4, 5e-3))
+
+
+def test_controller_with_polish_is_exact():
+    from tpu_gpad.closed_loop import Controller
+    from tpu_gpad.solver.qp import solve_condensed_qp
+
+    problem = problems.battery(n_cells=3, horizon=4)
+    ctrl = Controller(problem, iterations=60, polish=True,
+                      config=SolverConfig(iterations=60, restart=True))
+    x = np.asarray(problems.battery_default_x0(3, seed=5), dtype=np.float64)
+    for _ in range(5):
+        u = ctrl.step(x.astype(np.float32))
+        exact = solve_condensed_qp(ctrl.qp, x).z[: ctrl.qp.n_u]
+        assert np.abs(u - exact).max() < 1e-6
+        x = problem.A @ x + problem.B @ u.astype(np.float64)
+
+
+def test_controller_soft_state_survives_out_of_box():
+    from tpu_gpad.closed_loop import Controller
+
+    problem = problems.battery(n_cells=3, horizon=4)
+    ctrl = Controller(problem, iterations=80, soft_state=1e3,
+                      config=SolverConfig(iterations=80, restart=True))
+    u = ctrl.step(np.asarray([0.7, -0.6, 0.1], dtype=np.float32))
+    assert np.all(np.isfinite(u))

@@ -140,6 +140,8 @@ class Controller:
         warm_start: bool = True,
         paired: bool | str = "auto",
         data: GPADData | None = None,
+        soft_state: float | None = None,
+        polish: bool = False,
     ):
         if config is None:
             config = SolverConfig(iterations=iterations)
@@ -147,14 +149,15 @@ class Controller:
             import dataclasses
 
             config = dataclasses.replace(config, iterations=iterations)
+        self.qp = condense(problem, soft_state=soft_state)
         if data is None:
-            data = dualize(
-                condense(problem), iterations=config.iterations, paired=paired
-            )
+            data = dualize(self.qp, iterations=config.iterations, paired=paired)
         self.problem = problem
         self.data = data
         self.config = config
         self.warm_start = warm_start
+        self.polish = polish  # refine each step's u* to the exact optimum
+        # via a host-side float64 KKT solve on the identified active set
         self._y = None
         self.last_result = None
 
@@ -167,7 +170,13 @@ class Controller:
         res = solve_batch(self.data, x, config=self.config, y0=y0)
         self._y = res.y
         self.last_result = res
-        u = np.asarray(res.u, dtype=np.float32)
+        if self.polish:
+            from tpu_gpad.solver.qp import polish_batch
+
+            Z, _ = polish_batch(self.qp, np.asarray(x), np.asarray(res.z))
+            u = Z[:, : self.data.n_u].astype(np.float32)
+        else:
+            u = np.asarray(res.u, dtype=np.float32)
         return u[0] if u.shape[0] == 1 else u
 
     def reset(self) -> None:
