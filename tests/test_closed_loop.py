@@ -202,3 +202,19 @@ def test_controller_soft_state_survives_out_of_box():
                       config=SolverConfig(iterations=80, restart=True))
     u = ctrl.step(np.asarray([0.7, -0.6, 0.1], dtype=np.float32))
     assert np.all(np.isfinite(u))
+
+
+def test_controller_shape_stability_and_conflicts():
+    from tpu_gpad.closed_loop import Controller
+
+    problem = problems.battery(n_cells=3, horizon=4)
+    ctrl = Controller(problem, iterations=30)
+    # a (1, n_x) batch stays a batch; a (n_x,) state stays a vector
+    assert ctrl.step(np.zeros((1, 3), dtype=np.float32)).shape == (1, 3)
+    assert ctrl.step(np.zeros(3, dtype=np.float32)).shape == (3,)
+    # prebuilt data + soft_state is contradictory and must be rejected
+    import pytest as _pytest
+
+    data = tpu_gpad.dualize(tpu_gpad.condense(problem), iterations=30)
+    with _pytest.raises(ValueError, match="soften"):
+        Controller(problem, data=data, soft_state=1e3)

@@ -182,3 +182,30 @@ def test_fits_vmem_guard():
     qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=10))
     data = tpu_gpad.dualize(qp, iterations=10)
     assert kernels.fits_vmem(data)
+
+
+def test_pallas_warm_start_broadcastable_shapes(battery_data_paired):
+    """All documented y0 shapes work through the fused kernels: (2, m_h),
+    (1, 2, m_h), (B, 2, m_h), and multi-dim batches."""
+    qp, data = battery_data_paired
+    X0 = _x0_batch(4, qp.n_x, seed=23)
+    cfg = SolverConfig(iterations=40, engine="pallas")
+    r0 = solve_batch(data, X0, config=cfg)
+    y_one = np.asarray(r0.y[0])          # (2, m_h)
+    for y0 in (y_one, y_one[None], np.asarray(r0.y)):
+        r = solve_batch(data, X0, config=cfg, y0=y0)
+        assert np.all(np.isfinite(np.asarray(r.u)))
+    # eps mode, multi-dim batch with full-batch y0
+    Xm = X0.reshape(2, 2, qp.n_x)
+    kw = dict(mode="eps", eps_g=1e-3, eps_V=1e-3, check_every=10, iterations=100)
+    rm = solve_batch(data, Xm, config=SolverConfig(engine="pallas", **kw))
+    r2 = solve_batch(data, Xm, config=SolverConfig(engine="pallas", **kw),
+                     y0=rm.y)
+    # warm-started from an eps-accurate dual: converges within a couple of
+    # check windows (the captured y is eps-optimal, not the fixed point)
+    assert bool(np.all(np.asarray(r2.converged)))
+    assert np.asarray(r2.iterations).max() <= 2 * 10
+    # eps mode with a single shared (2, m_h) warm start
+    r3 = solve_batch(data, Xm, config=SolverConfig(engine="pallas", **kw),
+                     y0=y_one)
+    assert np.all(np.isfinite(np.asarray(r3.u)))

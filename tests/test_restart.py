@@ -146,3 +146,11 @@ def test_solve_to_accuracy(setup):
     np.testing.assert_allclose(
         np.asarray(r1.u[0]), np.asarray(res.u[0]), atol=backend_tol(1e-6, 5e-3)
     )
+
+
+def test_solve_to_accuracy_honors_small_budget(setup):
+    """max_iterations below check_every must cap, not inflate, the budget."""
+    qp, data, X0 = setup
+    res = tpu_gpad.solve_to_accuracy(data, X0[:2], tol=1e-5,
+                                     max_iterations=5, check_every=64)
+    assert int(np.asarray(res.iterations).max()) <= 5

@@ -82,3 +82,14 @@ def test_sweep_checkpoint_invalidated_on_config_change(tmp_path):
     run_sweep(data, X0, SolverConfig(iterations=30), chunk_size=16,
               checkpoint=ck, solve_fn=counting_solve)
     assert len(calls) == 4
+
+
+def test_sweep_checkpoint_invalidated_on_scenario_change(tmp_path):
+    """Different X0 contents with identical shapes must not reuse results."""
+    data, X0 = _setup()
+    ck = tmp_path / "sweep.npz"
+    cfg = SolverConfig(iterations=60)
+    first = run_sweep(data, X0, cfg, chunk_size=16, checkpoint=ck)
+    X0b = X0 + 0.01
+    second = run_sweep(data, X0b, cfg, chunk_size=16, checkpoint=ck)
+    assert np.abs(second.U - first.U).max() > 1e-6

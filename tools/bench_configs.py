@@ -88,8 +88,11 @@ def main():
           f"{t1*1e3:.2f} ms single", flush=True)
 
     # eps-mode iteration counts at the reference shape, +- adaptive restart
+    # (reuse the condensed QP and Lipschitz constant computed for data_ref —
+    # the spectral bound on the 3660-row dual Hessian costs minutes)
+    qp_ref = tpu_gpad.condense(ref_shape)
     data_eps = tpu_gpad.dualize(
-        tpu_gpad.condense(ref_shape), iterations=3000, paired="auto")
+        qp_ref, iterations=3000, paired="auto", L=float(np.asarray(data_ref.L)))
     Xe = jnp.asarray(
         rng.uniform(-0.3, 0.3, size=(256, 30)).astype(np.float32))
     kw = dict(mode="eps", eps_g=1e-4, eps_V=1e-4, check_every=20,

@@ -149,6 +149,11 @@ class Controller:
             import dataclasses
 
             config = dataclasses.replace(config, iterations=iterations)
+        if data is not None and soft_state is not None:
+            raise ValueError(
+                "pass either a prebuilt `data` or `soft_state`, not both: "
+                "the controller cannot soften a QP that is already dualized"
+            )
         self.qp = condense(problem, soft_state=soft_state)
         if data is None:
             data = dualize(self.qp, iterations=config.iterations, paired=paired)
@@ -162,7 +167,11 @@ class Controller:
         self.last_result = None
 
     def step(self, x) -> np.ndarray:
-        """Solve the MPC QP at state ``x`` and return u* (applied move)."""
+        """Solve the MPC QP at state ``x`` and return u* (applied move).
+
+        Output shape mirrors the input: (n_u,) for a single (n_x,) state,
+        (B, n_u) for a (B, n_x) batch — including B == 1."""
+        single = np.ndim(x) == 1
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
         y0 = self._y if self.warm_start else None
         if y0 is not None and y0.shape[0] != x.shape[0]:
@@ -177,7 +186,7 @@ class Controller:
             u = Z[:, : self.data.n_u].astype(np.float32)
         else:
             u = np.asarray(res.u, dtype=np.float32)
-        return u[0] if u.shape[0] == 1 else u
+        return u[0] if single else u
 
     def reset(self) -> None:
         """Drop the warm-start state (e.g. after a setpoint change)."""

@@ -542,8 +542,9 @@ def solve_to_accuracy(
     for the plain schedule). Convenience wrapper over ``solve_batch`` with
     ``mode='eps'``; check ``result.converged`` for scenarios that hit
     ``max_iterations`` first. ``x0`` may be (n_x,) or (B, n_x)."""
-    check_every = max(check_every, 1)
-    # chunk-aligned, and never rounded down to zero iterations
+    # honor the caller's cap: a check cadence longer than the budget shrinks
+    # to one window rather than inflating the budget; then chunk-align
+    check_every = max(min(check_every, max_iterations), 1)
     max_iterations = max(
         max_iterations - max_iterations % check_every, check_every
     )

@@ -60,24 +60,6 @@ def _pad2(x: jax.Array, rows: int, cols: int) -> jax.Array:
     return jnp.pad(x, ((0, rows - r), (0, cols - c)))
 
 
-def vmem_bytes(batch_tile: int, m_p: int, nz_p: int, iters_bytes: int = 0) -> int:
-    """Estimated VMEM footprint of one grid step of the fused kernel."""
-    mats = 4 * (m_p * nz_p) * 2  # MG_T + GL_T, fp32
-    per_row = 4 * (4 * m_p + 4 * nz_p)  # y,y_prev,w,p_D + z,zhat,g_P,z_out... (approx)
-    return mats + batch_tile * per_row + iters_bytes
-
-
-def pick_batch_tile(B: int, m_p: int, nz_p: int) -> int | None:
-    """Largest power-of-two batch tile that fits the VMEM budget, or None if
-    even the smallest tile does not fit (caller should fall back to XLA)."""
-    for bt in (512, 256, 128, 64, 32, 16, 8):
-        if bt > max(B, 8):
-            continue
-        if vmem_bytes(bt, m_p, nz_p) <= _VMEM_BUDGET:
-            return bt
-    return 8 if vmem_bytes(8, m_p, nz_p) <= _VMEM_BUDGET else None
-
-
 def pick_lane_tile(
     B: int,
     S: int,
@@ -113,6 +95,20 @@ DUAL_FIXED_ARRAYS = 26
 DUAL_CHUNK_ARRAYS = 36  # 7 lane-in + 7 lane-out + mom blocks, 8 carries
 PAIRED_ARRAYS = (20, 8)  # (dual-half space, primal space)
 DENSE_ARRAYS = (13, 9)
+
+
+def _norm_y0(y0, Bflat: int, m_half: int):
+    """Normalize a warm-start dual to (Bflat, 2, m_half).
+
+    Accepts everything ``solve_batch`` documents: (2, m_h), (1, 2, m_h),
+    (B..., 2, m_h) with arbitrary leading batch dims — flattened then
+    broadcast, matching ``core._init_state``'s semantics."""
+    if y0 is None:
+        return None
+    y0 = jnp.asarray(y0, dtype=jnp.float32)
+    if y0.ndim > 3:
+        y0 = y0.reshape((-1,) + y0.shape[-2:])
+    return jnp.broadcast_to(y0, (Bflat, 2, m_half))
 
 
 def dual_fits_vmem(data: GPADData, chunked: bool = False) -> bool:
@@ -1005,9 +1001,9 @@ def solve_batch_pallas(
             and dual_fits_vmem(data, chunked=True)
         )
         if dual_ok:
-            if y0 is not None and y0.ndim > 1 and y0.shape[0] not in (1, Bflat):
-                y0 = y0.reshape((Bflat,) + y0.shape[-2:])
-            res = gpad_pallas_eps_dual(data, gP2, pD2, config, y0)
+            res = gpad_pallas_eps_dual(
+                data, gP2, pD2, config, _norm_y0(y0, Bflat, data.m_half)
+            )
         else:
             # mvp-form eps (or a non-divisible check cadence) routes through
             # the XLA engine's while_loop.
@@ -1034,9 +1030,7 @@ def solve_batch_pallas(
             )
         kw = {}
         if form == "dual":
-            if y0 is not None and y0.ndim > 1 and y0.shape[0] not in (1, Bflat):
-                y0 = y0.reshape((Bflat,) + y0.shape[-2:])
-            kw["y0"] = y0
+            kw["y0"] = _norm_y0(y0, Bflat, data.m_half)
             kw["restart"] = config.restart
         z, y, w, zhat = fixed(
             data,

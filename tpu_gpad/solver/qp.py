@@ -150,9 +150,9 @@ def polish(
     z = np.asarray(z, dtype=np.float64)
     m, n = G.shape
 
-    slack = b - G @ z
+    cur_slack = b - G @ z
     scale = 1.0 + np.abs(b)
-    active = list(np.flatnonzero(slack < slack_tol * scale))
+    active = list(np.flatnonzero(cur_slack < slack_tol * scale))
 
     def dedup(idx):
         """Drop rows that are exact negations of earlier kept rows."""
@@ -168,8 +168,10 @@ def polish(
     lam_full = np.zeros(m)
     for _ in range(max_refine):
         W = dedup(active)
-        if len(W) > n:  # over-determined guess: keep the tightest rows
-            W = sorted(W, key=lambda i: slack[i])[:n]
+        if len(W) > n:  # over-determined guess: keep the tightest rows,
+            # ranked by the CURRENT iterate's slacks (a stale ranking would
+            # evict rows just added by the refinement and cycle)
+            W = sorted(W, key=lambda i: cur_slack[i])[:n]
         G_a = G[W] if W else np.zeros((0, n))
         b_a = b[W] if W else np.zeros(0)
         try:
@@ -182,9 +184,11 @@ def polish(
             )[0]
             z_new, lam = sol[:n], sol[n:]
         viol = G @ z_new - b
+        cur_slack = -viol
         viol[W] = 0.0
-        if viol.max() > tol * scale[int(np.argmax(viol))]:
-            active = W + [int(np.argmax(viol / scale))]
+        rel = viol / scale
+        if rel.max() > tol:
+            active = W + [int(np.argmax(rel))]
             continue
         if len(W) and lam.min() < -tol:
             drop = W[int(np.argmin(lam))]

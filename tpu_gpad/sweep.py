@@ -69,9 +69,13 @@ def run_sweep(
     converged = np.zeros(B, dtype=bool)
     start_chunk = 0
 
-    # a checkpoint is only resumable for the same problem, batch, chunking,
-    # and solver config — anything else would silently mix stale rows in
+    # a checkpoint is only resumable for the same scenarios, problem,
+    # batch, chunking, and solver config — anything else would silently
+    # mix stale rows in
+    import hashlib
+
     cfg_fp = json.dumps(dataclasses.asdict(config), sort_keys=True, default=str)
+    x0_fp = hashlib.sha256(np.ascontiguousarray(X0).tobytes()).hexdigest()
     ck, meta_p = _ckpt_paths(checkpoint) if checkpoint else (None, None)
     if ck is not None and ck.exists() and meta_p.exists():
         meta = json.loads(meta_p.read_text())
@@ -80,6 +84,7 @@ def run_sweep(
             and meta["chunk_size"] == chunk_size
             and meta.get("problem") == data.name
             and meta.get("config") == cfg_fp
+            and meta.get("x0_sha256") == x0_fp
         ):
             with np.load(ck) as f:
                 U, residual = f["U"], f["residual"]
@@ -102,6 +107,7 @@ def run_sweep(
             meta_p.write_text(json.dumps(dict(
                 batch=B, chunk_size=chunk_size, chunks_done=c + 1,
                 n_chunks=n_chunks, problem=data.name, config=cfg_fp,
+                x0_sha256=x0_fp,
             )))
         if progress:
             print(f"chunk {c + 1}/{n_chunks} done "
