@@ -49,3 +49,47 @@ def test_dual_norm_bound_vertex_dominates_interior():
     dn = dual_norm_bound(qp, -0.2 * np.ones(3), 0.2 * np.ones(3), n_samples=30, safety=1.0)
     # the argmax parameter should be (close to) a vertex of the box
     assert np.abs(np.abs(dn.argmax_p) - 0.2).max() < 1e-9
+
+
+def test_milp_bound_exact_on_grid():
+    """The eq.-(16) MILP equals the brute-force grid max of ||y*(p)||_1
+    (vertices included) on the double integrator."""
+    import itertools
+
+    from tpu_gpad.bounds import dual_norm_bound_milp
+    from tpu_gpad.solver.qp import solve_condensed_qp
+
+    qp = tpu_gpad.condense(problems.double_integrator(horizon=3))
+    lo, hi = np.array([-5.0, -2.0]), np.array([5.0, 2.0])
+    m = dual_norm_bound_milp(qp, lo, hi)
+    grid = [np.linspace(l, h, 5) for l, h in zip(lo, hi)]
+    best = 0.0
+    for p in itertools.product(*grid):
+        sol = solve_condensed_qp(qp, np.asarray(p))
+        if sol.status == "optimal":
+            best = max(best, float(np.abs(sol.lam).sum()))
+    assert m.delta >= best - 1e-6
+    assert m.delta <= best + 1e-6  # max attained on the (vertex-incl.) grid
+
+
+def test_milp_bound_dominates_sampled_and_certifies():
+    from tpu_gpad.bounds import certify, dual_norm_bound
+
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=4))
+    lo, hi = np.full(3, -0.4), np.full(3, 0.4)
+    sampled = dual_norm_bound(qp, lo, hi, n_samples=100)
+    n_nu, dn, L = certify(qp, lo, hi, eps_g=1e-3, eps_V=1e-3, method="milp")
+    assert dn.delta >= sampled.delta_observed - 1e-6  # 1-norm >= 2-norm
+    assert n_nu > 0 and L > 0
+
+
+def test_milp_bound_requires_bounded_z():
+    import dataclasses
+
+    from tpu_gpad.bounds import dual_norm_bound_milp
+
+    problem = problems.battery(n_cells=3, horizon=4)
+    no_u_box = dataclasses.replace(problem, u_min=None, u_max=None)
+    qp = tpu_gpad.condense(no_u_box)
+    with pytest.raises(ValueError, match="finite bounds"):
+        dual_norm_bound_milp(qp, np.full(3, -0.4), np.full(3, 0.4))

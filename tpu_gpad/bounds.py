@@ -114,6 +114,148 @@ def dual_norm_bound(
     )
 
 
+def dual_norm_bound_milp(
+    qp: CondensedQP,
+    p_min: np.ndarray,
+    p_max: np.ndarray,
+    M_y: float | None = None,
+    time_limit: float = 120.0,
+) -> DualNormBound:
+    """The paper's exact bound (``nmpc12-gpad.pdf`` eq. (16)): maximize
+    ``||y*(p)||_1`` over the parameter box by encoding the QP's KKT system
+    as a big-M mixed-integer linear program (binary delta_i selects whether
+    constraint i is active), solved with scipy's HiGHS MILP.
+
+    Since ``||y||_2 <= ||y||_1``, the result is a valid (conservative)
+    Delta for the 2-norm-based budget formulas above. Equality-encoded
+    +/- row pairs (``K z <= 0`` AND ``-K z <= 0``, where multipliers are
+    non-unique and the naive MILP is unbounded) carry an SOS-style
+    ``delta_+ + delta_- <= 1`` cut selecting the minimal-norm multiplier,
+    matching ``Delta_y(P) = max_p min_{y in Y*(p)} ||y||`` — the quantity
+    the paper actually bounds.
+
+    ``M_y``: big-M cap on each multiplier; defaults to 10x the sampled
+    bound. The solve is verified not to touch the cap (else raises with
+    instructions to increase it). Requires bounded z (input boxes) for the
+    slack big-M; raises otherwise.
+    """
+    from scipy.optimize import Bounds, LinearConstraint, milp
+    from scipy import sparse
+
+    from tpu_gpad.condense import find_pairing
+
+    H = np.asarray(qp.H, dtype=np.float64)
+    G = np.asarray(qp.G, dtype=np.float64)
+    E = np.asarray(qp.E, dtype=np.float64)
+    F = np.asarray(qp.F, dtype=np.float64)
+    b0 = np.asarray(qp.b0, dtype=np.float64)
+    g = np.asarray(qp.g, dtype=np.float64)
+    p_min = np.asarray(p_min, dtype=np.float64)
+    p_max = np.asarray(p_max, dtype=np.float64)
+    m, n = G.shape
+    n_x = p_min.size
+
+    # z bounds from the +/-identity rows of G (the input boxes); required
+    # for a finite slack big-M
+    z_lo = np.full(n, -np.inf)
+    z_hi = np.full(n, np.inf)
+    for i in range(m):
+        row = G[i]
+        nz = np.flatnonzero(row)
+        if nz.size == 1 and not E[i].any():
+            j = int(nz[0])
+            if row[j] > 0:
+                z_hi[j] = min(z_hi[j], b0[i] / row[j])
+            else:
+                z_lo[j] = max(z_lo[j], b0[i] / row[j])
+    if not (np.isfinite(z_lo).all() and np.isfinite(z_hi).all()):
+        raise ValueError(
+            "MILP bound needs finite bounds on every z component "
+            "(input box constraints); use dual_norm_bound instead"
+        )
+
+    # slack big-M per row via interval arithmetic over the z and p boxes
+    Gz_hi = np.where(G > 0, G * z_hi, G * z_lo).sum(axis=1)
+    Gz_lo = np.where(G > 0, G * z_lo, G * z_hi).sum(axis=1)
+    Ep_hi = np.where(E > 0, E * p_max, E * p_min).sum(axis=1)
+    M_s = b0 + Ep_hi - Gz_lo  # max possible slack per row
+    M_s = np.maximum(M_s, 0.0) + 1e-6
+
+    if M_y is None:
+        M_y = 10.0 * max(
+            dual_norm_bound(qp, p_min, p_max, n_samples=50).delta, 1.0
+        )
+
+    # variable vector x = [z (n), y (m), p (n_x), delta (m)]
+    nv = n + m + n_x + m
+    sl_z, sl_y = slice(0, n), slice(n, n + m)
+    sl_p, sl_d = slice(n + m, n + m + n_x), slice(n + m + n_x, nv)
+
+    cons = []
+    # stationarity: H z + G' y + F' p = -g
+    A = np.zeros((n, nv))
+    A[:, sl_z] = H
+    A[:, sl_y] = G.T
+    A[:, sl_p] = F.T
+    cons.append(LinearConstraint(sparse.csr_matrix(A), -g, -g))
+    # primal feasibility: G z - E p <= b0
+    A = np.zeros((m, nv))
+    A[:, sl_z] = G
+    A[:, sl_p] = -E
+    cons.append(LinearConstraint(sparse.csr_matrix(A), -np.inf, b0))
+    # y_i <= M_y delta_i
+    A = np.zeros((m, nv))
+    A[:, sl_y] = np.eye(m)
+    A[:, sl_d] = -M_y * np.eye(m)
+    cons.append(LinearConstraint(sparse.csr_matrix(A), -np.inf, np.zeros(m)))
+    # slack_i <= M_s_i (1 - delta_i):  -G z + E p + M_s delta <= M_s - b0
+    A = np.zeros((m, nv))
+    A[:, sl_z] = -G
+    A[:, sl_p] = E
+    A[:, sl_d] = np.diag(M_s)
+    cons.append(LinearConstraint(sparse.csr_matrix(A), -np.inf, M_s - b0))
+    # minimal-norm multiplier cut for +/- pairs
+    pairing = find_pairing(qp.G)
+    if pairing is not None:
+        idx_p, idx_m = pairing
+        A = np.zeros((idx_p.size, nv))
+        for r, (i, j) in enumerate(zip(idx_p, idx_m)):
+            A[r, n + m + n_x + i] = 1.0
+            A[r, n + m + n_x + j] = 1.0
+        cons.append(
+            LinearConstraint(sparse.csr_matrix(A), -np.inf, np.ones(idx_p.size))
+        )
+
+    lb = np.concatenate([z_lo, np.zeros(m), p_min, np.zeros(m)])
+    ub = np.concatenate([z_hi, np.full(m, M_y), p_max, np.ones(m)])
+    c = np.zeros(nv)
+    c[sl_y] = -1.0  # maximize sum(y) == ||y||_1
+    integrality = np.zeros(nv)
+    integrality[sl_d] = 1
+
+    res = milp(
+        c=c,
+        constraints=cons,
+        bounds=Bounds(lb, ub),
+        integrality=integrality,
+        options={"time_limit": time_limit},
+    )
+    if not res.success:
+        raise RuntimeError(f"MILP bound failed: {res.message}")
+    y_star = res.x[sl_y]
+    if y_star.max() > 0.999 * M_y:
+        raise RuntimeError(
+            f"a multiplier hit the big-M cap {M_y}; re-run with a larger M_y"
+        )
+    delta = float(-res.fun)
+    return DualNormBound(
+        delta=delta,
+        delta_observed=delta,
+        n_points=1,
+        argmax_p=res.x[sl_p].copy(),
+    )
+
+
 def certify(
     qp: CondensedQP,
     p_min: np.ndarray,
@@ -121,13 +263,21 @@ def certify(
     eps_g: float = 1e-3,
     eps_V: float = 1e-3,
     lipschitz: str = "spectral_dual",
+    method: str = "sampled",
     **bound_kw,
 ) -> tuple[int, DualNormBound, float]:
     """One-call certification: returns (N_nu, Delta bound, L) for a problem
     over a box parameter set — the offline step producing the Algorithm-2
-    fixed budget that the reference hardcodes."""
+    fixed budget that the reference hardcodes. ``method``: "sampled"
+    (vertex enumeration + interior sampling with a safety factor) or
+    "milp" (the paper's exact eq.-(16) bound)."""
     from tpu_gpad.condense import lipschitz_constant
 
     L = lipschitz_constant(qp, lipschitz)
-    dn = dual_norm_bound(qp, p_min, p_max, **bound_kw)
+    if method == "milp":
+        dn = dual_norm_bound_milp(qp, p_min, p_max, **bound_kw)
+    elif method == "sampled":
+        dn = dual_norm_bound(qp, p_min, p_max, **bound_kw)
+    else:
+        raise ValueError(f"unknown bound method: {method!r}")
     return certified_budget(L, dn.delta, eps_g, eps_V), dn, L
