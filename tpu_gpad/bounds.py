@@ -20,12 +20,11 @@ of Patrinos & Bemporad; they are conservative (valid) upper bounds, and
 ``tests/test_bounds.py`` verifies empirically that the certified budget
 always meets the target tolerances on sampled parameters.
 
-Delta itself: the paper bounds ``Delta_y(P) = max_p min_{y in Y*(p)} ||y||``
-with an MILP (eq. (16)) — optional by SURVEY.md section 7. Here
-``dual_norm_bound`` computes Delta by exact QP solves at the vertices of a
-box parameter set (exact for the bundled problems whose y*(p) extremes occur
-at vertices) plus random interior sampling, with a configurable safety
-factor for conservatism.
+Delta itself: ``dual_norm_bound`` computes Delta by exact QP solves at the
+vertices of a box parameter set (exact for the bundled problems whose
+y*(p) extremes occur at vertices) plus random interior sampling, with a
+configurable safety factor; ``dual_norm_bound_milp`` implements the
+paper's exact eq.-(16) bound as a big-M KKT MILP (HiGHS).
 """
 
 from __future__ import annotations
