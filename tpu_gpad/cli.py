@@ -273,9 +273,11 @@ def cmd_info(args) -> int:
                else np.full(problem.n_x, -0.4))
         box_hi = (problem.x_max if problem.x_max is not None
                   else np.full(problem.n_x, 0.4))
+        kw = (dict(n_samples=50, seed=args.seed)
+              if args.bound_method == "sampled" else {})
         n_nu, dn, L = certify(qp, 0.8 * box, 0.8 * box_hi,
                               eps_g=args.eps_v, eps_V=args.eps_v,
-                              n_samples=50, seed=args.seed)
+                              method=args.bound_method, **kw)
         info["certified_iterations"] = int(n_nu)
         info["dual_norm_bound"] = float(dn.delta)
     _emit(info)
@@ -342,6 +344,10 @@ def main(argv=None) -> int:
     p.add_argument("--paired", default="auto", choices=["auto", "on", "off"])
     p.add_argument("--bound", action="store_true",
                    help="compute the certified iteration bound")
+    p.add_argument("--bound-method", default="sampled",
+                   choices=["sampled", "milp"],
+                   help="Delta bound: vertex/sampling, or the paper's "
+                        "exact eq.-(16) MILP")
     p.add_argument("--eps-v", type=float, default=1e-6)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=1, help=argparse.SUPPRESS)
