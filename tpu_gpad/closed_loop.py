@@ -141,6 +141,7 @@ class Controller:
         paired: bool | str = "auto",
         data: GPADData | None = None,
         soft_state: float | None = None,
+        tracking: bool = False,
         polish: bool = False,
     ):
         if config is None:
@@ -149,12 +150,14 @@ class Controller:
             import dataclasses
 
             config = dataclasses.replace(config, iterations=iterations)
-        if data is not None and soft_state is not None:
+        if data is not None and (soft_state is not None or tracking):
             raise ValueError(
-                "pass either a prebuilt `data` or `soft_state`, not both: "
-                "the controller cannot soften a QP that is already dualized"
+                "pass either a prebuilt `data` or soft_state/tracking, not "
+                "both: the controller cannot soften or re-parametrize a QP "
+                "that is already dualized"
             )
-        self.qp = condense(problem, soft_state=soft_state)
+        self.qp = condense(problem, soft_state=soft_state, tracking=tracking)
+        self.tracking = tracking
         if data is None:
             data = dualize(self.qp, iterations=config.iterations, paired=paired)
         self.problem = problem
@@ -166,12 +169,23 @@ class Controller:
         self._y = None
         self.last_result = None
 
-    def step(self, x) -> np.ndarray:
+    def step(self, x, x_ref=None) -> np.ndarray:
         """Solve the MPC QP at state ``x`` and return u* (applied move).
 
         Output shape mirrors the input: (n_u,) for a single (n_x,) state,
-        (B, n_u) for a (B, n_x) batch — including B == 1."""
+        (B, n_u) for a (B, n_x) batch — including B == 1.
+        ``x_ref``: the setpoint (same shape as ``x``) for tracking
+        controllers (``tracking=True``); defaults to the origin."""
         single = np.ndim(x) == 1
+        x = np.asarray(x, dtype=np.float32)
+        if self.tracking:
+            if x_ref is None:
+                x_ref = np.zeros_like(x)
+            x = np.concatenate(
+                [x, np.asarray(x_ref, dtype=np.float32)], axis=-1
+            )
+        elif x_ref is not None:
+            raise ValueError("x_ref requires a tracking=True controller")
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
         y0 = self._y if self.warm_start else None
         if y0 is not None and y0.shape[0] != x.shape[0]:

@@ -43,7 +43,9 @@ def prediction_matrices(A: np.ndarray, B: np.ndarray, N: int) -> tuple[np.ndarra
 
 
 def condense(
-    problem: LinearMPCProblem, soft_state: float | None = None
+    problem: LinearMPCProblem,
+    soft_state: float | None = None,
+    tracking: bool = False,
 ) -> CondensedQP:
     """Condense an MPC problem into the parametric QP of ``CondensedQP``.
 
@@ -52,6 +54,16 @@ def condense(
     (reference ``gpad.m:76-77``). Constraint stack rows, in reference order
     (``gpad.m:84-85``): state upper box, state lower box, input upper box,
     input lower box, coupling +, coupling -.
+
+    ``tracking``: if True, the stage cost becomes the setpoint-tracking
+    form ``(x_k - r)' Q (x_k - r)`` and the QP's PARAMETER doubles to
+    ``p = [x0; r]`` (2*n_x entries): the linear cost gains the term
+    ``-(1_N' kron I)' Qbar S`` acting on ``r`` while the constraint RHS is
+    r-independent. Everything downstream (dualize, engines, bounds,
+    polish, Controller) works unchanged on the extended parameter — solve
+    with ``x0 = concat([x, r])``. The constant ``r' Q r`` offset is
+    dropped (it does not affect the minimizer). The reference is
+    regulation-only (``gpad.m`` drives SoC spreads to zero).
 
     ``soft_state``: if set, the state box constraints are SOFTENED with
     quadratic slack penalties of weight ``soft_state`` — the decision
@@ -75,6 +87,12 @@ def condense(
     H = S.T @ Qbar @ S + Rbar
     H = 0.5 * (H + H.T)  # symmetrize against roundoff
     F = T.T @ Qbar @ S  # (n_x, n_z)
+    if tracking:
+        # parameter p = [x0; r]: linear cost f(p) = F' x0 + F_r' r with
+        # F_r = -(1_N' kron I)' Qbar S (from expanding (x_k - r)' Q (x_k - r))
+        ones_kron = np.tile(np.eye(n_x), (N, 1))  # (n_x*N, n_x)
+        F_r = -(ones_kron.T @ Qbar @ S)  # (n_x, n_z)
+        F = np.concatenate([F, F_r], axis=0)  # (2*n_x, n_z)
 
     G_rows, b_rows, E_rows = [], [], []
 
@@ -107,6 +125,10 @@ def condense(
     G = np.concatenate(G_rows, axis=0)
     b0 = np.concatenate(b_rows, axis=0)
     E = np.concatenate(E_rows, axis=0)
+    if tracking:
+        # the constraint RHS does not depend on the setpoint r
+        E = np.concatenate([E, np.zeros((E.shape[0], n_x))], axis=1)
+    param_dim = 2 * n_x if tracking else n_x
 
     if soft_state is not None:
         if soft_state <= 0:
@@ -122,7 +144,7 @@ def condense(
             [H, np.zeros((n_z, n_s))],
             [np.zeros((n_s, n_z)), soft_state * np.eye(n_s)],
         ])
-        F = np.concatenate([F, np.zeros((n_x, n_s))], axis=1)
+        F = np.concatenate([F, np.zeros((F.shape[0], n_s))], axis=1)
         # slack columns: -I on the state-box rows (stacked first, in order)
         S_cols = np.zeros((m0, n_s))
         S_cols[:n_up, :n_up] = -np.eye(n_up)
@@ -135,7 +157,7 @@ def condense(
             axis=0,
         )
         b0 = np.concatenate([b0, np.zeros(n_s)])
-        E = np.concatenate([E, np.zeros((n_s, n_x))], axis=0)
+        E = np.concatenate([E, np.zeros((n_s, E.shape[1]))], axis=0)
         return CondensedQP(
             H=H,
             F=F,
@@ -144,9 +166,11 @@ def condense(
             b0=b0,
             E=E,
             n_u=n_u,
-            n_x=n_x,
+            n_x=param_dim,
             horizon=N,
-            name=problem.name + "_soft",
+            name=problem.name
+            + ("_track" if tracking else "")
+            + "_soft",
         )
 
     return CondensedQP(
@@ -157,9 +181,9 @@ def condense(
         b0=b0,
         E=E,
         n_u=n_u,
-        n_x=n_x,
+        n_x=param_dim,
         horizon=N,
-        name=problem.name,
+        name=problem.name + ("_track" if tracking else ""),
     )
 
 
