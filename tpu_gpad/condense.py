@@ -42,10 +42,23 @@ def prediction_matrices(A: np.ndarray, B: np.ndarray, N: int) -> tuple[np.ndarra
     return T, S
 
 
+def blocking_matrix(n_u: int, N: int, M: int) -> np.ndarray:
+    """Move-blocking map ``z_full = B z_blocked``: the first M moves are
+    free, moves M..N-1 hold the last free move (hold-last blocking)."""
+    if not 1 <= M <= N:
+        raise ValueError(f"control horizon M={M} must be in [1, {N}]")
+    Bm = np.zeros((n_u * N, n_u * M))
+    for k in range(N):
+        j = min(k, M - 1)
+        Bm[k * n_u : (k + 1) * n_u, j * n_u : (j + 1) * n_u] = np.eye(n_u)
+    return Bm
+
+
 def condense(
     problem: LinearMPCProblem,
     soft_state: float | None = None,
     tracking: bool = False,
+    control_horizon: int | None = None,
 ) -> CondensedQP:
     """Condense an MPC problem into the parametric QP of ``CondensedQP``.
 
@@ -125,6 +138,21 @@ def condense(
     G = np.concatenate(G_rows, axis=0)
     b0 = np.concatenate(b_rows, axis=0)
     E = np.concatenate(E_rows, axis=0)
+    if control_horizon is not None and not 1 <= control_horizon <= N:
+        raise ValueError(
+            f"control horizon M={control_horizon} must be in [1, {N}]"
+        )
+    if control_horizon is not None and control_horizon < N:
+        # move blocking: moves M..N-1 hold move M-1. The decision vector
+        # shrinks to n_u*M; constraints stay at every stage (the held
+        # moves' input-box rows become duplicates of move M-1's — harmless
+        # for GPAD, though they may defeat the paired half-stack layout).
+        # u* recovery is unchanged: the first blocked move IS u_0.
+        Bm = blocking_matrix(n_u, N, control_horizon)
+        H = Bm.T @ H @ Bm
+        H = 0.5 * (H + H.T)
+        F = F @ Bm
+        G = G @ Bm
     if tracking:
         # the constraint RHS does not depend on the setpoint r
         E = np.concatenate([E, np.zeros((E.shape[0], n_x))], axis=1)
@@ -139,10 +167,11 @@ def condense(
         if n_s == 0:
             raise ValueError("soft_state set but the problem has no state box")
         m0 = G.shape[0]
+        n_zc = H.shape[0]  # current decision dim (may be move-blocked)
         # extended decision vector [z; s_up; s_lo]
         H = np.block([
-            [H, np.zeros((n_z, n_s))],
-            [np.zeros((n_s, n_z)), soft_state * np.eye(n_s)],
+            [H, np.zeros((n_zc, n_s))],
+            [np.zeros((n_s, n_zc)), soft_state * np.eye(n_s)],
         ])
         F = np.concatenate([F, np.zeros((F.shape[0], n_s))], axis=1)
         # slack columns: -I on the state-box rows (stacked first, in order)
@@ -153,7 +182,7 @@ def condense(
         # slack nonnegativity: -s <= 0
         G = np.concatenate(
             [G, np.concatenate(
-                [np.zeros((n_s, n_z)), -np.eye(n_s)], axis=1)],
+                [np.zeros((n_s, n_zc)), -np.eye(n_s)], axis=1)],
             axis=0,
         )
         b0 = np.concatenate([b0, np.zeros(n_s)])
@@ -161,7 +190,7 @@ def condense(
         return CondensedQP(
             H=H,
             F=F,
-            g=np.zeros(n_z + n_s),
+            g=np.zeros(n_zc + n_s),
             G=G,
             b0=b0,
             E=E,
@@ -176,7 +205,7 @@ def condense(
     return CondensedQP(
         H=H,
         F=F,
-        g=np.zeros(n_z),
+        g=np.zeros(H.shape[0]),
         G=G,
         b0=b0,
         E=E,
