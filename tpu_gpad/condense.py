@@ -54,6 +54,24 @@ def blocking_matrix(n_u: int, N: int, M: int) -> np.ndarray:
     return Bm
 
 
+def dare_terminal_weight(problem: LinearMPCProblem) -> np.ndarray:
+    """The infinite-horizon LQR terminal weight: the stabilizing solution
+    of the discrete algebraic Riccati equation for (A, B, Q, R).
+
+    Using it as ``Q_terminal`` makes the finite-horizon MPC cost equal the
+    infinite-horizon LQR cost whenever constraints are inactive at the
+    tail — the standard recipe for closed-loop stability guarantees. The
+    reference weights every stage equally (``gpad.m:76``)."""
+    from scipy.linalg import solve_discrete_are
+
+    return solve_discrete_are(
+        np.asarray(problem.A, dtype=np.float64),
+        np.asarray(problem.B, dtype=np.float64),
+        np.asarray(problem.Q, dtype=np.float64),
+        np.asarray(problem.R, dtype=np.float64),
+    )
+
+
 def condense(
     problem: LinearMPCProblem,
     soft_state: float | None = None,
@@ -96,6 +114,11 @@ def condense(
     T, S = prediction_matrices(problem.A, problem.B, N)
 
     Qbar = np.kron(np.eye(N), np.asarray(problem.Q, dtype=np.float64))
+    if problem.Q_terminal is not None:
+        # replace the last diagonal block: stage-N state weighted by Q_N
+        Qbar[(N - 1) * n_x :, (N - 1) * n_x :] = np.asarray(
+            problem.Q_terminal, dtype=np.float64
+        )
     Rbar = np.kron(np.eye(N), np.asarray(problem.R, dtype=np.float64))
     H = S.T @ Qbar @ S + Rbar
     H = 0.5 * (H + H.T)  # symmetrize against roundoff

@@ -41,6 +41,11 @@ class LinearMPCProblem:
     horizon: int  # N, number of prediction steps
     x_min: Optional[np.ndarray] = None  # (n_x,) or None for unconstrained
     x_max: Optional[np.ndarray] = None
+    Q_terminal: Optional[np.ndarray] = None  # (n_x, n_x) terminal state
+    # weight replacing Q at stage N (e.g. the DARE solution via
+    # condense.dare_terminal_weight for LQR-consistent closed loops);
+    # None means the stage cost Q is used at every stage (the reference's
+    # formulation, gpad.m:76)
     u_min: Optional[np.ndarray] = None  # (n_u,)
     u_max: Optional[np.ndarray] = None
     K_u: Optional[np.ndarray] = None  # (n_c, n_u) per-stage coupling, K_u u_k = 0
