@@ -81,3 +81,22 @@ def test_schedule_variants_both_converge():
     r1 = gpad_solve_qp(qp, x0, iterations=2000, schedule="paper")
     r2 = gpad_solve_qp(qp, x0, iterations=2000, schedule="reference")
     np.testing.assert_allclose(r1.u, r2.u, atol=1e-4)
+
+
+def test_oracle_residual_history():
+    import tpu_gpad
+    from tpu_gpad import problems
+    from tpu_gpad.solver.reference import gpad_solve_qp
+
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=6))
+    x0 = problems.battery_default_x0(3, seed=1)
+    r = gpad_solve_qp(qp, x0, iterations=120, history=True)
+    h = r.residual_history
+    assert h is not None and h.shape == (120,)
+    # converging: the tail is far below the head, and the last entry
+    # matches the reported residual
+    assert h[-1] <= h[:10].max()
+    np.testing.assert_allclose(h[-1], r.residual, rtol=1e-6)
+    # restart converges much faster at the same budget
+    rr = gpad_solve_qp(qp, x0, iterations=120, history=True, restart=True)
+    assert rr.residual_history[-1] <= max(h[-1], 1e-12)

@@ -54,6 +54,10 @@ class OracleResult:
     y: np.ndarray
     iterations: int
     residual: float
+    # per-iteration max primal infeasibility of z (unscaled), recorded when
+    # ``history=True`` — the convergence-curve data behind the cookbook's
+    # per-step analysis plots (ECE_5770_GPAD_Cookbook.pdf p.5)
+    residual_history: np.ndarray | None = None
 
 
 def gpad_solve(
@@ -72,6 +76,7 @@ def gpad_solve(
     eps_V: float | None = None,
     check_every: int = 1,
     restart: bool = False,
+    history: bool = False,
 ) -> OracleResult:
     """Full GPAD loop on raw dual constants (reference acceldualgrad.m:39-64).
 
@@ -111,6 +116,7 @@ def gpad_solve(
 
     niter = iterations
     th = th_prev = 1.0  # on-the-fly recursion state (restart mode)
+    hist = [] if history else None
     for k in range(iterations):
         if restart:
             theta_k = th
@@ -121,6 +127,9 @@ def gpad_solve(
         zhat = step2(M_G, w, g_P, negated_mg=negated_mg)
         z = step3(z, zhat, theta_k)
         y_next = step4(G_L, w, p_D, zhat)
+        if hist is not None:
+            scale = L if L is not None else 1.0
+            hist.append(float(np.maximum(G_L @ z + p_D, 0.0).max() * scale))
         if restart and float((w - y_next) @ (y_next - y)) > 0.0:
             th = th_prev = 1.0
             y_prev = y = y_next
@@ -143,7 +152,10 @@ def gpad_solve(
                 break
 
     residual = float(np.maximum(G_L @ z + p_D, 0.0).max() * (L if L is not None else 1.0))
-    return OracleResult(u=z[:n_u].copy(), z=z, y=y, iterations=niter, residual=residual)
+    return OracleResult(
+        u=z[:n_u].copy(), z=z, y=y, iterations=niter, residual=residual,
+        residual_history=None if hist is None else np.asarray(hist[:niter]),
+    )
 
 
 def gpad_solve_qp(qp, x0, iterations: int = 100, lipschitz: str = "spectral_dual", schedule: str = "paper", **kw) -> OracleResult:
