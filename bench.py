@@ -141,7 +141,8 @@ def main():
         detail["eps1e5_restart_solves_per_sec"] = batch / t_re
 
     def _long_horizon():
-        # long horizon N=50 (BASELINE config 2)
+        # long horizon N=50 (BASELINE config 2). At this size the dual
+        # matmul is MXU-bound, so the 1-pass precision mode is ~3x.
         qp50 = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=50))
         data50 = tpu_gpad.dualize(qp50, iterations=max(iters, 100), paired="auto")
         X0_50 = X0[:1024]
@@ -149,6 +150,12 @@ def main():
             lambda: solve_batch(data50, X0_50, config=cfg).u, k_large=10
         )
         detail["long_horizon_N50_solves_per_sec"] = 1024 / t50
+        cfg50f = SolverConfig(iterations=iters, engine=args.engine,
+                              precision="default")
+        t50f = device_time_per_call(
+            lambda: solve_batch(data50, X0_50, config=cfg50f).u, k_large=10
+        )
+        detail["long_horizon_N50_fast_precision_solves_per_sec"] = 1024 / t50f
 
     optional("fast_modes", _fast_modes)
     optional("xla_engine", _xla_engine)

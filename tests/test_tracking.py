@@ -73,3 +73,16 @@ def test_non_tracking_controller_rejects_ref():
     ctrl = tpu_gpad.Controller(problem, iterations=20)
     with pytest.raises(ValueError, match="tracking"):
         ctrl.step(np.zeros(2, dtype=np.float32), x_ref=np.ones(2))
+
+
+def test_simulate_tracking_batch():
+    """The jitted batch simulator tracks per-scenario setpoints."""
+    problem = problems.double_integrator(horizon=10)
+    X0 = np.array([[-3.0, 0.0], [1.0, 0.5]], dtype=np.float32)
+    R = np.array([[2.0, 0.0], [-1.0, 0.0]], dtype=np.float32)
+    res = tpu_gpad.simulate(
+        problem, X0, n_steps=40, x_ref=R,
+        config=SolverConfig(iterations=80, restart=True), warm_start=True,
+    )
+    X = np.asarray(res.X)
+    assert np.abs(X[-1] - R).max() < 2e-2, X[-1]

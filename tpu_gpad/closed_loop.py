@@ -60,6 +60,7 @@ def _simulate_jit(
     n_steps: int,
     config: SolverConfig,
     warm_start: bool,
+    X_ref: jax.Array | None = None,
 ) -> ClosedLoopResult:
     batch = X0.shape[0]
     dual_shape = (
@@ -69,8 +70,9 @@ def _simulate_jit(
 
     def step(carry, _):
         x, y_ws = carry
+        p = x if X_ref is None else jnp.concatenate([x, X_ref], axis=-1)
         res = solve_batch(
-            data, x, config=config, y0=y_ws if warm_start else None
+            data, p, config=config, y0=y_ws if warm_start else None
         )
         u = res.u
         x_next = x @ A.T + u @ B.T  # plant propagation (gpad.m:93)
@@ -92,6 +94,7 @@ def simulate(
     iterations: int = 100,
     warm_start: bool = False,
     paired: bool | str = "auto",
+    x_ref: np.ndarray | jax.Array | None = None,
 ) -> ClosedLoopResult:
     """Run the closed loop: condense once, then scan solve->actuate->propagate.
 
@@ -99,11 +102,13 @@ def simulate(
     scenarios simulated in lockstep. ``warm_start`` seeds each sample's dual
     iterate with the previous sample's solution (consecutive MPC QPs differ
     only in x0, so their duals are close) — the reference cold-starts every
-    solve (``acceldualgrad.m:28-33``).
+    solve (``acceldualgrad.m:28-33``). ``x_ref`` runs a setpoint-tracking
+    loop (condenses with ``tracking=True``; a supplied ``data`` must then
+    be tracking-parametrized).
     """
     if data is None:
         data = dualize(
-            condense(problem),
+            condense(problem, tracking=x_ref is not None),
             iterations=max(iterations, config.iterations or 0),
             paired=paired,
         )
@@ -112,9 +117,14 @@ def simulate(
 
         config = dataclasses.replace(config, iterations=iterations)
     X0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
+    X_ref = None
+    if x_ref is not None:
+        X_ref = jnp.broadcast_to(
+            jnp.asarray(x_ref, dtype=jnp.float32), X0.shape
+        )
     A = jnp.asarray(problem.A, dtype=jnp.float32)
     B = jnp.asarray(problem.B, dtype=jnp.float32)
-    return _simulate_jit(data, A, B, X0, n_steps, config, warm_start)
+    return _simulate_jit(data, A, B, X0, n_steps, config, warm_start, X_ref)
 
 
 class Controller:
