@@ -209,3 +209,24 @@ def test_pallas_warm_start_broadcastable_shapes(battery_data_paired):
     r3 = solve_batch(data, Xm, config=SolverConfig(engine="pallas", **kw),
                      y0=y_one)
     assert np.all(np.isfinite(np.asarray(r3.u)))
+
+
+def test_pallas_dense_warm_start(battery_data):
+    """The dense (non-paired) kernel takes y0 directly — the path dataset-
+    loaded problems and their closed loops use."""
+    qp, data = battery_data
+    X0 = _x0_batch(5, qp.n_x, seed=31)
+    cfg_pl = SolverConfig(iterations=50, engine="pallas")
+    cfg_xla = SolverConfig(iterations=50, engine="xla")
+    r1 = solve_batch(data, X0, config=cfg_xla)
+    w_pl = solve_batch(data, X0, config=cfg_pl, y0=r1.y)
+    w_xla = solve_batch(data, X0, config=cfg_xla, y0=r1.y)
+    np.testing.assert_allclose(
+        np.asarray(w_pl.u), np.asarray(w_xla.u),
+        atol=backend_tol(2e-5, 5e-3),
+    )
+    # shared single-dual warm start broadcasts
+    r2 = solve_batch(data, X0, config=cfg_pl, y0=r1.y[0])
+    assert np.all(np.isfinite(np.asarray(r2.u)))
+    cold = solve_batch(data, X0, config=cfg_pl)
+    assert np.abs(np.asarray(w_pl.y) - np.asarray(cold.y)).max() > 1e-6

@@ -283,12 +283,13 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if config.engine == "xla":
         return "xla"
     if config.engine == "pallas":
-        # mvp-form warm starts are the one unsupported combination (the
+        # paired-mvp warm starts are the one unsupported combination (the
         # dual-capability test is on the data, NOT resolve_form, because
         # resolve_form never reports "dual" in eps mode while the chunked
-        # eps kernel does support dual-form warm starts)
+        # eps kernel does support dual-form warm starts); dense (non-
+        # paired) and dual-form kernels take y0 directly
         dual_capable = data.paired and data.D is not None and config.form != "mvp"
-        if y0 is not None and not dual_capable:
+        if y0 is not None and data.paired and not dual_capable:
             return "xla"
         return "pallas"
     if config.engine != "auto":
@@ -319,7 +320,9 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
         return "xla"
     if config.mode != "fixed":
         return "xla"
-    if y0 is not None and resolve_form(data, config) != "dual":
+    # warm starts are fused in the dual form and the dense kernel; the
+    # paired-mvp kernel assumes the cold start
+    if y0 is not None and data.paired and resolve_form(data, config) != "dual":
         return "xla"
     from tpu_gpad.solver import kernels
 

@@ -144,6 +144,7 @@ def _gpad_kernel(
     # tensor inputs (scenario-minor: batch on LANES, see _gpad_kernel_dual)
     gP_ref,  # (S_z, B_t)
     pD_ref,  # (S_m, B_t)
+    y0_ref,  # (S_m, B_t) warm-start dual (zeros when cold)
     MGt_ref,  # (S_z, S_m) == MG_T'
     GLt_ref,  # (S_m, S_z) == GL_T'
     # outputs
@@ -173,7 +174,7 @@ def _gpad_kernel(
     # Initial iterates derived from loaded operands (not a zeros broadcast):
     # Mosaic assigns broadcast-zeros a replicated vector layout that cannot be
     # relayout'd against the general layout of loop-carried values.
-    y0 = p_D * 0.0
+    y0 = y0_ref[:]  # warm start (zeros when cold, matching _init_state)
     z0 = g_P * 0.0
 
     def body(k, carry):
@@ -865,6 +866,7 @@ def gpad_pallas_fixed(
     data: GPADData,
     g_P: jax.Array,
     p_D: jax.Array,
+    y0: jax.Array | None = None,
     *,
     iterations: int,
     matmul_dtype: str = "float32",
@@ -895,6 +897,13 @@ def gpad_pallas_fixed(
     GLt = _pad2(data.GL_T.T, S_m, S_z)  # (m, n_z) padded
     gPT = _pad2(g_P.T, S_z, B_p)
     pDT = _pad2(p_D.T, S_m, B_p)
+    if y0 is None:
+        y0T = jnp.zeros((S_m, B_p), dtype=jnp.float32)
+    else:
+        y0b = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=jnp.float32), (B, m)
+        )
+        y0T = _pad2(y0b.T, S_m, B_p)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
 
@@ -933,6 +942,7 @@ def gpad_pallas_fixed(
             in_specs=[
                 lane_spec_z,  # g_P
                 lane_spec_m,  # p_D
+                lane_spec_m,  # y0 (zeros when cold)
                 full(S_z, S_m),  # MG_T' (constant index map: fetched once)
                 full(S_m, S_z),  # GL_T'
             ],
@@ -954,7 +964,7 @@ def gpad_pallas_fixed(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, gPT, pDT, MGt, GLt)
+    )(theta, beta, gPT, pDT, y0T, MGt, GLt)
     return (
         z[:n_z, :B].T,
         y[:m, :B].T,
@@ -1020,9 +1030,11 @@ def solve_batch_pallas(
             fixed = gpad_pallas_fixed_paired
         else:
             fixed = gpad_pallas_fixed
-        if y0 is not None and form != "dual":
+        if y0 is not None and form != "dual" and data.paired:
             raise ValueError(
-                "pallas warm starts are only supported by the dual form"
+                "pallas warm starts need the dual form or a dense "
+                "(non-paired) stack; the paired-mvp kernel assumes the "
+                "cold start"
             )
         if config.restart and form != "dual":
             raise ValueError(
@@ -1032,6 +1044,11 @@ def solve_batch_pallas(
         if form == "dual":
             kw["y0"] = _norm_y0(y0, Bflat, data.m_half)
             kw["restart"] = config.restart
+        elif not data.paired and y0 is not None:
+            y0d = jnp.asarray(y0, dtype=jnp.float32)
+            if y0d.ndim > 2:
+                y0d = y0d.reshape((-1, y0d.shape[-1]))
+            kw["y0"] = jnp.broadcast_to(y0d, (Bflat, data.m))
         z, y, w, zhat = fixed(
             data,
             gP2,
