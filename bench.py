@@ -149,13 +149,15 @@ def main():
         t50 = device_time_per_call(
             lambda: solve_batch(data50, X0_50, config=cfg).u, k_large=10
         )
-        detail["long_horizon_N50_solves_per_sec"] = 1024 / t50
+        detail["long_horizon_N50_solves_per_sec"] = X0_50.shape[0] / t50
         cfg50f = SolverConfig(iterations=iters, engine=args.engine,
                               precision="default")
         t50f = device_time_per_call(
             lambda: solve_batch(data50, X0_50, config=cfg50f).u, k_large=10
         )
-        detail["long_horizon_N50_fast_precision_solves_per_sec"] = 1024 / t50f
+        detail["long_horizon_N50_fast_precision_solves_per_sec"] = (
+            X0_50.shape[0] / t50f
+        )
 
     optional("fast_modes", _fast_modes)
     optional("xla_engine", _xla_engine)

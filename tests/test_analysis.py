@@ -55,3 +55,11 @@ def test_plot_smoke(tmp_path):
     fig = plot_convergence(tr, path=str(out))
     if fig is not None:
         assert out.exists()
+
+
+def test_trace_rejects_overlong_budget():
+    import pytest
+
+    qp, data, X0 = _setup()
+    with pytest.raises(ValueError, match="schedule"):
+        convergence_trace(data, X0, SolverConfig(iterations=500))

@@ -89,3 +89,11 @@ def test_bad_control_horizon_rejected():
         tpu_gpad.condense(problem, control_horizon=0)
     with pytest.raises(ValueError, match="control horizon"):
         tpu_gpad.condense(problem, control_horizon=9)
+
+
+def test_blocked_data_plus_polish_rejected():
+    problem = problems.battery(n_cells=3, horizon=8)
+    qp_blk = tpu_gpad.condense(problem, control_horizon=2)
+    data_blk = tpu_gpad.dualize(qp_blk, iterations=60, paired="auto")
+    with pytest.raises(ValueError, match="polish"):
+        tpu_gpad.Controller(problem, data=data_blk, polish=True)

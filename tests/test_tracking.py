@@ -86,3 +86,11 @@ def test_simulate_tracking_batch():
     )
     X = np.asarray(res.X)
     assert np.abs(X[-1] - R).max() < 2e-2, X[-1]
+
+
+def test_controller_batched_states_shared_ref():
+    problem = problems.double_integrator(horizon=6)
+    ctrl = tpu_gpad.Controller(problem, tracking=True, iterations=40)
+    X = np.zeros((3, 2), dtype=np.float32)
+    U = ctrl.step(X, x_ref=np.array([1.0, 0.0], dtype=np.float32))
+    assert U.shape == (3, 1)

@@ -51,6 +51,14 @@ def convergence_trace(
 
     if config.iterations is None:
         config = dataclasses.replace(config, iterations=data.max_iters)
+    if config.iterations > data.max_iters and not config.restart:
+        # match solve_batch's guard: jitted schedule reads clamp out-of-
+        # range indices silently, which would freeze the momentum scalars
+        raise ValueError(
+            f"config asks for {config.iterations} iterations but the "
+            f"shipped momentum schedule only has {data.max_iters}; "
+            "re-dualize with a longer one"
+        )
     x0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
     mm = _make_matmul(config)
     g_P, p_D = affine_params(data, x0)

@@ -174,7 +174,6 @@ def dual_norm_bound_milp(
         )
 
     # slack big-M per row via interval arithmetic over the z and p boxes
-    Gz_hi = np.where(G > 0, G * z_hi, G * z_lo).sum(axis=1)
     Gz_lo = np.where(G > 0, G * z_lo, G * z_hi).sum(axis=1)
     Ep_hi = np.where(E > 0, E * p_max, E * p_min).sum(axis=1)
     M_s = b0 + Ep_hi - Gz_lo  # max possible slack per row

@@ -166,6 +166,13 @@ class Controller:
                 "both: the controller cannot soften or re-parametrize a QP "
                 "that is already dualized"
             )
+        if data is not None and polish:
+            raise ValueError(
+                "polish=True needs the controller's own condensed QP; with "
+                "a prebuilt `data` (e.g. move-blocked) the internally "
+                "condensed QP would not match the solved one — polish the "
+                "results yourself via tpu_gpad.polish with the matching QP"
+            )
         self.qp = condense(problem, soft_state=soft_state, tracking=tracking)
         self.tracking = tracking
         if data is None:
@@ -191,9 +198,10 @@ class Controller:
         if self.tracking:
             if x_ref is None:
                 x_ref = np.zeros_like(x)
-            x = np.concatenate(
-                [x, np.asarray(x_ref, dtype=np.float32)], axis=-1
+            x_ref = np.broadcast_to(
+                np.asarray(x_ref, dtype=np.float32), x.shape
             )
+            x = np.concatenate([x, x_ref], axis=-1)
         elif x_ref is not None:
             raise ValueError("x_ref requires a tracking=True controller")
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))

@@ -94,7 +94,7 @@ def pick_lane_tile(
 DUAL_FIXED_ARRAYS = 26
 DUAL_CHUNK_ARRAYS = 36  # 7 lane-in + 7 lane-out + mom blocks, 8 carries
 PAIRED_ARRAYS = (20, 8)  # (dual-half space, primal space)
-DENSE_ARRAYS = (13, 9)
+DENSE_ARRAYS = (15, 9)  # +2: the y0 input block is double-buffered
 
 
 def _norm_y0(y0, Bflat: int, m_half: int):
