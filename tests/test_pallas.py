@@ -230,3 +230,20 @@ def test_pallas_dense_warm_start(battery_data):
     assert np.all(np.isfinite(np.asarray(r2.u)))
     cold = solve_batch(data, X0, config=cfg_pl)
     assert np.abs(np.asarray(w_pl.y) - np.asarray(cold.y)).max() > 1e-6
+
+
+def test_pallas_paired_mvp_warm_start(battery_data_paired):
+    """The paired-mvp kernel (form='mvp' forced) takes y0 too."""
+    qp, data = battery_data_paired
+    X0 = _x0_batch(4, qp.n_x, seed=41)
+    cfg_pl = SolverConfig(iterations=50, engine="pallas", form="mvp")
+    cfg_xla = SolverConfig(iterations=50, engine="xla", form="mvp")
+    r1 = solve_batch(data, X0, config=cfg_xla)
+    w_pl = solve_batch(data, X0, config=cfg_pl, y0=r1.y)
+    w_xla = solve_batch(data, X0, config=cfg_xla, y0=r1.y)
+    np.testing.assert_allclose(
+        np.asarray(w_pl.u), np.asarray(w_xla.u),
+        atol=backend_tol(2e-5, 5e-3),
+    )
+    cold = solve_batch(data, X0, config=cfg_pl)
+    assert np.abs(np.asarray(w_pl.y) - np.asarray(cold.y)).max() > 1e-6

@@ -283,14 +283,7 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if config.engine == "xla":
         return "xla"
     if config.engine == "pallas":
-        # paired-mvp warm starts are the one unsupported combination (the
-        # dual-capability test is on the data, NOT resolve_form, because
-        # resolve_form never reports "dual" in eps mode while the chunked
-        # eps kernel does support dual-form warm starts); dense (non-
-        # paired) and dual-form kernels take y0 directly
-        dual_capable = data.paired and data.D is not None and config.form != "mvp"
-        if y0 is not None and data.paired and not dual_capable:
-            return "xla"
+        # every fixed-mode kernel takes y0 directly
         return "pallas"
     if config.engine != "auto":
         raise ValueError(f"unknown engine: {config.engine!r}")
@@ -319,10 +312,6 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
             return "pallas"
         return "xla"
     if config.mode != "fixed":
-        return "xla"
-    # warm starts are fused in the dual form and the dense kernel; the
-    # paired-mvp kernel assumes the cold start
-    if y0 is not None and data.paired and resolve_form(data, config) != "dual":
         return "xla"
     from tpu_gpad.solver import kernels
 

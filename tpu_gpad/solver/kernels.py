@@ -93,7 +93,7 @@ def pick_lane_tile(
 # temporaries + double-buffered in/out blocks, per the kernels' signatures
 DUAL_FIXED_ARRAYS = 26
 DUAL_CHUNK_ARRAYS = 36  # 7 lane-in + 7 lane-out + mom blocks, 8 carries
-PAIRED_ARRAYS = (20, 8)  # (dual-half space, primal space)
+PAIRED_ARRAYS = (24, 8)  # (dual-half space, primal space); +4: two double-buffered y0 blocks
 DENSE_ARRAYS = (15, 9)  # +2: the y0 input block is double-buffered
 
 
@@ -695,6 +695,8 @@ def _gpad_kernel_paired(
     gP_ref,
     pDp_ref,
     pDm_ref,
+    y0p_ref,
+    y0m_ref,
     MG_ref,
     GL_ref,
     # outputs
@@ -725,7 +727,8 @@ def _gpad_kernel_paired(
     p_Dp = pDp_ref[:]  # (S_h, B_t)
     p_Dm = pDm_ref[:]
     f32 = jnp.float32
-    y0 = p_Dp * 0.0
+    y0p = y0p_ref[:]  # warm start (zeros when cold)
+    y0m = y0m_ref[:]
     z0 = g_P * 0.0
 
     def body(k, carry):
@@ -750,8 +753,9 @@ def _gpad_kernel_paired(
         ym_next = jnp.maximum(wm - q + p_Dm, 0.0)
         return yp_next, ym_next, yp, ym, z, wp, wm, zhat
 
+    zero_h = p_Dp * 0.0
     yp, ym, _, _, z, wp, wm, zhat = jax.lax.fori_loop(
-        0, iterations, body, (y0, y0, y0, y0, z0, y0, y0, z0)
+        0, iterations, body, (y0p, y0m, y0p, y0m, z0, zero_h, zero_h, z0)
     )
     z_ref[:] = z
     yp_ref[:] = yp
@@ -769,6 +773,7 @@ def gpad_pallas_fixed_paired(
     data: GPADData,
     g_P: jax.Array,
     p_D: jax.Array,
+    y0: jax.Array | None = None,
     *,
     iterations: int,
     matmul_dtype: str = "float32",
@@ -796,6 +801,15 @@ def gpad_pallas_fixed_paired(
     gPT = _pad2(g_P.T, S_z, B_p)
     pDpT = _pad2(p_D[:, 0, :].T, S_h, B_p)
     pDmT = _pad2(p_D[:, 1, :].T, S_h, B_p)
+    if y0 is None:
+        y0pT = jnp.zeros((S_h, B_p), dtype=jnp.float32)
+        y0mT = y0pT
+    else:
+        y0b = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=jnp.float32), (B, 2, m_h)
+        )
+        y0pT = _pad2(y0b[:, 0, :].T, S_h, B_p)
+        y0mT = _pad2(y0b[:, 1, :].T, S_h, B_p)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
 
@@ -826,6 +840,8 @@ def gpad_pallas_fixed_paired(
                 lane_spec_z,  # g_P
                 lane_spec_h,  # p_D plus rows
                 lane_spec_h,  # p_D minus rows
+                lane_spec_h,  # y0 plus rows (zeros when cold)
+                lane_spec_h,  # y0 minus rows
                 full(S_z, S_h),  # MG_T' (half stack)
                 full(S_h, S_z),  # GL_T'
             ],
@@ -852,7 +868,7 @@ def gpad_pallas_fixed_paired(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, gPT, pDpT, pDmT, MGt, GLt)
+    )(theta, beta, gPT, pDpT, pDmT, y0pT, y0mT, MGt, GLt)
     y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
     w = jnp.stack([wp[:m_h, :B].T, wm[:m_h, :B].T], axis=1)
     return z[:n_z, :B].T, y, w, zhat[:n_z, :B].T
@@ -1030,12 +1046,6 @@ def solve_batch_pallas(
             fixed = gpad_pallas_fixed_paired
         else:
             fixed = gpad_pallas_fixed
-        if y0 is not None and form != "dual" and data.paired:
-            raise ValueError(
-                "pallas warm starts need the dual form or a dense "
-                "(non-paired) stack; the paired-mvp kernel assumes the "
-                "cold start"
-            )
         if config.restart and form != "dual":
             raise ValueError(
                 "engine='pallas' supports restart=True only in the dual form"
@@ -1044,7 +1054,9 @@ def solve_batch_pallas(
         if form == "dual":
             kw["y0"] = _norm_y0(y0, Bflat, data.m_half)
             kw["restart"] = config.restart
-        elif not data.paired and y0 is not None:
+        elif data.paired and y0 is not None:
+            kw["y0"] = _norm_y0(y0, Bflat, data.m_half)
+        elif y0 is not None:
             y0d = jnp.asarray(y0, dtype=jnp.float32)
             if y0d.ndim > 2:
                 y0d = y0d.reshape((-1, y0d.shape[-1]))
