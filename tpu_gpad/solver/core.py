@@ -276,9 +276,9 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
 
     "auto" (the default) uses the fused Pallas kernel exactly when it is
     the fast choice: TPU backend, fixed-iteration mode, no model-axis TP,
-    and the problem fits the kernel's VMEM budget. Warm starts are only
-    fused in the dual form; mvp-form warm starts take the XLA loop (those
-    kernels assume the cold start). Forcing engine="pallas" is honored
+    and the problem fits the kernel's VMEM budget. Warm starts (``y0``)
+    are fused in every fixed-mode kernel form (dual/dense/paired) and
+    never demote the engine. Forcing engine="pallas" is honored
     everywhere (interpret mode off-TPU — slow, meant for tests)."""
     if config.engine == "xla":
         return "xla"

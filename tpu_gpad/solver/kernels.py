@@ -390,9 +390,7 @@ def gpad_pallas_fixed_dual(
         y0pT = jnp.zeros((S, B_p), dtype=jnp.float32)
         y0mT = y0pT
     else:
-        y0b = jnp.broadcast_to(
-            jnp.asarray(y0, dtype=jnp.float32), (B, 2, data.m_half)
-        )
+        y0b = _norm_y0(y0, B, data.m_half)  # accepts any leading batch dims
         y0pT = _pad2(y0b[:, 0, :].T, S, B_p)
         y0mT = _pad2(y0b[:, 1, :].T, S, B_p)
     Dn = _pad2(-data.D, S, S)  # symmetric, negation folded offline
@@ -614,9 +612,7 @@ def gpad_pallas_eps_dual(
         ypT = jnp.zeros((S, B_p), dtype=jnp.float32)
         ymT = ypT
     else:
-        y0b = jnp.broadcast_to(
-            jnp.asarray(y0, dtype=jnp.float32), (B, 2, m_h)
-        )
+        y0b = _norm_y0(y0, B, m_h)  # accepts any leading batch dims
         ypT = _pad2(y0b[:, 0, :].T, S, B_p)
         ymT = _pad2(y0b[:, 1, :].T, S, B_p)
     zero = jnp.zeros((S, B_p), dtype=jnp.float32)
@@ -805,9 +801,7 @@ def gpad_pallas_fixed_paired(
         y0pT = jnp.zeros((S_h, B_p), dtype=jnp.float32)
         y0mT = y0pT
     else:
-        y0b = jnp.broadcast_to(
-            jnp.asarray(y0, dtype=jnp.float32), (B, 2, m_h)
-        )
+        y0b = _norm_y0(y0, B, m_h)  # accepts any leading batch dims
         y0pT = _pad2(y0b[:, 0, :].T, S_h, B_p)
         y0mT = _pad2(y0b[:, 1, :].T, S_h, B_p)
     theta = data.theta[:iterations]
@@ -916,9 +910,10 @@ def gpad_pallas_fixed(
     if y0 is None:
         y0T = jnp.zeros((S_m, B_p), dtype=jnp.float32)
     else:
-        y0b = jnp.broadcast_to(
-            jnp.asarray(y0, dtype=jnp.float32), (B, m)
-        )
+        y0b = jnp.asarray(y0, dtype=jnp.float32)
+        if y0b.ndim > 2:  # arbitrary leading batch dims, like _norm_y0
+            y0b = y0b.reshape((-1, y0b.shape[-1]))
+        y0b = jnp.broadcast_to(y0b, (B, m))
         y0T = _pad2(y0b.T, S_m, B_p)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]

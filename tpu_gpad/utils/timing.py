@@ -52,6 +52,88 @@ def device_time_per_call(
     return float(max(best, 1e-9))
 
 
+def device_time_stats(
+    fn,
+    n: int = 5,
+    k_small: int = 2,
+    k_large: int = 22,
+    min_window_s: float = 0.15,
+) -> dict:
+    """Median-of-n slope-method timing with spread, for round-over-round
+    benchmark comparability (a single min-of-3 reading on the tunneled chip
+    drifts ~5% run to run; the median + IQR makes drift vs regression
+    distinguishable). Returns ``{"median_s", "iqr_s", "n", "samples_s"}``."""
+    _run_chain(fn, 2)  # warm up compile + caches
+    t_probe = _run_chain(fn, k_large) / k_large
+    if t_probe * (k_large - k_small) < min_window_s:
+        k_large = k_small + max(int(min_window_s / max(t_probe, 1e-7)), 20)
+        k_large = min(k_large, 20000)
+    samples = []
+    for _ in range(n):
+        t_small = _run_chain(fn, k_small)
+        t_large = _run_chain(fn, k_large)
+        samples.append(max((t_large - t_small) / (k_large - k_small), 1e-9))
+    s = np.asarray(samples)
+    q1, q3 = np.percentile(s, [25, 75])
+    return {
+        "median_s": float(np.median(s)),
+        "iqr_s": float(q3 - q1),
+        "n": int(n),
+        "samples_s": [float(x) for x in s],
+    }
+
+
+def device_time_percentiles(
+    fn, n: int = 100, min_window_s: float = 0.05
+) -> dict:
+    """Device-side latency percentiles: ``n`` independent slope-method
+    samples of per-call device time. The client-observed p99 through the
+    axon tunnel is dominated by the ~30 ms RPC floor and says nothing about
+    the solver; this measures the device execution time distribution itself
+    (BASELINE.md "p99 solve latency" done right). Returns p50/p90/p99 in
+    seconds plus the sample count."""
+    stats = device_time_stats(fn, n=n, min_window_s=min_window_s)
+    s = np.asarray(stats["samples_s"])
+    return {
+        "p50_s": float(np.percentile(s, 50)),
+        "p90_s": float(np.percentile(s, 90)),
+        "p99_s": float(np.percentile(s, 99)),
+        "n": int(n),
+    }
+
+
+def matmul_peak_tflops(
+    dtype: str = "float32",
+    precision: str = "highest",
+    size: int = 4096,
+    repeats: int = 3,
+) -> float:
+    """Measured dense-matmul roofline on THIS chip at the given operand
+    dtype/precision — the denominator for honest %-of-peak accounting
+    (public spec-sheet peaks mix precisions; a (size, size)^2 matmul at the
+    solver's own matmul settings is the attainable ceiling)."""
+    import jax
+    import jax.numpy as jnp
+
+    mm_dtype = jnp.dtype(dtype)
+    prec = (
+        jax.lax.Precision(precision.lower())
+        if mm_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    a = jnp.ones((size, size), dtype=mm_dtype)
+    b = jnp.ones((size, size), dtype=mm_dtype)
+
+    @jax.jit
+    def mm(a, b):
+        return jnp.matmul(
+            a, b, precision=prec, preferred_element_type=jnp.float32
+        )
+
+    t = device_time_per_call(lambda: mm(a, b), repeats=repeats)
+    return float(2 * size**3 / t / 1e12)
+
+
 def wall_times(fn, warmup: int = 2, iters: int = 20) -> np.ndarray:
     """End-to-end wall times per call including host/tunnel overhead (what a
     remote client of a serving deployment would observe)."""
