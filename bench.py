@@ -36,8 +36,16 @@ def main():
     import tpu_gpad
     from tpu_gpad import problems
     from tpu_gpad.solver import solve_batch, SolverConfig
+    from tpu_gpad.solver.core import resolve_form
     from tpu_gpad.solver.reference import gpad_solve_qp
-    from tpu_gpad.utils import device_time_per_call, wall_times
+    from tpu_gpad.utils import (
+        device_time_per_call,
+        device_time_percentiles,
+        device_time_stats,
+        matmul_peak_tflops,
+        solve_flops,
+        wall_times,
+    )
 
     batch = 256 if args.quick else args.batch
     n_cells, horizon = 3, 10
@@ -60,14 +68,33 @@ def main():
         "iterations": iters,
     }
 
-    # --- headline: batched throughput, fp32, device time via slope method ---
+    # --- headline: batched throughput, fp32, device time via slope method.
+    # Median-of-n + IQR so round-over-round comparisons can tell tunnel
+    # drift (~5% between single readings) from a real regression. ---
     k_large = 8 if args.quick else 22
-    t_call = device_time_per_call(
-        lambda: solve_batch(data, X0, config=cfg).u, k_large=k_large
+    n_rep = 3 if args.quick else 7
+    stats = device_time_stats(
+        lambda: solve_batch(data, X0, config=cfg).u, n=n_rep, k_large=k_large
     )
+    t_call = stats["median_s"]
     solves_per_sec = batch / t_call
     detail["throughput_fp32_solves_per_sec"] = solves_per_sec
+    detail["throughput_fp32_stats"] = {
+        "median_solves_per_sec": solves_per_sec,
+        "iqr_solves_per_sec": batch * stats["iqr_s"] / max(t_call, 1e-12) ** 2,
+        "n": stats["n"],
+        "samples_solves_per_sec": [batch / s for s in stats["samples_s"]],
+    }
     detail["batch_device_ms"] = t_call * 1e3
+
+    # --- MFU accounting: achieved useful flops/s vs the chip's own measured
+    # dense-matmul roofline at the SAME operand dtype + precision ---
+    form = resolve_form(data, cfg)
+    flops = solve_flops(data, iters, form) * batch
+    peak_tflops = matmul_peak_tflops(cfg.matmul_dtype, cfg.precision)
+    detail["achieved_tflops"] = flops / t_call / 1e12
+    detail["matmul_peak_tflops_measured"] = peak_tflops
+    detail["pct_peak"] = 100.0 * detail["achieved_tflops"] / peak_tflops
 
     # --- correctness spot check vs oracle ---
     from tpu_gpad.problems.battery import default_x0
@@ -91,6 +118,13 @@ def main():
     x0_dev = jnp.asarray(x0, dtype=jnp.float32)
     single = lambda: tpu_gpad.solve(data, x0_dev, config=cfg).u
     detail["single_solve_device_ms"] = device_time_per_call(single, k_large=k_large) * 1e3
+    # device-side latency percentiles (the solver's own p99 — the client
+    # percentiles below are dominated by the ~30 ms tunnel RPC floor and
+    # cannot show solver regressions)
+    pct = device_time_percentiles(single, n=20 if args.quick else 100)
+    detail["single_solve_device_ms_p50"] = pct["p50_s"] * 1e3
+    detail["single_solve_device_ms_p99"] = pct["p99_s"] * 1e3
+    detail["single_solve_device_p_n"] = pct["n"]
     lat = wall_times(single, warmup=2, iters=10 if args.quick else 50)
     detail["single_solve_client_ms_p50"] = float(np.percentile(lat, 50) * 1e3)
     detail["single_solve_client_ms_p99"] = float(np.percentile(lat, 99) * 1e3)
@@ -150,6 +184,13 @@ def main():
             lambda: solve_batch(data50, X0_50, config=cfg).u, k_large=10
         )
         detail["long_horizon_N50_solves_per_sec"] = X0_50.shape[0] / t50
+        f50 = solve_flops(data50, iters, resolve_form(data50, cfg))
+        detail["long_horizon_N50_achieved_tflops"] = (
+            f50 * X0_50.shape[0] / t50 / 1e12
+        )
+        detail["long_horizon_N50_pct_peak"] = (
+            100.0 * detail["long_horizon_N50_achieved_tflops"] / peak_tflops
+        )
         cfg50f = SolverConfig(iterations=iters, engine=args.engine,
                               precision="default")
         t50f = device_time_per_call(

@@ -33,11 +33,17 @@ def main():
     import tpu_gpad
     from tpu_gpad import problems
     from tpu_gpad.solver import SolverConfig, solve_batch
-    from tpu_gpad.utils import device_time_per_call
+    from tpu_gpad.solver.core import resolve_engine, resolve_form
+    from tpu_gpad.utils import (
+        device_time_per_call, device_time_stats, matmul_peak_tflops,
+        solve_flops,
+    )
 
     out = {"device": str(jax.devices()[0]), "iterations": 100}
     cfg = SolverConfig(iterations=100)
     rng = np.random.default_rng(0)
+    peak_tflops = matmul_peak_tflops(cfg.matmul_dtype, cfg.precision)
+    out["matmul_peak_tflops_measured"] = round(peak_tflops, 2)
 
     def bench_one(problem, batch, x_scale=0.4):
         data = tpu_gpad.dualize(
@@ -45,13 +51,21 @@ def main():
         X0 = jnp.asarray(
             rng.uniform(-x_scale, x_scale, size=(batch, problem.n_x))
             .astype(np.float32))
-        t = device_time_per_call(
-            lambda: solve_batch(data, X0, config=cfg).u, k_large=10)
+        stats = device_time_stats(
+            lambda: solve_batch(data, X0, config=cfg).u, n=5, k_large=10)
+        t = stats["median_s"]
+        tflops = solve_flops(data, 100, resolve_form(data, cfg)) * batch / t / 1e12
         return {
             "n_z": data.n_z, "m": data.m, "paired": data.paired,
             "batch": batch,
+            "engine": resolve_engine(data, cfg),
             "solves_per_sec": round(batch / t, 1),
+            "solves_per_sec_iqr": round(
+                batch * stats["iqr_s"] / max(t, 1e-12) ** 2, 1),
+            "n_timing_samples": stats["n"],
             "device_us_per_solve": round(t * 1e6 / batch, 3),
+            "achieved_tflops": round(tflops, 3),
+            "pct_peak": round(100.0 * tflops / peak_tflops, 1),
         }
 
     # config 4: double integrator + mass-spring over horizon {10, 30, 100}
