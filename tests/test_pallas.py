@@ -165,6 +165,24 @@ def test_pallas_eps_dual_chunked(battery_data_paired):
     assert conv.any()
 
 
+def test_pallas_eps_dual_nondivisible_budget(battery_data_paired):
+    """iterations % check_every != 0: the pallas path runs a final partial
+    chunk and checks at the budget end; the XLA loop checks there too."""
+    qp, data = battery_data_paired
+    X0 = _x0_batch(6, qp.n_x, seed=29)
+    kw = dict(mode="eps", eps_g=1e-4, eps_V=1e-4, check_every=30, iterations=95)
+    r_xla = solve_batch(data, X0, config=SolverConfig(engine="xla", **kw))
+    r_pl = solve_batch(data, X0, config=SolverConfig(engine="pallas", **kw))
+    assert np.array_equal(np.asarray(r_pl.converged), np.asarray(r_xla.converged))
+    np.testing.assert_array_equal(
+        np.asarray(r_pl.iterations), np.asarray(r_xla.iterations)
+    )
+    np.testing.assert_allclose(np.asarray(r_pl.u), np.asarray(r_xla.u), atol=2e-4)
+    # scenarios converging only inside the final 5-iteration window are
+    # captured (the tight tolerance makes the last window do real work)
+    assert np.asarray(r_pl.converged).any()
+
+
 def test_pallas_eps_dual_warm_start(battery_data_paired):
     qp, data = battery_data_paired
     X0 = _x0_batch(4, qp.n_x, seed=17)

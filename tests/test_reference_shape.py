@@ -32,12 +32,23 @@ def test_reference_shape_dims_and_parity():
         )
 
 
-def test_reference_shape_falls_back_to_xla():
+def test_reference_shape_takes_tiled_pallas():
+    """The whole-VMEM dual kernel declines m_half=1830, but the HBM-streamed
+    tiled kernel covers it — engine='auto' serves the reference's flagship
+    shape fused on TPU (round-1 VERDICT item 1; XLA fallback before)."""
+    import jax
+
     from tpu_gpad.solver import kernels
     from tpu_gpad.solver.core import resolve_engine
 
     qp = tpu_gpad.condense(problems.battery(n_cells=30, horizon=30))
     data = tpu_gpad.dualize(qp, iterations=10, paired="auto")
-    # the dual kernel's VMEM guard rejects m_half=1830
+    # the whole-VMEM dual kernel's guard still rejects m_half=1830 ...
     assert kernels.pick_lane_tile(256, kernels._round_up(data.m_half, 8)) is None
-    assert resolve_engine(data, SolverConfig(iterations=10)) == "xla"
+    assert not kernels.dual_fits_vmem(data)
+    # ... but the tiled kernel admits it, so auto picks pallas on TPU
+    assert kernels.dual_tiled_fits(data)
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert resolve_engine(data, SolverConfig(iterations=10)) == expected
+    cfg_eps = SolverConfig(mode="eps", iterations=100, check_every=10)
+    assert resolve_engine(data, cfg_eps) == expected

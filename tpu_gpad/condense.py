@@ -295,6 +295,44 @@ def find_pairing(G: np.ndarray) -> Optional[tuple[np.ndarray, np.ndarray]]:
     return np.asarray(plus), np.asarray(minus)
 
 
+def _flat_reorder(P: np.ndarray):
+    """Locate the input-box identity block inside the half stack.
+
+    MPC stacks contain the rows ``I z <= u_max`` (reference:
+    ``gpad.m:84-85`` emits [S; -S; I; -I; K; -K]; the CUDA "flat" kernels
+    exploit exactly this block — ``seq_functions.cpp:5-43``,
+    ``kernel_functions.cu:74-109``). Returns ``(order, flip, n_struct)``
+    such that reordering the pairs by ``order`` (after swapping the +/-
+    sides of pairs marked in ``flip``) puts rows forming EXACTLY the
+    identity I_{n_z}, in column order, at the END of the half stack —
+    those rows then need no matmul in step 4 (their G_L columns are I/L)
+    and their MG_T rows are H^-1 rows. None if no full identity block
+    exists."""
+    m_h, n_z = P.shape
+    if m_h < n_z:
+        return None
+    col = np.full(m_h, -1)
+    sign = np.zeros(m_h)
+    for r in range(m_h):
+        nz = np.flatnonzero(P[r])
+        if nz.size == 1 and abs(P[r, nz[0]]) == 1.0:
+            col[r] = nz[0]
+            sign[r] = P[r, nz[0]]
+    chosen = np.full(n_z, -1)
+    for r in range(m_h):
+        c = col[r]
+        if c >= 0 and chosen[c] < 0:
+            chosen[c] = r
+    if (chosen < 0).any():
+        return None
+    is_box = np.zeros(m_h, dtype=bool)
+    is_box[chosen] = True
+    struct = np.flatnonzero(~is_box)
+    order = np.concatenate([struct, chosen])
+    flip = sign < 0  # pairs whose canonical + side is -e_j: swap the pair
+    return order, flip, int(struct.size)
+
+
 def dualize(
     qp: CondensedQP,
     iterations: int = 100,
@@ -331,9 +369,23 @@ def dualize(
     use_paired = pairing is not None
 
     D = None
+    n_struct = None
     if use_paired:
         idx_plus, idx_minus = pairing
         P = qp.G[idx_plus]  # (m_h, n_z)
+        flat = _flat_reorder(P)
+        if flat is not None:
+            # flat layout: identity (input-box) rows last, in column order —
+            # their GL_T columns are exactly I/L and their MG_T rows are
+            # H^-1 rows, so step 4 can skip their matmul columns entirely
+            # (the reference's flat-kernel structure, seq_functions.cpp:5-43)
+            order, flip, n_struct = flat
+            idx_plus, idx_minus = (
+                np.where(flip, idx_minus, idx_plus)[order],
+                np.where(flip, idx_plus, idx_minus)[order],
+            )
+            P = qp.G[idx_plus]
+            assert np.array_equal(P[n_struct:], np.eye(qp.n_z))
         Hinv_Pt = np.linalg.solve(qp.H, P.T)  # (n_z, m_h)
         MG_T = Hinv_Pt.T
         GL_T = P.T / L
@@ -363,4 +415,5 @@ def dualize(
         horizon=qp.horizon,
         name=qp.name,
         paired=use_paired,
+        n_struct=n_struct,
     )

@@ -66,6 +66,15 @@ class SolverConfig:
     # over (tensor parallelism): step-2 partial products are psum'd per
     # iteration; residual reductions become pmax/psum over this axis
     unroll: int = 1  # fori_loop unroll factor
+    flat: str = "auto"  # "auto" | "on" | "off": exploit the input-box
+    # identity block of the half stack (GPADData.n_struct — the TPU
+    # analogue of the reference's flat kernels, seq_functions.cpp:5-43,
+    # kernel_functions.cu:74-109). In the mvp form, step 4's box columns
+    # are I/L, so q splits into one (n_z, n_struct) matmul plus zhat/L —
+    # a 2*n_z^2 flop cut per iteration (~25% at the 30x30 reference shape).
+    # "auto" uses it whenever detected (mvp form, no model-axis TP);
+    # "on" raises if unavailable; "off" forces the dense product. The dual
+    # form is unaffected (its square Hessian has no exploitable block).
     restart: bool = False  # O'Donoghue-Candes adaptive restart: reset the
     # momentum recursion (theta -> 1, extrapolation cleared) per scenario
     # whenever the momentum direction opposes the projected-gradient step,
@@ -102,8 +111,42 @@ def _make_matmul(config: "SolverConfig"):
     return mm
 
 
+def resolve_flat(data: GPADData, config: "SolverConfig") -> bool:
+    """Whether the mvp iteration exploits the input-box identity block."""
+    avail = (
+        data.paired
+        and data.n_struct is not None
+        and config.model_axis is None  # GL_T columns shard under TP
+    )
+    if config.flat == "auto":
+        return avail
+    if config.flat == "on":
+        if not avail:
+            raise ValueError(
+                "flat='on' needs paired data with a detected identity block "
+                "(GPADData.n_struct) and no model-axis sharding"
+            )
+        return True
+    if config.flat == "off":
+        return False
+    raise ValueError(f"unknown flat: {config.flat!r}")
+
+
+def _step4_product(data: GPADData, zhat, mm, flat: bool):
+    """q = zhat @ GL_T for the paired layout, exploiting the identity block
+    when ``flat``: the box columns of GL_T are exactly I/L, so they cost a
+    scalar multiply instead of matmul columns (the reference's flat-kernel
+    trick, ``kernel_functions.cu:74-109``; ~2*n_z^2 flops saved/iter)."""
+    if not flat:
+        return mm(zhat, data.GL_T)
+    ns = data.n_struct
+    q_s = mm(zhat, data.GL_T[:, :ns])
+    q_b = zhat / data.L
+    return jnp.concatenate([q_s, q_b], axis=-1)
+
+
 def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
-               model_axis=None):
+               model_axis=None, flat: bool = False):
     """One GPAD iteration (steps 1-4, acceldualgrad.m:43-52), batched.
 
     Under tensor parallelism (``model_axis`` set, dual dimension m sharded
@@ -124,20 +167,21 @@ def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
     theta_z = _expand_to(jnp.asarray(theta_k), z)
     z = (1.0 - theta_z) * z + theta_z * zhat
     if data.paired:
-        q = mm(zhat, data.GL_T)
+        q = _step4_product(data, zhat, mm, flat)
         y_next = jnp.maximum(w + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
     else:
         y_next = jnp.maximum(w + mm(zhat, data.GL_T) + p_D, 0.0)
     return w, zhat, z, y_next
 
 
-def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None):
+def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None,
+               flat: bool = False):
     """Primal violation max(G z - b) and gap surrogate -w' g(zhat).
 
     Recovered from the scaled operands: g(z) = L * (G_L z + p_D)."""
     if data.paired:
-        qz = mm(z, data.GL_T)
-        qzh = mm(zhat, data.GL_T)
+        qz = _step4_product(data, z, mm, flat)
+        qzh = _step4_product(data, zhat, mm, flat)
         gz = data.L * (jnp.stack([qz, -qz], axis=-2) + p_D)
         gzh = data.L * (jnp.stack([qzh, -qzh], axis=-2) + p_D)
         viol_z = jnp.max(gz, axis=(-2, -1))
@@ -298,16 +342,16 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
         # the dual form
         return "xla"
     if config.mode == "eps":
-        # the chunked pallas eps path covers the single-process dual form
-        # with a chunk-aligned budget; everything else takes the XLA loop
+        # the chunked pallas eps path covers the dual form, including
+        # mesh-sharded solves (the all-converged test psums over
+        # collective_axes between chunks) and non-divisible budgets (a
+        # final partial chunk); mvp-form eps takes the XLA loop
+        from tpu_gpad.solver import kernels
+
         dual_ok = data.paired and data.D is not None and config.form != "mvp"
-        n_iters = (
-            config.iterations if config.iterations is not None else data.max_iters
-        )
-        if (
-            dual_ok
-            and not config.collective_axes
-            and n_iters % max(config.check_every, 1) == 0
+        if dual_ok and (
+            kernels.dual_fits_vmem(data, chunked=True)
+            or kernels.dual_tiled_fits(data)
         ):
             return "pallas"
         return "xla"
@@ -316,7 +360,9 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     from tpu_gpad.solver import kernels
 
     if resolve_form(data, config) == "dual":
-        if not kernels.dual_fits_vmem(data):
+        # whole-VMEM kernel, or the HBM-streamed tiled kernel for duals
+        # whose Hessian/state exceed VMEM (the reference's 30x30 flagship)
+        if not (kernels.dual_fits_vmem(data) or kernels.dual_tiled_fits(data)):
             return "xla"
     elif not kernels.fits_vmem(data):
         return "xla"
@@ -352,6 +398,7 @@ def resolve_form(data: GPADData, config: SolverConfig) -> str:
 
 def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> SolveResult:
     mm = _make_matmul(config)
+    flat = resolve_flat(data, config)
     batch_shape = g_P.shape[:-1]
     y, y_prev, z, w, zhat = _init_state(data, batch_shape, y0)
     ones = jnp.ones(batch_shape, dtype=jnp.float32)
@@ -361,7 +408,7 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Sol
         theta_k, beta_k = _momentum(config, data, k, th, th_prev)
         w, zhat, z, y_next = _iteration(
             data, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
-            config.model_axis,
+            config.model_axis, flat,
         )
         if config.restart:
             y_prev_n, th, th_prev = _restart_update(
@@ -375,7 +422,9 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Sol
         0, config.iterations, body, (y, y_prev, z, w, zhat, ones, ones),
         unroll=config.unroll,
     )
-    viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm, config.model_axis)
+    viol_z, _, gap = _residuals(
+        data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat
+    )
     iters = jnp.full(batch_shape, config.iterations, dtype=jnp.int32)
     return SolveResult(
         u=z[..., : data.n_u],
@@ -390,6 +439,7 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Sol
 
 def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> SolveResult:
     mm = _make_matmul(config)
+    flat = resolve_flat(data, config)
     batch_shape = g_P.shape[:-1]
     y, y_prev, z, w, zhat = _init_state(data, batch_shape, y0)
     converged = jnp.zeros(batch_shape, dtype=bool)
@@ -407,7 +457,7 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
         theta_k, beta_k = _momentum(config, data, k, th, th_prev)
         w, zhat, z, y_next = _iteration(
             data, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
-            config.model_axis,
+            config.model_axis, flat,
         )
         if config.restart:
             y_prev, th, th_prev = _restart_update(
@@ -419,7 +469,9 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
 
         def check(args):
             converged, iters, z_out = args
-            viol_z, viol_zhat, gap = _residuals(data, g_P, p_D, z, zhat, w, mm, config.model_axis)
+            viol_z, viol_zhat, gap = _residuals(
+                data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat
+            )
             ok_z = viol_z <= config.eps_g
             ok_zhat = jnp.logical_and(viol_zhat <= config.eps_g, gap <= config.eps_V)
             ok = jnp.logical_or(ok_z, ok_zhat)
@@ -432,7 +484,12 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
             z_out = jnp.where(newly[..., None], z_sel, z_out)
             return jnp.logical_or(converged, ok), iters, z_out
 
-        do_check = (k + 1) % config.check_every == 0
+        # check every K iterations, plus once at the budget end when the
+        # budget is not a multiple of K (same semantics as the chunked
+        # pallas path's final partial window)
+        do_check = jnp.logical_or(
+            (k + 1) % config.check_every == 0, k + 1 == config.iterations
+        )
         converged, iters, z_out = lax.cond(
             do_check, check, lambda a: a, (converged, iters, z_out)
         )
@@ -448,7 +505,9 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
         cond, body, carry
     )
     z_final = jnp.where(converged[..., None], z_out, z)
-    viol_z, _, gap = _residuals(data, g_P, p_D, z_final, zhat, w, mm, config.model_axis)
+    viol_z, _, gap = _residuals(
+        data, g_P, p_D, z_final, zhat, w, mm, config.model_axis, flat
+    )
     return SolveResult(
         u=z_final[..., : data.n_u],
         z=z_final,
@@ -535,11 +594,9 @@ def solve_to_accuracy(
     ``mode='eps'``; check ``result.converged`` for scenarios that hit
     ``max_iterations`` first. ``x0`` may be (n_x,) or (B, n_x)."""
     # honor the caller's cap: a check cadence longer than the budget shrinks
-    # to one window rather than inflating the budget; then chunk-align
+    # to one window rather than inflating the budget (non-divisible budgets
+    # run a final partial check window on every engine)
     check_every = max(min(check_every, max_iterations), 1)
-    max_iterations = max(
-        max_iterations - max_iterations % check_every, check_every
-    )
     config = SolverConfig(
         mode="eps",
         eps_g=tol,

@@ -96,6 +96,40 @@ DUAL_CHUNK_ARRAYS = 36  # 7 lane-in + 7 lane-out + mom blocks, 8 carries
 PAIRED_ARRAYS = (24, 8)  # (dual-half space, primal space); +4: two double-buffered y0 blocks
 DENSE_ARRAYS = (15, 9)  # +2: the y0 input block is double-buffered
 
+# The HBM-streamed tiled dual kernel keeps ONLY these manually-managed
+# scratch arrays in VMEM (state in/outs are pltpu.ANY refs DMA'd at the
+# tile edges, so Mosaic never double-buffers them): y ping-pong (4) +
+# s, wp, wm, wd, cp, cm.
+TILED_ARRAYS = 10
+
+
+def pick_tiled_tiles(m_half: int):
+    """(B_t, T_r, S) for the HBM-streamed tiled dual kernel, or None.
+
+    ``B_t`` is the batch (lane) tile, ``T_r`` the row-chunk height of the
+    streamed dual Hessian, ``S = round_up(m_half, T_r)`` the padded state
+    height. VMEM holds TILED_ARRAYS (S, B_t) scratch arrays plus the
+    double-buffered (T_r, S) D chunk; larger B_t raises the D-stream
+    arithmetic intensity (B_t/2 flops per streamed byte), so it is
+    preferred over larger T_r."""
+    for B_t in (256, LANE):
+        for T_r in (256, LANE, 64):
+            S = _round_up(m_half, max(T_r, SUBLANE))
+            scratch = 4 * TILED_ARRAYS * S * B_t + 4 * SUBLANE * B_t
+            dbuf = 2 * 4 * T_r * S
+            if scratch + dbuf <= _VMEM_BUDGET:
+                return B_t, T_r, S
+    return None
+
+
+def dual_tiled_fits(data: GPADData) -> bool:
+    """Can the HBM-streamed tiled dual kernel run this problem?"""
+    return (
+        data.paired
+        and data.D is not None
+        and pick_tiled_tiles(data.m_half) is not None
+    )
+
 
 def _norm_y0(y0, Bflat: int, m_half: int):
     """Normalize a warm-start dual to (Bflat, 2, m_half).
@@ -558,6 +592,319 @@ def _dual_chunk_call(
     return call
 
 
+def _gpad_kernel_dual_tiled(
+    # scalar prefetch
+    theta_ref,
+    beta_ref,
+    k0_ref,
+    # ANY (HBM) inputs: per-scenario constants + chunk-entry state
+    cp_hbm,
+    cm_hbm,
+    ypi_hbm,
+    ymi_hbm,
+    yppi_hbm,
+    ympi_hbm,
+    si_hbm,
+    momi_hbm,
+    # VMEM-blocked input: one (T_r, S) row chunk of -D per grid step
+    Dn_ref,
+    # ANY (HBM) outputs
+    yp_hbm,
+    ym_hbm,
+    ypp_hbm,
+    ymp_hbm,
+    s_hbm,
+    wp_hbm,
+    wm_hbm,
+    momo_hbm,
+    # scratch (the ONLY VMEM-resident state)
+    ypb,  # (2, S, B_t) ping-pong: slot it%2 = y at the top of iteration it
+    ymb,  # (2, S, B_t)
+    sb,  # (S, B_t)
+    wpb,
+    wmb,
+    wdb,
+    cpb,
+    cmb,
+    momb,  # (SUBLANE, B_t): rows 0/1 = th/th_prev, row 2 = restart-test sum
+    sem,  # (8,) DMA semaphores
+    *,
+    n_it: int,
+    B_t: int,
+    mm_dtype,
+    precision,
+    restart: bool,
+):
+    """``n_it`` dual-form iterations with the dual Hessian STREAMED from HBM.
+
+    The whole-VMEM dual kernel declines problems whose (S, S) Hessian plus
+    ~26 double-buffered (S, B_t) blocks exceed VMEM — notably the
+    reference's own flagship 30x30 shape (m_half=1830, D = 13.4 MB;
+    ``build/step3/4/input.txt``), which round 1 served with the XLA loop.
+    Here the iterates stay in VMEM *scratch* (state in/outs are ANY refs
+    DMA'd once per batch tile, so Mosaic cannot double-buffer them) and D
+    is the only per-iteration HBM traffic, auto-pipelined one (T_r, S) row
+    chunk at a time over the third grid axis. At B_t lanes per tile the
+    stream's arithmetic intensity is B_t/2 flops/byte — compute-bound on
+    v5e (fp32-highest) from B_t=128 up, i.e. the D fetch hides behind the
+    MXU. Grid: (batch_tiles, n_it, S // T_r); same algebra as
+    ``_make_dual_body`` including the O'Donoghue-Candes restart recursion
+    (the restart dot-product accumulates across row chunks in ``momb``).
+    """
+    f32 = jnp.float32
+    i, it, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    R = pl.num_programs(2)
+    T_r = Dn_ref.shape[0]
+    cur = jax.lax.rem(it, 2)
+    prv = jax.lax.rem(it + 1, 2)
+    off = i * B_t
+
+    @pl.when(jnp.logical_and(it == 0, r == 0))
+    def _load_tile():
+        lane = pl.ds(off, B_t)
+        copies = (
+            (cp_hbm.at[:, lane], cpb, 0),
+            (cm_hbm.at[:, lane], cmb, 1),
+            (ypi_hbm.at[:, lane], ypb.at[0], 2),
+            (ymi_hbm.at[:, lane], ymb.at[0], 3),
+            (yppi_hbm.at[:, lane], ypb.at[1], 4),
+            (ympi_hbm.at[:, lane], ymb.at[1], 5),
+            (si_hbm.at[:, lane], sb, 6),
+            (momi_hbm.at[:, lane], momb, 7),
+        )
+        dmas = [
+            pltpu.make_async_copy(src, dst, sem.at[k]) for src, dst, k in copies
+        ]
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+    @pl.when(r == 0)
+    def _momentum_and_w():
+        if restart:
+            th = momb[0:1, :]
+            thp = momb[1:2, :]
+            beta_k = th * (1.0 / thp - 1.0)
+            theta_k = th
+        else:
+            k = k0_ref[0] + it
+            beta_k = beta_ref[k]
+            theta_k = theta_ref[k]
+        # ref-to-ref assignments, one live (S, B_t) temporary at a time —
+        # at S=1920 a handful of simultaneous full-array temps would blow
+        # the VMEM budget the scratch allocation was sized for
+        wpb[:] = ypb[cur] + beta_k * (ypb[cur] - ypb[prv])
+        wmb[:] = ymb[cur] + beta_k * (ymb[cur] - ymb[prv])
+        wdb[:] = wpb[:] - wmb[:]
+        sb[:] = sb[:] + theta_k * (wdb[:] - sb[:])
+        if restart:
+            momb[2:3, :] = jnp.zeros_like(momb[2:3, :])
+
+    rows = pl.ds(r * T_r, T_r)
+    d = jnp.dot(
+        Dn_ref[:].astype(mm_dtype),
+        wdb[:].astype(mm_dtype),
+        preferred_element_type=f32,
+        precision=precision,
+    )
+    ypn = jnp.maximum(wpb[rows] + d + cpb[rows], 0.0)
+    ymn = jnp.maximum(wmb[rows] - d + cmb[rows], 0.0)
+    ypb[prv, rows] = ypn
+    ymb[prv, rows] = ymn
+    if restart:
+        momb[2:3, :] += jnp.sum(
+            (wpb[rows] - ypn) * (ypn - ypb[cur, rows])
+            + (wmb[rows] - ymn) * (ymn - ymb[cur, rows]),
+            axis=0,
+            keepdims=True,
+        )
+
+        @pl.when(r == R - 1)
+        def _restart_update():
+            mask = momb[2:3, :] > 0.0
+            th = momb[0:1, :]
+            momb[0:1, :] = jnp.where(
+                mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5
+            )
+            momb[1:2, :] = jnp.where(mask, 1.0, th)
+            # restarted lanes take y_prev <- y_next (slot cur becomes the
+            # previous iterate at the top of the next iteration)
+            ypb[cur] = jnp.where(mask, ypb[prv], ypb[cur])
+            ymb[cur] = jnp.where(mask, ymb[prv], ymb[cur])
+
+    @pl.when(jnp.logical_and(it == n_it - 1, r == R - 1))
+    def _store_tile():
+        lane = pl.ds(off, B_t)
+        copies = (
+            (ypb.at[prv], yp_hbm.at[:, lane], 0),
+            (ymb.at[prv], ym_hbm.at[:, lane], 1),
+            (ypb.at[cur], ypp_hbm.at[:, lane], 2),
+            (ymb.at[cur], ymp_hbm.at[:, lane], 3),
+            (sb, s_hbm.at[:, lane], 4),
+            (wpb, wp_hbm.at[:, lane], 5),
+            (wmb, wm_hbm.at[:, lane], 6),
+            (momb, momo_hbm.at[:, lane], 7),
+        )
+        dmas = [
+            pltpu.make_async_copy(src, dst, sem.at[k]) for src, dst, k in copies
+        ]
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+
+def _dual_tiled_call(
+    data, cpT, cmT, Dn, theta, beta, S, B_p, B_t, T_r,
+    mm_dtype, prec, chunk, interpret, restart=False,
+):
+    """Build the tiled-kernel chunk invocation (same contract as
+    ``_dual_chunk_call``: call(k0, yp, ym, ypp, ymp, s, mom) -> 8 state
+    arrays). State arrays here are (S, B_p) with S = round_up(m_h, T_r)."""
+    kernel = functools.partial(
+        _gpad_kernel_dual_tiled, n_it=chunk, B_t=B_t, mm_dtype=mm_dtype,
+        precision=prec, restart=restart,
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # theta, beta, k0
+        grid=(B_p // B_t, chunk, S // T_r),
+        in_specs=[any_spec] * 8 + [
+            pl.BlockSpec(
+                (T_r, S), lambda i, it, r, th, be, k0: (r, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[any_spec] * 8,
+        scratch_shapes=[
+            pltpu.VMEM((2, S, B_t), jnp.float32),  # y+ ping-pong
+            pltpu.VMEM((2, S, B_t), jnp.float32),  # y- ping-pong
+            pltpu.VMEM((S, B_t), jnp.float32),  # s
+            pltpu.VMEM((S, B_t), jnp.float32),  # w+
+            pltpu.VMEM((S, B_t), jnp.float32),  # w-
+            pltpu.VMEM((S, B_t), jnp.float32),  # w difference
+            pltpu.VMEM((S, B_t), jnp.float32),  # cp
+            pltpu.VMEM((S, B_t), jnp.float32),  # cm
+            pltpu.VMEM((SUBLANE, B_t), jnp.float32),  # momentum rows
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    specs = dict(
+        grid_spec=grid_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((S, B_p), jnp.float32)] * 7
+            + [jax.ShapeDtypeStruct((SUBLANE, B_p), jnp.float32)]
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * S * B_p * chunk,
+            # D streams once per iteration per batch tile — the dominant
+            # HBM term; state crosses once per tile
+            bytes_accessed=4 * S * S * chunk * (B_p // B_t)
+            + 4 * 15 * S * B_p,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def call(k0, yp, ym, ypp, ymp, s, mom):
+        return pl.pallas_call(kernel, **specs)(
+            theta, beta, jnp.asarray([k0], dtype=jnp.int32),
+            cpT, cmT, yp, ym, ypp, ymp, s, mom, Dn,
+        )
+
+    return call
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "matmul_dtype", "precision", "interpret", "restart",
+        "row_tile",
+    ),
+)
+def gpad_pallas_fixed_dual_tiled(
+    data: GPADData,
+    g_P: jax.Array,
+    p_D: jax.Array,
+    y0: jax.Array | None = None,
+    *,
+    iterations: int,
+    matmul_dtype: str = "float32",
+    precision: str = "highest",
+    interpret: bool = False,
+    restart: bool = False,
+    row_tile: int | None = None,
+):
+    """Whole-solve entry for the HBM-streamed tiled dual kernel.
+
+    Same contract as ``gpad_pallas_fixed_dual`` ((z, y, w, zhat) in
+    batch-major convention); used when the whole-VMEM dual kernel's budget
+    guard declines the problem (``dual_fits_vmem`` False) but
+    ``dual_tiled_fits`` holds — e.g. the reference's flagship 30x30 shape.
+    ``row_tile`` overrides the D row-chunk height (tests use small values
+    to exercise multi-chunk grids on tiny problems)."""
+    B = g_P.shape[0]
+    m_h = data.m_half
+    picked = pick_tiled_tiles(m_h)
+    if picked is None:
+        raise ValueError(
+            f"problem (m_half={m_h}) exceeds even the tiled dual kernel's "
+            "VMEM budget; use engine='xla'"
+        )
+    B_t, T_r, S = picked
+    if row_tile is not None:
+        T_r = row_tile
+        S = _round_up(m_h, max(T_r, SUBLANE))
+    B_p = _round_up(B, B_t)
+
+    mm_dtype = jnp.dtype(matmul_dtype)
+    prec = (
+        jax.lax.Precision(precision.lower())
+        if mm_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    e = jnp.matmul(
+        g_P.astype(mm_dtype),
+        data.GL_T.astype(mm_dtype),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    cpT = _pad2((p_D[:, 0, :] - e).T, S, B_p)
+    cmT = _pad2((p_D[:, 1, :] + e).T, S, B_p)
+    if y0 is None:
+        ypT = jnp.zeros((S, B_p), dtype=jnp.float32)
+        ymT = ypT
+    else:
+        y0b = _norm_y0(y0, B, m_h)
+        ypT = _pad2(y0b[:, 0, :].T, S, B_p)
+        ymT = _pad2(y0b[:, 1, :].T, S, B_p)
+    Dn = _pad2(-data.D, S, S)
+    theta = data.theta[:iterations]
+    beta = data.beta[:iterations]
+    zero = jnp.zeros((S, B_p), dtype=jnp.float32)
+    mom0 = jnp.ones((SUBLANE, B_p), dtype=jnp.float32)
+
+    call = _dual_tiled_call(
+        data, cpT, cmT, Dn, theta, beta, S, B_p, B_t, T_r,
+        mm_dtype, prec, iterations, interpret, restart=restart,
+    )
+    yp, ym, _, _, s, wp, wm, _ = call(0, ypT, ymT, ypT, ymT, zero, mom0)
+
+    sT = s[:m_h, :B].T
+    a = 1.0 - jnp.prod(1.0 - theta)
+    mm = lambda x, M: jnp.matmul(
+        x.astype(mm_dtype), M.astype(mm_dtype),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    z = -mm(sT, data.MG_T) - a * g_P
+    wd = (wp[:m_h, :B] - wm[:m_h, :B]).T
+    zhat = -mm(wd, data.MG_T) - g_P
+    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    w = jnp.stack([wp[:m_h, :B].T, wm[:m_h, :B].T], axis=1)
+    return z, y, w, zhat
+
+
 def gpad_pallas_eps_dual(
     data: GPADData,
     g_P: jax.Array,
@@ -582,12 +929,19 @@ def gpad_pallas_eps_dual(
     m_h = data.m_half
     S = _round_up(m_h, SUBLANE)
     B_t = pick_lane_tile(B, S, DUAL_CHUNK_ARRAYS, mats=4 * S * S)
-    if B_t is None:
-        raise ValueError("problem too large for the fused dual kernel's VMEM")
+    T_r = None
+    if B_t is None:  # whole-VMEM chunk kernel declines: stream D from HBM
+        picked = pick_tiled_tiles(m_h)
+        if picked is None:
+            raise ValueError(
+                "problem too large for the fused dual kernels' VMEM"
+            )
+        B_t, T_r, S = picked
     B_p = _round_up(B, B_t)
     iterations = config.iterations
     C = max(min(config.check_every, iterations), 1)
     n_full = iterations // C
+    rem = iterations - n_full * C  # final partial check window (if any)
 
     mm_dtype = jnp.dtype(config.matmul_dtype)
     prec = (
@@ -603,10 +957,19 @@ def gpad_pallas_eps_dual(
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
     interpret = jax.default_backend() != "tpu"
-    call = _dual_chunk_call(
-        data, cpT, cmT, Dn, theta, beta, S, B_p, B_t,
-        mm_dtype, prec, C, interpret, restart=config.restart,
-    )
+
+    def make_call(chunk):
+        if T_r is None:
+            return _dual_chunk_call(
+                data, cpT, cmT, Dn, theta, beta, S, B_p, B_t,
+                mm_dtype, prec, chunk, interpret, restart=config.restart,
+            )
+        return _dual_tiled_call(
+            data, cpT, cmT, Dn, theta, beta, S, B_p, B_t, T_r,
+            mm_dtype, prec, chunk, interpret, restart=config.restart,
+        )
+
+    call = make_call(C)
 
     if y0 is None:
         ypT = jnp.zeros((S, B_p), dtype=jnp.float32)
@@ -630,14 +993,10 @@ def gpad_pallas_eps_dual(
     iters0 = jnp.full((B,), iterations, dtype=jnp.int32)
     z_out0 = jnp.zeros((B, data.n_z), dtype=jnp.float32)
 
-    def cond(carry):
-        c, done, *_ = carry
-        return jnp.logical_and(c < n_full, jnp.logical_not(done))
-
-    def body(carry):
-        c, done, yp, ym, ypp, ymp, s, _, _, mom, converged, iters, z_out = carry
-        k0 = c * C
-        yp, ym, ypp, ymp, s, wp, wm, mom = call(k0, yp, ym, ypp, ymp, s, mom)
+    def check(k_now, s, wp, wm, converged, iters, z_out):
+        """The Algorithm-1 eps test at iteration ``k_now`` (paper p.4):
+        capture each newly-converged scenario's eps-optimal point and
+        psum the all-converged predicate over the mesh axes."""
         z, zhat, w = recover(s, wp, wm)
         viol_z, viol_zhat, gap = _core._residuals(
             data, g_P, p_D, z, zhat, w, mm
@@ -646,13 +1005,26 @@ def gpad_pallas_eps_dual(
         ok_zhat = jnp.logical_and(viol_zhat <= config.eps_g, gap <= config.eps_V)
         ok = jnp.logical_or(ok_z, ok_zhat)
         newly = jnp.logical_and(ok, jnp.logical_not(converged))
-        iters = jnp.where(newly, k0 + C, iters)
+        iters = jnp.where(newly, k_now, iters)
         z_sel = jnp.where(ok_z[..., None], z, zhat)
         z_out = jnp.where(newly[..., None], z_sel, z_out)
         converged = jnp.logical_or(converged, ok)
         n_unconverged = jnp.sum(jnp.logical_not(converged).astype(jnp.int32))
         for ax in config.collective_axes:
             n_unconverged = lax.psum(n_unconverged, ax)
+        return converged, iters, z_out, n_unconverged
+
+    def cond(carry):
+        c, done, *_ = carry
+        return jnp.logical_and(c < n_full, jnp.logical_not(done))
+
+    def body(carry):
+        c, done, yp, ym, ypp, ymp, s, _, _, mom, converged, iters, z_out = carry
+        k0 = c * C
+        yp, ym, ypp, ymp, s, wp, wm, mom = call(k0, yp, ym, ypp, ymp, s, mom)
+        converged, iters, z_out, n_unconverged = check(
+            k0 + C, s, wp, wm, converged, iters, z_out
+        )
         return (
             c + 1, n_unconverged == 0, yp, ym, ypp, ymp, s, wp, wm, mom,
             converged, iters, z_out,
@@ -667,6 +1039,20 @@ def gpad_pallas_eps_dual(
     (
         c, done, yp, ym, ypp, ymp, s, wp, wm, mom, converged, iters, z_out
     ) = lax.while_loop(cond, body, carry)
+
+    if rem:
+        # non-divisible budget: one final partial chunk + check. Runs
+        # unconditionally (a lax.cond around a pallas_call would compile it
+        # anyway); if the loop exited early everything below is a no-op on
+        # the frozen per-scenario outputs. k0 = c*C keeps the momentum
+        # schedule exactly contiguous with wherever the loop stopped.
+        call_rem = make_call(rem)
+        yp, ym, ypp, ymp, s, wp, wm, mom = call_rem(
+            c * C, yp, ym, ypp, ymp, s, mom
+        )
+        converged, iters, z_out, _ = check(
+            c * C + rem, s, wp, wm, converged, iters, z_out
+        )
 
     z, zhat, w = recover(s, wp, wm)
     z_final = jnp.where(converged[..., None], z_out, z)
@@ -1018,16 +1404,14 @@ def solve_batch_pallas(
             and data.D is not None
             and config.model_axis is None
             and config.form in ("auto", "dual")
-            and config.iterations % max(config.check_every, 1) == 0
-            and dual_fits_vmem(data, chunked=True)
+            and (dual_fits_vmem(data, chunked=True) or dual_tiled_fits(data))
         )
         if dual_ok:
             res = gpad_pallas_eps_dual(
                 data, gP2, pD2, config, _norm_y0(y0, Bflat, data.m_half)
             )
         else:
-            # mvp-form eps (or a non-divisible check cadence) routes through
-            # the XLA engine's while_loop.
+            # mvp-form eps routes through the XLA engine's while_loop.
             import dataclasses
 
             res = _core._solve_eps(
@@ -1036,7 +1420,13 @@ def solve_batch_pallas(
     else:
         form = _core.resolve_form(data, config)
         if form == "dual":
-            fixed = gpad_pallas_fixed_dual
+            # the whole-VMEM kernel when the budget admits it; the
+            # HBM-streamed tiled kernel for oversized duals (same contract)
+            fixed = (
+                gpad_pallas_fixed_dual
+                if dual_fits_vmem(data)
+                else gpad_pallas_fixed_dual_tiled
+            )
         elif data.paired:
             fixed = gpad_pallas_fixed_paired
         else:

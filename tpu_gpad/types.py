@@ -161,6 +161,16 @@ class GPADData:
     horizon: int = dataclasses.field(metadata=dict(static=True), default=0)
     name: str = dataclasses.field(metadata=dict(static=True), default="gpad")
     paired: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    n_struct: Optional[int] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
+    # When set (paired "flat" layout, condense._flat_reorder): half-stack
+    # rows [n_struct:] are EXACTLY the identity I_{n_z} in column order
+    # (the input-box block, reference kernel_functions.cu:74-109's flat
+    # variants). Consequences the solver may exploit: GL_T[:, n_struct:]
+    # == I/L (step-4 box columns need no matmul) and MG_T[n_struct:] ==
+    # H^-1 rows. None when undetected; the dense algebra remains valid
+    # regardless — n_struct is an optimization hint, not a layout change.
 
     @property
     def n_z(self) -> int:
@@ -196,7 +206,7 @@ _register_pytree_dataclass(
         "theta",
         "beta",
     ),
-    meta_fields=("n_u", "n_x", "horizon", "name", "paired"),
+    meta_fields=("n_u", "n_x", "horizon", "name", "paired", "n_struct"),
 )
 
 

@@ -14,13 +14,16 @@ flops.
 from __future__ import annotations
 
 
-def solve_flops(data, iterations: int, form: str = "dual") -> int:
+def solve_flops(
+    data, iterations: int, form: str = "dual", flat: bool = False
+) -> int:
     """Flops for ONE scenario solved for ``iterations`` GPAD iterations.
 
     ``form`` is the resolved iteration algebra ("dual" | "mvp"); pass the
-    output of ``core.resolve_form``. SAXPY/projection steps (O(m) per
-    iteration) and the one-off primal recovery are included for honesty but
-    are <1% of the matmul terms at every bundled size."""
+    output of ``core.resolve_form``, and ``core.resolve_flat`` for ``flat``
+    (the identity-block step-4 cut, mvp form only). SAXPY/projection steps
+    (O(m) per iteration) and the one-off primal recovery are included for
+    honesty but are <1% of the matmul terms at every bundled size."""
     n_z = data.n_z
     if form == "dual":
         m_h = data.m_half
@@ -31,7 +34,12 @@ def solve_flops(data, iterations: int, form: str = "dual") -> int:
     if form == "mvp":
         m = data.m_half if data.paired else data.m
         # two rectangular MVPs (step 2 contracts once in the paired layout,
-        # step 4 applies one product with both signs) + SAXPYs
-        per_iter = 2 * m * n_z + 2 * n_z * m + 3 * m + 3 * n_z
+        # step 4 applies one product with both signs) + SAXPYs; with flat,
+        # step 4's identity-block columns cost one multiply per entry
+        step4_cols = data.n_struct if (flat and data.paired) else m
+        per_iter = (
+            2 * m * n_z + 2 * n_z * step4_cols + 3 * m + 3 * n_z
+            + (n_z if flat and data.paired else 0)
+        )
         return iterations * per_iter
     raise ValueError(f"unknown form: {form!r}")
