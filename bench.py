@@ -36,7 +36,7 @@ def main():
     import tpu_gpad
     from tpu_gpad import problems
     from tpu_gpad.solver import solve_batch, SolverConfig
-    from tpu_gpad.solver.core import resolve_form
+    from tpu_gpad.solver.core import resolve_flat, resolve_form
     from tpu_gpad.solver.reference import gpad_solve_qp
     from tpu_gpad.utils import (
         device_time_per_call,
@@ -90,7 +90,8 @@ def main():
     # --- MFU accounting: achieved useful flops/s vs the chip's own measured
     # dense-matmul roofline at the SAME operand dtype + precision ---
     form = resolve_form(data, cfg)
-    flops = solve_flops(data, iters, form) * batch
+    flat = form == "mvp" and resolve_flat(data, cfg)
+    flops = solve_flops(data, iters, form, flat=flat) * batch
     peak_tflops = matmul_peak_tflops(cfg.matmul_dtype, cfg.precision)
     detail["achieved_tflops"] = flops / t_call / 1e12
     detail["matmul_peak_tflops_measured"] = peak_tflops
@@ -138,8 +139,14 @@ def main():
             detail[f"{name}_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
     def _fast_modes():
-        # default matmul precision (1-pass bf16 MXU) and bf16 operands;
-        # ~5e-3 u* accuracy instead of the fp32-highest ~1e-6
+        # the precision ladder (docs/DESIGN.md section 8): "high" = 3-pass
+        # bf16x3 fp32 (2x the MXU rate of "highest", u* within a few e-3);
+        # "default" = 1-pass bf16 (~1e-2); bf16 operands the loosest
+        cfg_high = SolverConfig(iterations=iters, engine=args.engine, precision="high")
+        t_high = device_time_per_call(
+            lambda: solve_batch(data, X0, config=cfg_high).u, k_large=k_large
+        )
+        detail["throughput_high_precision_solves_per_sec"] = batch / t_high
         cfg_fast = SolverConfig(iterations=iters, engine=args.engine, precision="default")
         t_fast = device_time_per_call(
             lambda: solve_batch(data, X0, config=cfg_fast).u, k_large=k_large
@@ -190,6 +197,14 @@ def main():
         )
         detail["long_horizon_N50_pct_peak"] = (
             100.0 * detail["long_horizon_N50_achieved_tflops"] / peak_tflops
+        )
+        cfg50h = SolverConfig(iterations=iters, engine=args.engine,
+                              precision="high")
+        t50h = device_time_per_call(
+            lambda: solve_batch(data50, X0_50, config=cfg50h).u, k_large=10
+        )
+        detail["long_horizon_N50_high_precision_solves_per_sec"] = (
+            X0_50.shape[0] / t50h
         )
         cfg50f = SolverConfig(iterations=iters, engine=args.engine,
                               precision="default")

@@ -32,23 +32,34 @@ def test_reference_shape_dims_and_parity():
         )
 
 
-def test_reference_shape_takes_tiled_pallas():
-    """The whole-VMEM dual kernel declines m_half=1830, but the HBM-streamed
-    tiled kernel covers it — engine='auto' serves the reference's flagship
-    shape fused on TPU (round-1 VERDICT item 1; XLA fallback before)."""
+def test_reference_shape_routing():
+    """Routing at the reference's flagship shape (m_half=1830), all
+    chip-measured (docs/DESIGN.md section 8):
+
+    - fixed + auto on TPU -> form 'mvp' with the flat step-4 cut on the
+      XLA engine (47.5k/81.8k solves/s at highest/high — the fastest path);
+    - form='dual' forced -> the HBM-streamed tiled Pallas kernel (the
+      whole-VMEM kernel's guard still declines this size);
+    - eps mode -> the chunked tiled Pallas path."""
     import jax
 
     from tpu_gpad.solver import kernels
-    from tpu_gpad.solver.core import resolve_engine
+    from tpu_gpad.solver.core import resolve_engine, resolve_form
 
+    on_tpu = jax.default_backend() == "tpu"
     qp = tpu_gpad.condense(problems.battery(n_cells=30, horizon=30))
     data = tpu_gpad.dualize(qp, iterations=10, paired="auto")
+    assert data.n_struct == data.m_half - data.n_z
     # the whole-VMEM dual kernel's guard still rejects m_half=1830 ...
     assert kernels.pick_lane_tile(256, kernels._round_up(data.m_half, 8)) is None
     assert not kernels.dual_fits_vmem(data)
-    # ... but the tiled kernel admits it, so auto picks pallas on TPU
+    # ... the tiled kernel admits it
     assert kernels.dual_tiled_fits(data)
-    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
-    assert resolve_engine(data, SolverConfig(iterations=10)) == expected
+
+    cfg = SolverConfig(iterations=10)
+    assert resolve_form(data, cfg) == ("mvp" if on_tpu else "dual")
+    assert resolve_engine(data, cfg) == "xla"  # flat-mvp runs on XLA
+    cfg_dual = SolverConfig(iterations=10, form="dual")
+    assert resolve_engine(data, cfg_dual) == ("pallas" if on_tpu else "xla")
     cfg_eps = SolverConfig(mode="eps", iterations=100, check_every=10)
-    assert resolve_engine(data, cfg_eps) == expected
+    assert resolve_engine(data, cfg_eps) == ("pallas" if on_tpu else "xla")

@@ -58,6 +58,25 @@ def test_tiled_matches_xla_dual(battery_paired, row_tile):
     np.testing.assert_allclose(np.asarray(y), np.asarray(r_xla.y), atol=2e-5)
 
 
+def test_tiled_high_precision(battery_paired):
+    """bf16x3 through the tiled kernel (stacked hi/lo D chunks)."""
+    qp, data = battery_paired
+    X0 = _x0_batch(4, qp.n_x, seed=3)
+    g_P, p_D = affine_params(data, X0)
+    z, y, w, zhat = kernels.gpad_pallas_fixed_dual_tiled(
+        data, g_P, p_D, None,
+        iterations=60, interpret=INTERPRET, row_tile=16, precision="high",
+    )
+    r_xla = solve_batch(
+        data, X0,
+        config=SolverConfig(
+            iterations=60, engine="xla", form="dual", precision="high"
+        ),
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(r_xla.z), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(r_xla.y), atol=1e-4)
+
+
 def test_tiled_single_chunk_edge(battery_paired):
     """row_tile >= S collapses the row grid to R=1 (degenerate edge)."""
     qp, data = battery_paired

@@ -33,7 +33,7 @@ def main():
     import tpu_gpad
     from tpu_gpad import problems
     from tpu_gpad.solver import SolverConfig, solve_batch
-    from tpu_gpad.solver.core import resolve_engine, resolve_form
+    from tpu_gpad.solver.core import resolve_engine, resolve_flat, resolve_form
     from tpu_gpad.utils import (
         device_time_per_call, device_time_stats, matmul_peak_tflops,
         solve_flops,
@@ -42,30 +42,46 @@ def main():
     out = {"device": str(jax.devices()[0]), "iterations": 100}
     cfg = SolverConfig(iterations=100)
     rng = np.random.default_rng(0)
-    peak_tflops = matmul_peak_tflops(cfg.matmul_dtype, cfg.precision)
-    out["matmul_peak_tflops_measured"] = round(peak_tflops, 2)
+    peaks = {}
 
-    def bench_one(problem, batch, x_scale=0.4):
-        data = tpu_gpad.dualize(
-            tpu_gpad.condense(problem), iterations=100, paired="auto")
+    def peak_for(config):
+        key = f"{config.matmul_dtype}/{config.precision}"
+        if key not in peaks:
+            peaks[key] = round(
+                matmul_peak_tflops(config.matmul_dtype, config.precision), 2
+            )
+        return peaks[key]
+
+    peak_for(cfg)
+    out["matmul_peak_tflops_measured"] = peaks
+
+    def bench_one(problem, batch, x_scale=0.4, config=None, data=None):
+        config = config or cfg
+        if data is None:
+            data = tpu_gpad.dualize(
+                tpu_gpad.condense(problem), iterations=100, paired="auto")
         X0 = jnp.asarray(
             rng.uniform(-x_scale, x_scale, size=(batch, problem.n_x))
             .astype(np.float32))
         stats = device_time_stats(
-            lambda: solve_batch(data, X0, config=cfg).u, n=5, k_large=10)
+            lambda: solve_batch(data, X0, config=config).u, n=5, k_large=10)
         t = stats["median_s"]
-        tflops = solve_flops(data, 100, resolve_form(data, cfg)) * batch / t / 1e12
+        form = resolve_form(data, config)
+        flat = form == "mvp" and resolve_flat(data, config)
+        tflops = solve_flops(data, 100, form, flat=flat) * batch / t / 1e12
         return {
             "n_z": data.n_z, "m": data.m, "paired": data.paired,
             "batch": batch,
-            "engine": resolve_engine(data, cfg),
+            "engine": resolve_engine(data, config),
+            "form": form + ("+flat" if flat else ""),
+            "precision": config.precision,
             "solves_per_sec": round(batch / t, 1),
             "solves_per_sec_iqr": round(
                 batch * stats["iqr_s"] / max(t, 1e-12) ** 2, 1),
             "n_timing_samples": stats["n"],
             "device_us_per_solve": round(t * 1e6 / batch, 3),
             "achieved_tflops": round(tflops, 3),
-            "pct_peak": round(100.0 * tflops / peak_tflops, 1),
+            "pct_peak": round(100.0 * tflops / peak_for(config), 1),
         }
 
     # config 4: double integrator + mass-spring over horizon {10, 30, 100}
@@ -86,12 +102,13 @@ def main():
     out["horizon_sweep"] = sweep
 
     # the reference's flagship dataset shape: n_u=30, N=30, m=3660
-    # (build/step3/4/input.txt header; main.cu's inputs_manysets datasets) —
-    # too large for the fused kernels' VMEM budget, runs on the XLA engine
+    # (build/step3/4/input.txt header; main.cu's inputs_manysets datasets).
+    # engine auto serves it with the flat-mvp XLA path (fastest measured;
+    # the tiled Pallas dual kernel covers the forced-dual/eps routes).
     ref_shape = problems.battery(n_cells=30, horizon=30)
-    out["reference_shape_30x30"] = bench_one(ref_shape, batch=256)
     data_ref = tpu_gpad.dualize(
         tpu_gpad.condense(ref_shape), iterations=100, paired="auto")
+    out["reference_shape_30x30"] = bench_one(ref_shape, batch=256, data=data_ref)
     x1 = jnp.asarray(
         rng.uniform(-0.4, 0.4, size=(1, 30)).astype(np.float32))
     t1 = device_time_per_call(
@@ -100,6 +117,14 @@ def main():
     print(f"reference shape 30x30: "
           f"{out['reference_shape_30x30']['solves_per_sec']:.0f} /s batched, "
           f"{t1*1e3:.2f} ms single", flush=True)
+    # the 3-pass fp32 ("high") tier at the same shape — same u* error as
+    # 'highest' here (the fp32 fixed-point error dominates), ~1.7x faster
+    out["reference_shape_30x30_high"] = bench_one(
+        ref_shape, batch=256, data=data_ref,
+        config=SolverConfig(iterations=100, precision="high"))
+    print(f"reference shape 30x30 (high): "
+          f"{out['reference_shape_30x30_high']['solves_per_sec']:.0f} /s",
+          flush=True)
 
     # eps-mode iteration counts at the reference shape, +- adaptive restart
     # (reuse the condensed QP and Lipschitz constant computed for data_ref —

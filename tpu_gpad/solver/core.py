@@ -378,11 +378,27 @@ def resolve_form(data: GPADData, config: SolverConfig) -> str:
         and config.model_axis is None
     )
     if config.form == "auto":
-        # The dual form wins across measured sizes: fewer VPU ops at small
-        # m_h (VPU-bound regime) and, at long horizons where the MXU
+        # The dual form wins across VMEM-sized problems: fewer VPU ops at
+        # small m_h (VPU-bound regime) and, at long horizons where the MXU
         # dominates, its single m_h^2 product runs at ~72% of fp32-highest
         # peak (N=50 battery, v5e) — the mvp form's 4*m_h*n_z flops are
         # fewer on paper (m_h = 2 n_z + N) but measured slower end-to-end.
+        # EXCEPT at VMEM-oversized duals with a flat identity block: there
+        # the mvp form's flat step-4 cut wins outright — chip-measured at
+        # the reference 30x30 shape (m_h=1830): XLA mvp+flat 47.5k/81.8k
+        # solves/s (highest/high) vs the tiled dual kernel's 38.9k/61.5k,
+        # both already at the matmul roofline (docs/DESIGN.md section 8).
+        if (
+            dual_ok
+            and config.engine != "pallas"  # forced pallas: dual/tiled only
+            and data.n_struct is not None
+            and config.flat != "off"
+            and jax.default_backend() == "tpu"
+        ):
+            from tpu_gpad.solver import kernels
+
+            if not kernels.dual_fits_vmem(data):
+                return "mvp"
         return "dual" if dual_ok else "mvp"
     if config.form == "dual":
         if not dual_ok:

@@ -131,6 +131,66 @@ def dual_tiled_fits(data: GPADData) -> bool:
     )
 
 
+def _prep_operand(M: jax.Array, mm_dtype, precision: str):
+    """Prepare a constant matmul operand for a kernel.
+
+    fp32 + precision='high' is the 3-pass fp32 algorithm (bf16x3) — the
+    MXU runs it at 2x the 6-pass 'highest' rate (measured 63 vs 31 TFLOPs
+    on v5e) with near-fp32 accuracy — but Mosaic lowers only
+    DEFAULT/HIGHEST dot precisions, so the kernels emulate it: the
+    constant operand is pre-split offline into a stacked (2, ...) bf16
+    (hi, lo) pair and ``_kdot`` runs hi*hi + hi*lo + lo*hi. Everything
+    else passes through cast to ``mm_dtype`` (the kernel's native path)."""
+    if jnp.dtype(mm_dtype) == jnp.float32 and precision.lower() == "high":
+        hi = M.astype(jnp.bfloat16)
+        lo = (M - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.stack([hi, lo])
+    return M
+
+
+def _kernel_precision(mm_dtype, precision: str):
+    """The lax precision handed to in-kernel dots. 'high' operands arrive
+    pre-split (see ``_prep_operand``), so the dots themselves run DEFAULT;
+    fp32 contract precision is only meaningful (and only lowerable in
+    Mosaic) for fp32 operands."""
+    p = precision.lower()
+    if jnp.dtype(mm_dtype) != jnp.float32 or p == "high":
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision(p)
+
+
+def _load_op(ref, mm_dtype):
+    """Load a kernel matmul operand: the stacked bf16 (hi, lo) pair is
+    kept as-is (detected by rank); native operands cast to mm_dtype."""
+    A = ref[:]
+    return A if A.ndim == 3 else A.astype(mm_dtype)
+
+
+def _kdot(A, b, precision):
+    """A @ b accumulated in fp32 inside a kernel. ``A`` is either a plain
+    (M, K) operand or the (2, M, K) bf16 (hi, lo) pair of the 3-pass fp32
+    emulation (b is then split on the fly — two cheap VPU passes)."""
+    f32 = jnp.float32
+    if A.ndim == b.ndim + 1:
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(f32)).astype(jnp.bfloat16)
+        return (
+            jnp.dot(A[0], b_hi, preferred_element_type=f32)
+            + jnp.dot(A[0], b_lo, preferred_element_type=f32)
+            + jnp.dot(A[1], b_hi, preferred_element_type=f32)
+        )
+    return jnp.dot(A, b.astype(A.dtype), preferred_element_type=f32,
+                   precision=precision)
+
+
+def _const_spec(A: jax.Array) -> pl.BlockSpec:
+    """Whole-array VMEM BlockSpec for a constant operand (constant index
+    map: fetched once per kernel launch), rank-agnostic so the stacked
+    bf16 (hi, lo) operands of the 3-pass fp32 path work unchanged."""
+    zeros = (0,) * A.ndim
+    return pl.BlockSpec(A.shape, lambda *_: zeros, memory_space=pltpu.VMEM)
+
+
 def _norm_y0(y0, Bflat: int, m_half: int):
     """Normalize a warm-start dual to (Bflat, 2, m_half).
 
@@ -199,12 +259,10 @@ def _gpad_kernel(
     the reference dataset shape m=140, n_z=30 pads to 144/32 rows, not
     256/128 lanes). Both MVPs become (rows, contraction) @ (contraction,
     lanes) MXU matmuls against once-fetched transposed operands."""
-    MGt = MGt_ref[:].astype(mm_dtype)  # (S_z, S_m)
-    GLt = GLt_ref[:].astype(mm_dtype)  # (S_m, S_z)
+    MGt = _load_op(MGt_ref, mm_dtype)  # (S_z, S_m)
+    GLt = _load_op(GLt_ref, mm_dtype)  # (S_m, S_z)
     g_P = gP_ref[:]  # (S_z, B_t)
     p_D = pD_ref[:]  # (S_m, B_t)
-
-    f32 = jnp.float32
     # Initial iterates derived from loaded operands (not a zeros broadcast):
     # Mosaic assigns broadcast-zeros a replicated vector layout that cannot be
     # relayout'd against the general layout of loop-carried values.
@@ -218,25 +276,11 @@ def _gpad_kernel(
         # Step 1 (SAXPY): w = y + beta (y - y_prev)        [VPU]
         w = y + beta_k * (y - y_prev)
         # Step 2 (MVP):   zhat = -(MG_T' w) - g_P          [MXU]
-        zhat = (
-            -jnp.dot(
-                MGt, w.astype(mm_dtype),
-                preferred_element_type=f32, precision=precision,
-            )
-            - g_P
-        )
+        zhat = -_kdot(MGt, w, precision) - g_P
         # Step 3 (SAXPY): z = (1-theta) z + theta zhat     [VPU]
         z = (1.0 - theta_k) * z + theta_k * zhat
         # Step 4 (MVP + branchless projection onto y >= 0) [MXU + VPU]
-        y_next = jnp.maximum(
-            w
-            + jnp.dot(
-                GLt, zhat.astype(mm_dtype),
-                preferred_element_type=f32, precision=precision,
-            )
-            + p_D,
-            0.0,
-        )
+        y_next = jnp.maximum(w + _kdot(GLt, zhat, precision) + p_D, 0.0)
         return y_next, y, z, w, zhat
 
     y, y_prev, z, w, zhat = jax.lax.fori_loop(
@@ -271,10 +315,7 @@ def _make_dual_body(theta_ref, beta_ref, idx, Dn, cp, cm, *, mm_dtype,
         wp = yp + beta_k * (yp - yp_prev)
         wm = ym + beta_k * (ym - ym_prev)
         wd = wp - wm
-        d = jnp.dot(
-            Dn, wd.astype(mm_dtype),
-            preferred_element_type=f32, precision=precision,
-        )
+        d = _kdot(Dn, wd, precision)
         yp_next = jnp.maximum(wp + d + cp, 0.0)
         ym_next = jnp.maximum(wm - d + cm, 0.0)
         s = s + theta_k * (wd - s)
@@ -345,7 +386,7 @@ def _gpad_kernel_dual(
         s  += theta (wd - s)                    [convex comb for primal
                                                  recovery outside]
     """
-    Dn = Dn_ref[:].astype(mm_dtype)  # (S, S) == -D, padded
+    Dn = _load_op(Dn_ref, mm_dtype)  # (S, S) == -D padded (or bf16 hi/lo)
     cp = cp_ref[:]  # (S, B_t)
     cm = cm_ref[:]
     zero = cp * 0.0
@@ -427,13 +468,14 @@ def gpad_pallas_fixed_dual(
         y0b = _norm_y0(y0, B, data.m_half)  # accepts any leading batch dims
         y0pT = _pad2(y0b[:, 0, :].T, S, B_p)
         y0mT = _pad2(y0b[:, 1, :].T, S, B_p)
-    Dn = _pad2(-data.D, S, S)  # symmetric, negation folded offline
+    # symmetric, negation folded offline; bf16 (hi, lo) pair for 'high'
+    Dn = _prep_operand(_pad2(-data.D, S, S), mm_dtype, precision)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
 
     kernel = functools.partial(
         _gpad_kernel_dual, iterations=iterations, mm_dtype=mm_dtype,
-        precision=prec, restart=restart,
+        precision=_kernel_precision(mm_dtype, precision), restart=restart,
     )
     lane_spec = pl.BlockSpec(
         (S, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
@@ -448,9 +490,7 @@ def gpad_pallas_fixed_dual(
                 lane_spec,  # cm
                 lane_spec,  # y0 plus rows (zeros when cold)
                 lane_spec,  # y0 minus rows
-                pl.BlockSpec(
-                    (S, S), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
-                ),  # -D (fetched once)
+                _const_spec(Dn),  # -D (fetched once)
             ],
             out_specs=[lane_spec] * 5,
         ),
@@ -514,7 +554,7 @@ def _gpad_kernel_dual_chunk(
     the kernel advances the VMEM-resident state by exactly one check window
     and hands (y, y_prev, s, w) back for the residual test. Same algebra as
     ``_gpad_kernel_dual``."""
-    Dn = Dn_ref[:].astype(mm_dtype)
+    Dn = _load_op(Dn_ref, mm_dtype)
     cp = cp_ref[:]
     cm = cm_ref[:]
     k0 = k0_ref[0]
@@ -563,12 +603,7 @@ def _dual_chunk_call(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # theta, beta, k0
             grid=(B_p // B_t,),
-            in_specs=[lane_spec] * 7 + [mom_spec] + [
-                pl.BlockSpec(
-                    (S, S), lambda i, th, be, k0: (0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ],
+            in_specs=[lane_spec] * 7 + [mom_spec, _const_spec(Dn)],
             out_specs=[lane_spec] * 7 + [mom_spec],
         ),
         out_shape=(
@@ -654,7 +689,7 @@ def _gpad_kernel_dual_tiled(
     f32 = jnp.float32
     i, it, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     R = pl.num_programs(2)
-    T_r = Dn_ref.shape[0]
+    T_r = Dn_ref.shape[-2]  # (T_r, S) or stacked (2, T_r, S) bf16 hi/lo
     cur = jax.lax.rem(it, 2)
     prv = jax.lax.rem(it + 1, 2)
     off = i * B_t
@@ -702,12 +737,7 @@ def _gpad_kernel_dual_tiled(
             momb[2:3, :] = jnp.zeros_like(momb[2:3, :])
 
     rows = pl.ds(r * T_r, T_r)
-    d = jnp.dot(
-        Dn_ref[:].astype(mm_dtype),
-        wdb[:].astype(mm_dtype),
-        preferred_element_type=f32,
-        precision=precision,
-    )
+    d = _kdot(_load_op(Dn_ref, mm_dtype), wdb[:], precision)
     ypn = jnp.maximum(wpb[rows] + d + cpb[rows], 0.0)
     ymn = jnp.maximum(wmb[rows] - d + cmb[rows], 0.0)
     ypb[prv, rows] = ypn
@@ -767,15 +797,20 @@ def _dual_tiled_call(
         precision=prec, restart=restart,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if Dn.ndim == 3:  # stacked bf16 (hi, lo) pair of the 3-pass fp32 path
+        d_spec = pl.BlockSpec(
+            (2, T_r, S), lambda i, it, r, th, be, k0: (0, r, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        d_spec = pl.BlockSpec(
+            (T_r, S), lambda i, it, r, th, be, k0: (r, 0),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # theta, beta, k0
         grid=(B_p // B_t, chunk, S // T_r),
-        in_specs=[any_spec] * 8 + [
-            pl.BlockSpec(
-                (T_r, S), lambda i, it, r, th, be, k0: (r, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        in_specs=[any_spec] * 8 + [d_spec],
         out_specs=[any_spec] * 8,
         scratch_shapes=[
             pltpu.VMEM((2, S, B_t), jnp.float32),  # y+ ping-pong
@@ -879,7 +914,7 @@ def gpad_pallas_fixed_dual_tiled(
         y0b = _norm_y0(y0, B, m_h)
         ypT = _pad2(y0b[:, 0, :].T, S, B_p)
         ymT = _pad2(y0b[:, 1, :].T, S, B_p)
-    Dn = _pad2(-data.D, S, S)
+    Dn = _prep_operand(_pad2(-data.D, S, S), mm_dtype, precision)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
     zero = jnp.zeros((S, B_p), dtype=jnp.float32)
@@ -887,7 +922,8 @@ def gpad_pallas_fixed_dual_tiled(
 
     call = _dual_tiled_call(
         data, cpT, cmT, Dn, theta, beta, S, B_p, B_t, T_r,
-        mm_dtype, prec, iterations, interpret, restart=restart,
+        mm_dtype, _kernel_precision(mm_dtype, precision), iterations,
+        interpret, restart=restart,
     )
     yp, ym, _, _, s, wp, wm, _ = call(0, ypT, ymT, ypT, ymT, zero, mom0)
 
@@ -944,16 +980,14 @@ def gpad_pallas_eps_dual(
     rem = iterations - n_full * C  # final partial check window (if any)
 
     mm_dtype = jnp.dtype(config.matmul_dtype)
-    prec = (
-        jax.lax.Precision(config.precision.lower())
-        if mm_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    # kernel-side dot precision; the host-side recovery/residual matmuls
+    # (mm) use the full configured precision (XLA lowers HIGH natively)
+    prec = _kernel_precision(mm_dtype, config.precision)
     mm = _core._make_matmul(config)
     e = mm(g_P, data.GL_T)
     cpT = _pad2((p_D[:, 0, :] - e).T, S, B_p)
     cmT = _pad2((p_D[:, 1, :] + e).T, S, B_p)
-    Dn = _pad2(-data.D, S, S)
+    Dn = _prep_operand(_pad2(-data.D, S, S), mm_dtype, config.precision)
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
     interpret = jax.default_backend() != "tpu"
@@ -1103,12 +1137,11 @@ def _gpad_kernel_paired(
     the dual-only form for long horizons, where the two rectangular MVPs
     (2·m_h·n_z flops) beat the square dual Hessian product (m_h² flops)
     because m_h = 2·n_z + N > 2·n_z (see ``resolve_form``)."""
-    MGt = MG_ref[:].astype(mm_dtype)  # (S_z, S_h) == MG_T' (half stack)
-    GLt = GL_ref[:].astype(mm_dtype)  # (S_h, S_z) == GL_T'
+    MGt = _load_op(MG_ref, mm_dtype)  # (S_z, S_h) == MG_T' (half stack)
+    GLt = _load_op(GL_ref, mm_dtype)  # (S_h, S_z) == GL_T'
     g_P = gP_ref[:]  # (S_z, B_t)
     p_Dp = pDp_ref[:]  # (S_h, B_t)
     p_Dm = pDm_ref[:]
-    f32 = jnp.float32
     y0p = y0p_ref[:]  # warm start (zeros when cold)
     y0m = y0m_ref[:]
     z0 = g_P * 0.0
@@ -1119,18 +1152,9 @@ def _gpad_kernel_paired(
         theta_k = theta_ref[k]
         wp = yp + beta_k * (yp - yp_prev)
         wm = ym + beta_k * (ym - ym_prev)
-        zhat = (
-            -jnp.dot(
-                MGt, (wp - wm).astype(mm_dtype),
-                preferred_element_type=f32, precision=precision,
-            )
-            - g_P
-        )
+        zhat = -_kdot(MGt, wp - wm, precision) - g_P
         z = (1.0 - theta_k) * z + theta_k * zhat
-        q = jnp.dot(
-            GLt, zhat.astype(mm_dtype),
-            preferred_element_type=f32, precision=precision,
-        )
+        q = _kdot(GLt, zhat, precision)
         yp_next = jnp.maximum(wp + q + p_Dp, 0.0)
         ym_next = jnp.maximum(wm - q + p_Dm, 0.0)
         return yp_next, ym_next, yp, ym, z, wp, wm, zhat
@@ -1178,8 +1202,13 @@ def gpad_pallas_fixed_paired(
         )
     B_p = _round_up(B, B_t)
 
-    MGt = _pad2(data.MG_T.T, S_z, S_h)  # (n_z, m_h) padded
-    GLt = _pad2(data.GL_T.T, S_h, S_z)  # (m_h, n_z) padded
+    mm_dtype = jnp.dtype(matmul_dtype)
+    MGt = _prep_operand(
+        _pad2(data.MG_T.T, S_z, S_h), mm_dtype, precision
+    )  # (n_z, m_h) padded
+    GLt = _prep_operand(
+        _pad2(data.GL_T.T, S_h, S_z), mm_dtype, precision
+    )  # (m_h, n_z) padded
     gPT = _pad2(g_P.T, S_z, B_p)
     pDpT = _pad2(p_D[:, 0, :].T, S_h, B_p)
     pDmT = _pad2(p_D[:, 1, :].T, S_h, B_p)
@@ -1193,23 +1222,15 @@ def gpad_pallas_fixed_paired(
     theta = data.theta[:iterations]
     beta = data.beta[:iterations]
 
-    mm_dtype = jnp.dtype(matmul_dtype)
-    prec = (
-        jax.lax.Precision(precision.lower())
-        if mm_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
     kernel = functools.partial(
-        _gpad_kernel_paired, iterations=iterations, mm_dtype=mm_dtype, precision=prec
+        _gpad_kernel_paired, iterations=iterations, mm_dtype=mm_dtype,
+        precision=_kernel_precision(mm_dtype, precision),
     )
     lane_spec_z = pl.BlockSpec(
         (S_z, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
     lane_spec_h = pl.BlockSpec(
         (S_h, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
-    )
-    full = lambda r, c: pl.BlockSpec(
-        (r, c), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
     )
     z, yp, ym, wp, wm, zhat = pl.pallas_call(
         kernel,
@@ -1222,8 +1243,8 @@ def gpad_pallas_fixed_paired(
                 lane_spec_h,  # p_D minus rows
                 lane_spec_h,  # y0 plus rows (zeros when cold)
                 lane_spec_h,  # y0 minus rows
-                full(S_z, S_h),  # MG_T' (half stack)
-                full(S_h, S_z),  # GL_T'
+                _const_spec(MGt),  # MG_T' (half stack)
+                _const_spec(GLt),  # GL_T'
             ],
             out_specs=[
                 lane_spec_z,
@@ -1289,8 +1310,13 @@ def gpad_pallas_fixed(
         )
     B_p = _round_up(B, B_t)
 
-    MGt = _pad2(data.MG_T.T, S_z, S_m)  # (n_z, m) padded
-    GLt = _pad2(data.GL_T.T, S_m, S_z)  # (m, n_z) padded
+    mm_dtype = jnp.dtype(matmul_dtype)
+    MGt = _prep_operand(
+        _pad2(data.MG_T.T, S_z, S_m), mm_dtype, precision
+    )  # (n_z, m) padded
+    GLt = _prep_operand(
+        _pad2(data.GL_T.T, S_m, S_z), mm_dtype, precision
+    )  # (m, n_z) padded
     gPT = _pad2(g_P.T, S_z, B_p)
     pDT = _pad2(p_D.T, S_m, B_p)
     if y0 is None:
@@ -1305,19 +1331,11 @@ def gpad_pallas_fixed(
     beta = data.beta[:iterations]
 
     grid = (B_p // B_t,)
-    mm_dtype = jnp.dtype(matmul_dtype)
-    # fp32 contract precision is only meaningful (and only valid in Mosaic)
-    # for fp32 operands; bf16 operands use the MXU's native pass.
-    prec = (
-        jax.lax.Precision(precision.lower())
-        if mm_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
     kernel = functools.partial(
         _gpad_kernel,
         iterations=iterations,
         mm_dtype=mm_dtype,
-        precision=prec,
+        precision=_kernel_precision(mm_dtype, precision),
     )
     # index maps receive (grid_idx, *scalar_prefetch_refs)
     lane_spec_z = pl.BlockSpec(
@@ -1325,9 +1343,6 @@ def gpad_pallas_fixed(
     )
     lane_spec_m = pl.BlockSpec(
         (S_m, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
-    )
-    full = lambda r, c: pl.BlockSpec(
-        (r, c), lambda i, th, be: (0, 0), memory_space=pltpu.VMEM
     )
 
     flops_mm = 2 * S_m * S_z * 2 * iterations * B_p
@@ -1340,8 +1355,8 @@ def gpad_pallas_fixed(
                 lane_spec_z,  # g_P
                 lane_spec_m,  # p_D
                 lane_spec_m,  # y0 (zeros when cold)
-                full(S_z, S_m),  # MG_T' (constant index map: fetched once)
-                full(S_m, S_z),  # GL_T'
+                _const_spec(MGt),  # MG_T' (constant index map: fetched once)
+                _const_spec(GLt),  # GL_T'
             ],
             out_specs=[
                 lane_spec_z,  # z
