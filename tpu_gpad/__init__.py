@@ -25,7 +25,7 @@ from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "LinearMPCProblem",
