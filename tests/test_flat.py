@@ -127,6 +127,66 @@ def test_flat_resolver(flat_data):
     assert resolve_flat(data_dense, SolverConfig()) is False
 
 
+def test_flat_pallas_kernel_matches_xla(flat_data):
+    """The flat paired Pallas kernel (form='mvp' forced through pallas)
+    agrees with the XLA flat path, cold and warm."""
+    qp, data = flat_data
+    X0 = _x0(6, qp.n_x, seed=9)
+    cfg_pl = SolverConfig(iterations=60, engine="pallas", form="mvp")
+    cfg_xla = SolverConfig(iterations=60, engine="xla", form="mvp", flat="on")
+    r_pl = solve_batch(data, X0, config=cfg_pl)
+    r_xla = solve_batch(data, X0, config=cfg_xla)
+    np.testing.assert_allclose(np.asarray(r_pl.z), np.asarray(r_xla.z), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_pl.y), np.asarray(r_xla.y), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_pl.residual), np.asarray(r_xla.residual), atol=2e-5
+    )
+    # the flat kernel actually routed (not the dense paired one)
+    from tpu_gpad.solver import kernels
+
+    assert kernels.flat_fits_vmem(data)
+    # warm start through the flat layout mapping
+    w_pl = solve_batch(data, X0, config=cfg_pl, y0=r_xla.y)
+    w_xla = solve_batch(data, X0, config=cfg_xla, y0=r_xla.y)
+    np.testing.assert_allclose(np.asarray(w_pl.u), np.asarray(w_xla.u), atol=2e-5)
+    cold = np.asarray(r_pl.y)
+    assert np.abs(np.asarray(w_pl.y) - cold).max() > 1e-6
+
+
+def test_flat_pallas_high_precision(flat_data):
+    """bf16x3 through the flat kernel (stacked hi/lo MG_f and GL_s)."""
+    qp, data = flat_data
+    X0 = _x0(4, qp.n_x, seed=11)
+    r_pl = solve_batch(
+        data, X0,
+        config=SolverConfig(
+            iterations=60, engine="pallas", form="mvp", precision="high"
+        ),
+    )
+    r_xla = solve_batch(
+        data, X0,
+        config=SolverConfig(
+            iterations=60, engine="xla", form="mvp", flat="on", precision="high"
+        ),
+    )
+    np.testing.assert_allclose(np.asarray(r_pl.u), np.asarray(r_xla.u), atol=1e-4)
+
+
+def test_flat_kernel_off_when_flat_off(flat_data):
+    """flat='off' keeps the dense paired kernel on the pallas path."""
+    qp, data = flat_data
+    X0 = _x0(3, qp.n_x, seed=13)
+    r_off = solve_batch(
+        data, X0,
+        config=SolverConfig(iterations=40, engine="pallas", form="mvp", flat="off"),
+    )
+    r_on = solve_batch(
+        data, X0,
+        config=SolverConfig(iterations=40, engine="pallas", form="mvp"),
+    )
+    np.testing.assert_allclose(np.asarray(r_on.u), np.asarray(r_off.u), atol=2e-5)
+
+
 def test_flat_flops_accounting(flat_data):
     from tpu_gpad.utils import solve_flops
 

@@ -40,7 +40,9 @@ def test_reference_shape_routing():
       XLA engine (47.5k/81.8k solves/s at highest/high — the fastest path);
     - form='dual' forced -> the HBM-streamed tiled Pallas kernel (the
       whole-VMEM kernel's guard still declines this size);
-    - eps mode -> the chunked tiled Pallas path."""
+    - eps mode -> the XLA mvp+flat loop (measured 9.9k vs the tiled chunk
+      kernel's 8.6k at eps=1e-4 restart); the tiled chunk kernel serves
+      flat-less oversized duals and forced form='dual'."""
     import jax
 
     from tpu_gpad.solver import kernels
@@ -62,4 +64,8 @@ def test_reference_shape_routing():
     cfg_dual = SolverConfig(iterations=10, form="dual")
     assert resolve_engine(data, cfg_dual) == ("pallas" if on_tpu else "xla")
     cfg_eps = SolverConfig(mode="eps", iterations=100, check_every=10)
-    assert resolve_engine(data, cfg_eps) == ("pallas" if on_tpu else "xla")
+    assert resolve_engine(data, cfg_eps) == "xla"
+    cfg_eps_nf = SolverConfig(
+        mode="eps", iterations=100, check_every=10, flat="off"
+    )
+    assert resolve_engine(data, cfg_eps_nf) == ("pallas" if on_tpu else "xla")

@@ -49,6 +49,14 @@ def _add_solver_args(p):
     p.add_argument("--form", default="auto", choices=["auto", "mvp", "dual"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="operand dtype for the hot matmuls")
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="fp32 matmul precision ladder: 6-pass fp32 / 3-pass "
+                        "bf16x3 (2x faster, u* within a few e-3) / 1-pass "
+                        "bf16 (fastest, ~1e-2) — docs/DESIGN.md section 8")
+    p.add_argument("--flat", default="auto", choices=["auto", "on", "off"],
+                   help="exploit the input-box identity block in the mvp "
+                        "form (the reference's flat kernels)")
     p.add_argument("--restart", action="store_true",
                    help="adaptive momentum restart (near-linear convergence; "
                         "certified iteration bounds no longer apply)")
@@ -57,16 +65,20 @@ def _add_solver_args(p):
 
 
 def _solver_config(args):
+    """Build a SolverConfig from parsed args; subcommands that expose only
+    a subset of the solver flags (e.g. ``info``) fall back to defaults."""
     from tpu_gpad.solver import SolverConfig
 
     return SolverConfig(
         iterations=args.iterations,
-        mode=args.mode,
-        eps_g=args.eps_g,
-        eps_V=args.eps_v,
-        engine=args.engine,
-        form=args.form,
-        matmul_dtype=args.dtype,
+        mode=getattr(args, "mode", "fixed"),
+        eps_g=getattr(args, "eps_g", 1e-6),
+        eps_V=getattr(args, "eps_v", 1e-6),
+        engine=getattr(args, "engine", "auto"),
+        form=getattr(args, "form", "auto"),
+        matmul_dtype=getattr(args, "dtype", "float32"),
+        precision=getattr(args, "precision", "highest"),
+        flat=getattr(args, "flat", "auto"),
         restart=getattr(args, "restart", False),
     )
 
@@ -253,17 +265,29 @@ def cmd_info(args) -> int:
 
     import tpu_gpad
 
+    from tpu_gpad.solver.core import resolve_engine, resolve_flat, resolve_form
+    from tpu_gpad.utils import solve_flops
+
     problem = _build_problem(args)
     qp = tpu_gpad.condense(problem)
     data = tpu_gpad.dualize(qp, iterations=args.iterations, paired=_paired(args))
+    cfg = _solver_config(args)
+    form = resolve_form(data, cfg)
+    flat = form == "mvp" and data.paired and resolve_flat(data, cfg)
     info = {
         "problem": problem.name,
         "n_x": problem.n_x, "n_u": problem.n_u, "horizon": problem.horizon,
         "n_z": qp.n_z, "m": qp.m,
         "paired": data.paired,
+        "n_struct": data.n_struct,
         "L": float(np.asarray(data.L)),
+        "resolved_engine": resolve_engine(data, cfg),
+        "resolved_form": form + ("+flat" if flat else ""),
         "flops_per_iteration_dense": int(
             3 * qp.m + 2 * qp.n_z * qp.m + 3 * qp.n_z + 2 * qp.n_z * qp.m),
+        "flops_per_iteration_resolved": int(
+            solve_flops(data, 2, form, flat=flat)
+            - solve_flops(data, 1, form, flat=flat)),
         "devices": [str(d) for d in jax.devices()],
     }
     if args.bound:

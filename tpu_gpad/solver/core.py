@@ -349,10 +349,17 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
         from tpu_gpad.solver import kernels
 
         dual_ok = data.paired and data.D is not None and config.form != "mvp"
-        if dual_ok and (
-            kernels.dual_fits_vmem(data, chunked=True)
-            or kernels.dual_tiled_fits(data)
+        if dual_ok and kernels.dual_fits_vmem(data, chunked=True):
+            return "pallas"
+        if (
+            dual_ok
+            and kernels.dual_tiled_fits(data)
+            and not (data.n_struct is not None and config.flat != "off")
         ):
+            # VMEM-oversized dual without a flat block: the tiled chunk
+            # kernel. WITH a flat block the XLA mvp+flat eps loop measured
+            # faster (9.9k vs 8.6k solves/s at the 30x30 flagship shape,
+            # eps=1e-4 restart) — eps-mode resolve_form returns "mvp" there.
             return "pallas"
         return "xla"
     if config.mode != "fixed":
@@ -364,7 +371,10 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
         # whose Hessian/state exceed VMEM (the reference's 30x30 flagship)
         if not (kernels.dual_fits_vmem(data) or kernels.dual_tiled_fits(data)):
             return "xla"
-    elif not kernels.fits_vmem(data):
+    elif not (
+        kernels.fits_vmem(data)
+        or (resolve_flat(data, config) and kernels.flat_fits_vmem(data))
+    ):
         return "xla"
     return "pallas"
 
@@ -378,26 +388,27 @@ def resolve_form(data: GPADData, config: SolverConfig) -> str:
         and config.model_axis is None
     )
     if config.form == "auto":
-        # The dual form wins across VMEM-sized problems: fewer VPU ops at
-        # small m_h (VPU-bound regime) and, at long horizons where the MXU
-        # dominates, its single m_h^2 product runs at ~72% of fp32-highest
-        # peak (N=50 battery, v5e) — the mvp form's 4*m_h*n_z flops are
-        # fewer on paper (m_h = 2 n_z + N) but measured slower end-to-end.
-        # EXCEPT at VMEM-oversized duals with a flat identity block: there
-        # the mvp form's flat step-4 cut wins outright — chip-measured at
-        # the reference 30x30 shape (m_h=1830): XLA mvp+flat 47.5k/81.8k
-        # solves/s (highest/high) vs the tiled dual kernel's 38.9k/61.5k,
-        # both already at the matmul roofline (docs/DESIGN.md section 8).
-        if (
+        # Chip-measured (v5e, 100 fixed iters): the FLAT mvp form — step 4
+        # skips the identity-block columns — beats or ties the dual form at
+        # every bundled shape (it always has exactly 2*n_struct^2 fewer
+        # flops per iteration): N10 tie 8.6M solves/s, battery N20 +20%,
+        # N30 +32%, N50 +45% (1.30M vs 900k), mass_spring N30 +48%,
+        # double_integrator N30 +4%, reference 30x30 47.5k vs 38.9k
+        # (docs/DESIGN.md section 8). So auto picks flat-mvp whenever it is
+        # available in fixed mode; the dual form remains for restart (its
+        # momentum recursion is fused only in the dual kernels), eps mode
+        # (chunked dual kernels), CPU, flat='off', and flat-less stacks.
+        flat_avail = (
             dual_ok
-            and config.engine != "pallas"  # forced pallas: dual/tiled only
             and data.n_struct is not None
             and config.flat != "off"
+            and not config.restart
             and jax.default_backend() == "tpu"
-        ):
+        )
+        if flat_avail:
             from tpu_gpad.solver import kernels
 
-            if not kernels.dual_fits_vmem(data):
+            if config.engine != "pallas" or kernels.flat_fits_vmem(data):
                 return "mvp"
         return "dual" if dual_ok else "mvp"
     if config.form == "dual":
