@@ -61,6 +61,7 @@ def _simulate_jit(
     config: SolverConfig,
     warm_start: bool,
     X_ref: jax.Array | None = None,
+    U_prev0: jax.Array | None = None,
 ) -> ClosedLoopResult:
     batch = X0.shape[0]
     dual_shape = (
@@ -69,17 +70,22 @@ def _simulate_jit(
     y_init = jnp.zeros(dual_shape, dtype=jnp.float32)
 
     def step(carry, _):
-        x, y_ws = carry
+        x, y_ws, u_prev = carry
         p = x if X_ref is None else jnp.concatenate([x, X_ref], axis=-1)
+        if u_prev is not None:
+            # rate-limited problem: the previously applied move is part of
+            # the QP parameter p = [x0; r?; u_prev]
+            p = jnp.concatenate([p, u_prev], axis=-1)
         res = solve_batch(
             data, p, config=config, y0=y_ws if warm_start else None
         )
         u = res.u
         x_next = x @ A.T + u @ B.T  # plant propagation (gpad.m:93)
-        return (x_next, res.y), (x, u, res.residual, res.iterations)
+        u_next = u if u_prev is not None else None
+        return (x_next, res.y, u_next), (x, u, res.residual, res.iterations)
 
-    (x_final, _), (Xs, Us, Rs, Its) = jax.lax.scan(
-        step, (X0, y_init), None, length=n_steps
+    (x_final, _, _), (Xs, Us, Rs, Its) = jax.lax.scan(
+        step, (X0, y_init, U_prev0), None, length=n_steps
     )
     X = jnp.concatenate([Xs, x_final[None]], axis=0)
     return ClosedLoopResult(X=X, U=Us, residual=Rs, iterations=Its)
@@ -95,6 +101,7 @@ def simulate(
     warm_start: bool = False,
     paired: bool | str = "auto",
     x_ref: np.ndarray | jax.Array | None = None,
+    u_prev0: np.ndarray | jax.Array | None = None,
 ) -> ClosedLoopResult:
     """Run the closed loop: condense once, then scan solve->actuate->propagate.
 
@@ -104,7 +111,10 @@ def simulate(
     only in x0, so their duals are close) — the reference cold-starts every
     solve (``acceldualgrad.m:28-33``). ``x_ref`` runs a setpoint-tracking
     loop (condenses with ``tracking=True``; a supplied ``data`` must then
-    be tracking-parametrized).
+    be tracking-parametrized). For rate-limited problems (``du_min``/
+    ``du_max`` set) the applied move is threaded back into the next
+    sample's parameter; ``u_prev0`` seeds it (default: zeros — actuator
+    at rest).
     """
     if data is None:
         data = dualize(
@@ -122,9 +132,18 @@ def simulate(
         X_ref = jnp.broadcast_to(
             jnp.asarray(x_ref, dtype=jnp.float32), X0.shape
         )
+    U_prev0 = None
+    if problem.du_max is not None or problem.du_min is not None:
+        U_prev0 = jnp.zeros((X0.shape[0], problem.n_u), dtype=jnp.float32)
+        if u_prev0 is not None:
+            U_prev0 = jnp.broadcast_to(
+                jnp.asarray(u_prev0, dtype=jnp.float32), U_prev0.shape
+            )
     A = jnp.asarray(problem.A, dtype=jnp.float32)
     B = jnp.asarray(problem.B, dtype=jnp.float32)
-    return _simulate_jit(data, A, B, X0, n_steps, config, warm_start, X_ref)
+    return _simulate_jit(
+        data, A, B, X0, n_steps, config, warm_start, X_ref, U_prev0
+    )
 
 
 class Controller:
@@ -175,6 +194,7 @@ class Controller:
             )
         self.qp = condense(problem, soft_state=soft_state, tracking=tracking)
         self.tracking = tracking
+        self.rate = problem.du_max is not None or problem.du_min is not None
         if data is None:
             data = dualize(self.qp, iterations=config.iterations, paired=paired)
         self.problem = problem
@@ -184,6 +204,7 @@ class Controller:
         self.polish = polish  # refine each step's u* to the exact optimum
         # via a host-side float64 KKT solve on the identified active set
         self._y = None
+        self._u_prev = None  # last applied move (rate-limited problems)
         self.last_result = None
 
     def step(self, x, x_ref=None) -> np.ndarray:
@@ -192,7 +213,10 @@ class Controller:
         Output shape mirrors the input: (n_u,) for a single (n_x,) state,
         (B, n_u) for a (B, n_x) batch — including B == 1.
         ``x_ref``: the setpoint (same shape as ``x``) for tracking
-        controllers (``tracking=True``); defaults to the origin."""
+        controllers (``tracking=True``); defaults to the origin.
+        For rate-limited problems the previous ``step``'s returned move is
+        threaded into the parameter automatically (zeros on the first step
+        or after ``reset``)."""
         single = np.ndim(x) == 1
         x = np.asarray(x, dtype=np.float32)
         if self.tracking:
@@ -205,6 +229,13 @@ class Controller:
         elif x_ref is not None:
             raise ValueError("x_ref requires a tracking=True controller")
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
+        if self.rate:
+            u_prev = self._u_prev
+            if u_prev is None or u_prev.shape[0] != x.shape[0]:
+                u_prev = jnp.zeros(
+                    (x.shape[0], self.data.n_u), dtype=jnp.float32
+                )
+            x = jnp.concatenate([x, u_prev], axis=-1)
         y0 = self._y if self.warm_start else None
         if y0 is not None and y0.shape[0] != x.shape[0]:
             y0 = None  # batch size changed: warm start no longer applies
@@ -218,11 +249,21 @@ class Controller:
             u = Z[:, : self.data.n_u].astype(np.float32)
         else:
             u = np.asarray(res.u, dtype=np.float32)
+        if self.rate:
+            self._u_prev = jnp.asarray(u)
         return u[0] if single else u
 
-    def reset(self) -> None:
-        """Drop the warm-start state (e.g. after a setpoint change)."""
+    def reset(self, u_prev=None) -> None:
+        """Drop the warm-start state (e.g. after a setpoint change).
+
+        ``u_prev``: for rate-limited problems, the actuator's current
+        position to rate-limit the next move against (default: zeros)."""
         self._y = None
+        self._u_prev = None
+        if u_prev is not None:
+            self._u_prev = jnp.atleast_2d(
+                jnp.asarray(u_prev, dtype=jnp.float32)
+            )
 
 
 def plot_closed_loop(result: ClosedLoopResult, scenario: int = 0, path: str | None = None):

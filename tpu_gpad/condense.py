@@ -107,6 +107,13 @@ def condense(
     standard production-MPC necessity the reference lacks. Input boxes
     and couplings remain hard. Primal recovery is unaffected:
     ``u* = z[:n_u]`` still (slacks sit at the tail of the vector).
+
+    Input rate limits (``problem.du_min``/``du_max``): slew constraints
+    ``du_min <= u_k - u_{k-1} <= du_max`` with ``u_{-1}`` = the previously
+    applied move. The parameter grows by ``n_u`` trailing entries:
+    ``p = [x0; r (if tracking); u_prev]``. ``Controller`` and
+    ``closed_loop.simulate`` thread ``u_prev`` automatically; direct
+    ``solve_batch`` callers concatenate it themselves.
     """
     N = problem.horizon
     n_x, n_u = problem.n_x, problem.n_u
@@ -155,6 +162,26 @@ def condense(
         zE = np.zeros((Kbar.shape[0], n_x))
         add(Kbar, zc, zE)
         add(-Kbar, zc, zE)
+    # input rate (slew) limits: du_min <= u_k - u_{k-1} <= du_max with
+    # u_{-1} = the previously applied move, entering as an extra QP
+    # parameter (p gains n_u trailing entries; see the u_prev column
+    # append below). Dz is the block-difference map u_k - u_{k-1}
+    # (first block row is just u_0). Emitting BOTH sides preserves the
+    # paired half-stack layout; a one-sided limit falls back to the
+    # dense layout automatically (find_pairing returns None).
+    has_rate = problem.du_max is not None or problem.du_min is not None
+    rate_blocks: list[tuple[int, float]] = []  # (start row, u_prev sign)
+    if has_rate:
+        Dz = np.eye(n_z)
+        for k in range(1, N):
+            Dz[k * n_u : (k + 1) * n_u, (k - 1) * n_u : k * n_u] = -np.eye(n_u)
+        zE = np.zeros((n_z, n_x))
+        if problem.du_max is not None:
+            rate_blocks.append((sum(g.shape[0] for g in G_rows), +1.0))
+            add(Dz, np.tile(np.asarray(problem.du_max, dtype=np.float64), N), zE)
+        if problem.du_min is not None:
+            rate_blocks.append((sum(g.shape[0] for g in G_rows), -1.0))
+            add(-Dz, -np.tile(np.asarray(problem.du_min, dtype=np.float64), N), zE)
     if not G_rows:
         raise ValueError("problem has no constraints; GPAD needs at least one")
 
@@ -180,6 +207,17 @@ def condense(
         # the constraint RHS does not depend on the setpoint r
         E = np.concatenate([E, np.zeros((E.shape[0], n_x))], axis=1)
     param_dim = 2 * n_x if tracking else n_x
+    if has_rate:
+        # parameter becomes p = [x0; r?; u_prev]: only the FIRST stage of
+        # each rate block depends on u_prev (u_0 - u_prev <= du_max gives
+        # +I, the lower side -I; stages k >= 1 are parameter-free)
+        u_cols = np.zeros((E.shape[0], n_u))
+        for start, sign in rate_blocks:
+            u_cols[start : start + n_u, :] = sign * np.eye(n_u)
+        E = np.concatenate([E, u_cols], axis=1)
+        # the cost does not depend on u_prev: zero rows in the F map
+        F = np.concatenate([F, np.zeros((n_u, F.shape[1]))], axis=0)
+        param_dim += n_u
 
     if soft_state is not None:
         if soft_state <= 0:
@@ -222,6 +260,7 @@ def condense(
             horizon=N,
             name=problem.name
             + ("_track" if tracking else "")
+            + ("_rate" if has_rate else "")
             + "_soft",
         )
 
@@ -235,7 +274,9 @@ def condense(
         n_u=n_u,
         n_x=param_dim,
         horizon=N,
-        name=problem.name + ("_track" if tracking else ""),
+        name=problem.name
+        + ("_track" if tracking else "")
+        + ("_rate" if has_rate else ""),
     )
 
 

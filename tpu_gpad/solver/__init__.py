@@ -14,5 +14,13 @@ from tpu_gpad.solver.core import (
     solve_to_accuracy,
     SolverConfig,
 )
+from tpu_gpad.solver.multi import solve_multi, stack_data
 
-__all__ = ["solve", "solve_batch", "solve_to_accuracy", "SolverConfig"]
+__all__ = [
+    "solve",
+    "solve_batch",
+    "solve_multi",
+    "solve_to_accuracy",
+    "stack_data",
+    "SolverConfig",
+]

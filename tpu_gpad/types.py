@@ -49,6 +49,12 @@ class LinearMPCProblem:
     u_min: Optional[np.ndarray] = None  # (n_u,)
     u_max: Optional[np.ndarray] = None
     K_u: Optional[np.ndarray] = None  # (n_c, n_u) per-stage coupling, K_u u_k = 0
+    du_min: Optional[np.ndarray] = None  # (n_u,) input rate (slew) limits:
+    du_max: Optional[np.ndarray] = None  # du_min <= u_k - u_{k-1} <= du_max
+    # for k = 0..N-1, with u_{-1} = the previously APPLIED move, which
+    # becomes part of the QP parameter p = [x0; ...; u_prev] (see condense).
+    # Standard production-MPC actuator slew protection; the reference has
+    # amplitude boxes only (gpad.m:84-85).
     name: str = "lti"
 
     @property

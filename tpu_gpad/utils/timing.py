@@ -106,12 +106,17 @@ def matmul_peak_tflops(
     dtype: str = "float32",
     precision: str = "highest",
     size: int = 4096,
-    repeats: int = 3,
+    repeats: int = 5,
 ) -> float:
     """Measured dense-matmul roofline on THIS chip at the given operand
     dtype/precision — the denominator for honest %-of-peak accounting
     (public spec-sheet peaks mix precisions; a (size, size)^2 matmul at the
-    solver's own matmul settings is the attainable ceiling)."""
+    solver's own matmul settings is the attainable ceiling).
+
+    Uses the MEDIAN of ``repeats`` slope-method samples: a min-of-samples
+    estimate is biased fast by tunnel timing noise (one bad sample once
+    reported a physically impossible 311 TFLOP/s for the 3-pass tier,
+    whose true ceiling here is ~64)."""
     import jax
     import jax.numpy as jnp
 
@@ -130,8 +135,8 @@ def matmul_peak_tflops(
             a, b, precision=prec, preferred_element_type=jnp.float32
         )
 
-    t = device_time_per_call(lambda: mm(a, b), repeats=repeats)
-    return float(2 * size**3 / t / 1e12)
+    stats = device_time_stats(lambda: mm(a, b), n=repeats)
+    return float(2 * size**3 / stats["median_s"] / 1e12)
 
 
 def wall_times(fn, warmup: int = 2, iters: int = 20) -> np.ndarray:
