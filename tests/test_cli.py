@@ -116,3 +116,18 @@ def test_sweep_sharded(capsys, tmp_path):
     with np.load(res) as f:
         U_sharded = f["U"]
     assert U_sharded.shape == (44, 3)
+
+
+def test_export_aot_artifact(capsys, tmp_path):
+    """--aot writes a jax.export artifact that reloads and solves."""
+    path = str(tmp_path / "solver.bin")
+    (out,) = run_cli(
+        capsys, "export", "--cells", "3", "--horizon", "4",
+        "--iterations", "40", "--aot", "--out", path,
+    )
+    assert out["bytes"] > 0 and out["batch"] == "symbolic"
+    from tpu_gpad.aot import load_solver
+
+    solve = load_solver(path)
+    res = solve(np.zeros((5, 3), dtype=np.float32))
+    assert res["u"].shape == (5, 3)

@@ -235,12 +235,29 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Write a reference-format dataset file (``input_%d.txt`` layout)."""
+    """Write a reference-format dataset file (``input_%d.txt`` layout),
+    or with ``--aot`` a serialized AOT-compiled solver artifact."""
     import tpu_gpad
     from tpu_gpad.io import SolverDataset, write_solver_dataset
     from tpu_gpad.schedule import momentum_schedule
 
     problem = _build_problem(args)
+    if args.aot:
+        from tpu_gpad.aot import export_solver
+        from tpu_gpad.solver import SolverConfig
+
+        data = tpu_gpad.dualize(
+            tpu_gpad.condense(problem), iterations=args.iterations,
+            paired="auto",
+        )
+        blob = export_solver(
+            data, SolverConfig(iterations=args.iterations),
+            batch_size=args.aot_batch, path=args.out,
+        )
+        _emit({"artifact": args.out, "bytes": len(blob),
+               "batch": args.aot_batch or "symbolic",
+               "n_x": data.n_x, "n_u": data.n_u})
+        return 0
     qp = tpu_gpad.condense(problem)
     data = tpu_gpad.dualize(qp, iterations=args.iterations)  # dense layout
     x0 = _scenarios(args, problem.n_x)[0]
@@ -353,13 +370,24 @@ def main(argv=None) -> int:
     p.add_argument("--progress", action="store_true")
     p.set_defaults(fn=cmd_sweep)
 
-    p = sub.add_parser("export", help="write reference-format dataset file")
+    p = sub.add_parser(
+        "export",
+        help="write reference-format dataset file, or (--aot) a serialized "
+             "AOT-compiled solver artifact",
+    )
     _add_problem_args(p)
     p.add_argument("--iterations", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--x0", help="text file of initial states (first row used)")
     p.add_argument("--batch", type=int, default=1, help=argparse.SUPPRESS)
     p.add_argument("--out", required=True)
+    p.add_argument("--aot", action="store_true",
+                   help="write a jax.export StableHLO solver artifact "
+                        "(reload with tpu_gpad.aot.load_solver) instead of "
+                        "a reference-format text dataset")
+    p.add_argument("--aot-batch", type=int, default=None,
+                   help="concrete batch size for --aot (default: symbolic "
+                        "batch via the XLA engine)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("info", help="problem dims, L, flops, devices")
