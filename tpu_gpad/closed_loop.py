@@ -62,6 +62,7 @@ def _simulate_jit(
     warm_start: bool,
     X_ref: jax.Array | None = None,
     U_prev0: jax.Array | None = None,
+    R_traj: jax.Array | None = None,
 ) -> ClosedLoopResult:
     batch = X0.shape[0]
     dual_shape = (
@@ -69,9 +70,20 @@ def _simulate_jit(
     )
     y_init = jnp.zeros(dual_shape, dtype=jnp.float32)
 
-    def step(carry, _):
+    def step(carry, t):
         x, y_ws, u_prev = carry
-        p = x if X_ref is None else jnp.concatenate([x, X_ref], axis=-1)
+        p = x
+        if X_ref is not None:
+            p = jnp.concatenate([x, X_ref], axis=-1)
+        elif R_traj is not None:
+            # preview: sample t sees references for stages 1..N, i.e. the
+            # window R_traj[t+1 : t+N+1], shared across the batch
+            win = jax.lax.dynamic_slice_in_dim(
+                R_traj, t + 1, data.horizon, axis=0
+            ).reshape(-1)
+            p = jnp.concatenate(
+                [x, jnp.broadcast_to(win, (batch, win.shape[0]))], axis=-1
+            )
         if u_prev is not None:
             # rate-limited problem: the previously applied move is part of
             # the QP parameter p = [x0; r?; u_prev]
@@ -85,7 +97,7 @@ def _simulate_jit(
         return (x_next, res.y, u_next), (x, u, res.residual, res.iterations)
 
     (x_final, _, _), (Xs, Us, Rs, Its) = jax.lax.scan(
-        step, (X0, y_init, U_prev0), None, length=n_steps
+        step, (X0, y_init, U_prev0), jnp.arange(n_steps)
     )
     X = jnp.concatenate([Xs, x_final[None]], axis=0)
     return ClosedLoopResult(X=X, U=Us, residual=Rs, iterations=Its)
@@ -102,6 +114,7 @@ def simulate(
     paired: bool | str = "auto",
     x_ref: np.ndarray | jax.Array | None = None,
     u_prev0: np.ndarray | jax.Array | None = None,
+    preview: bool = False,
 ) -> ClosedLoopResult:
     """Run the closed loop: condense once, then scan solve->actuate->propagate.
 
@@ -111,14 +124,23 @@ def simulate(
     only in x0, so their duals are close) — the reference cold-starts every
     solve (``acceldualgrad.m:28-33``). ``x_ref`` runs a setpoint-tracking
     loop (condenses with ``tracking=True``; a supplied ``data`` must then
-    be tracking-parametrized). For rate-limited problems (``du_min``/
+    be tracking-parametrized). With ``preview=True``, ``x_ref`` is instead
+    a full reference TRAJECTORY of shape (T_ref, n_x), shared across the
+    batch: sample t's solver previews the window ``x_ref[t+1 : t+N+1]``
+    (``tracking="preview"`` condensation), holding the final row once the
+    trajectory runs out. For rate-limited problems (``du_min``/
     ``du_max`` set) the applied move is threaded back into the next
     sample's parameter; ``u_prev0`` seeds it (default: zeros — actuator
     at rest).
     """
+    if preview and x_ref is None:
+        raise ValueError("preview=True requires an x_ref trajectory")
     if data is None:
         data = dualize(
-            condense(problem, tracking=x_ref is not None),
+            condense(
+                problem,
+                tracking="preview" if preview else x_ref is not None,
+            ),
             iterations=max(iterations, config.iterations or 0),
             paired=paired,
         )
@@ -128,7 +150,16 @@ def simulate(
         config = dataclasses.replace(config, iterations=iterations)
     X0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
     X_ref = None
-    if x_ref is not None:
+    R_traj = None
+    if preview:
+        R = np.atleast_2d(np.asarray(x_ref, dtype=np.float32))
+        need = n_steps + problem.horizon + 1
+        if R.shape[0] < need:  # hold the final reference row
+            R = np.concatenate(
+                [R, np.repeat(R[-1:], need - R.shape[0], axis=0)], axis=0
+            )
+        R_traj = jnp.asarray(R[:need])
+    elif x_ref is not None:
         X_ref = jnp.broadcast_to(
             jnp.asarray(x_ref, dtype=jnp.float32), X0.shape
         )
@@ -142,7 +173,7 @@ def simulate(
     A = jnp.asarray(problem.A, dtype=jnp.float32)
     B = jnp.asarray(problem.B, dtype=jnp.float32)
     return _simulate_jit(
-        data, A, B, X0, n_steps, config, warm_start, X_ref, U_prev0
+        data, A, B, X0, n_steps, config, warm_start, X_ref, U_prev0, R_traj
     )
 
 
@@ -170,7 +201,8 @@ class Controller:
         paired: bool | str = "auto",
         data: GPADData | None = None,
         soft_state: float | None = None,
-        tracking: bool = False,
+        tracking: bool | str = False,
+        input_reference: bool = False,
         polish: bool = False,
     ):
         if config is None:
@@ -179,7 +211,7 @@ class Controller:
             import dataclasses
 
             config = dataclasses.replace(config, iterations=iterations)
-        if data is not None and (soft_state is not None or tracking):
+        if data is not None and (soft_state is not None or tracking or input_reference):
             raise ValueError(
                 "pass either a prebuilt `data` or soft_state/tracking, not "
                 "both: the controller cannot soften or re-parametrize a QP "
@@ -192,8 +224,15 @@ class Controller:
                 "condensed QP would not match the solved one — polish the "
                 "results yourself via tpu_gpad.polish with the matching QP"
             )
-        self.qp = condense(problem, soft_state=soft_state, tracking=tracking)
+        self.qp = condense(
+            problem,
+            soft_state=soft_state,
+            tracking=tracking,
+            input_reference=input_reference,
+        )
         self.tracking = tracking
+        self.preview = tracking == "preview"
+        self.input_reference = input_reference
         self.rate = problem.du_max is not None or problem.du_min is not None
         if data is None:
             data = dualize(self.qp, iterations=config.iterations, paired=paired)
@@ -207,19 +246,39 @@ class Controller:
         self._u_prev = None  # last applied move (rate-limited problems)
         self.last_result = None
 
-    def step(self, x, x_ref=None) -> np.ndarray:
+    def step(self, x, x_ref=None, u_ref=None) -> np.ndarray:
         """Solve the MPC QP at state ``x`` and return u* (applied move).
 
         Output shape mirrors the input: (n_u,) for a single (n_x,) state,
         (B, n_u) for a (B, n_x) batch — including B == 1.
         ``x_ref``: the setpoint (same shape as ``x``) for tracking
-        controllers (``tracking=True``); defaults to the origin.
+        controllers (``tracking=True``), or the per-stage reference
+        preview of shape (N, n_x) (batched: (B, N, n_x)) for
+        ``tracking="preview"`` controllers; defaults to the origin.
+        ``u_ref``: the input target (n_u,) (batched: (B, n_u)) for
+        ``input_reference=True`` controllers; defaults to zero.
         For rate-limited problems the previous ``step``'s returned move is
         threaded into the parameter automatically (zeros on the first step
         or after ``reset``)."""
         single = np.ndim(x) == 1
         x = np.asarray(x, dtype=np.float32)
-        if self.tracking:
+        if self.preview:
+            N, n_x = self.problem.horizon, self.problem.n_x
+            if x_ref is None:
+                flat = np.zeros(x.shape[:-1] + (N * n_x,), dtype=np.float32)
+            else:
+                x_ref = np.asarray(x_ref, dtype=np.float32)
+                if x_ref.shape[-2:] != (N, n_x):
+                    raise ValueError(
+                        f"preview x_ref must end in shape ({N}, {n_x}); "
+                        f"got {x_ref.shape}"
+                    )
+                flat = np.broadcast_to(
+                    x_ref.reshape(x_ref.shape[:-2] + (N * n_x,)),
+                    x.shape[:-1] + (N * n_x,),
+                )
+            x = np.concatenate([x, flat], axis=-1)
+        elif self.tracking:
             if x_ref is None:
                 x_ref = np.zeros_like(x)
             x_ref = np.broadcast_to(
@@ -227,7 +286,17 @@ class Controller:
             )
             x = np.concatenate([x, x_ref], axis=-1)
         elif x_ref is not None:
-            raise ValueError("x_ref requires a tracking=True controller")
+            raise ValueError("x_ref requires a tracking controller")
+        if self.input_reference:
+            n_u = self.problem.n_u
+            if u_ref is None:
+                u_ref = np.zeros(x.shape[:-1] + (n_u,), dtype=np.float32)
+            u_ref = np.broadcast_to(
+                np.asarray(u_ref, dtype=np.float32), x.shape[:-1] + (n_u,)
+            )
+            x = np.concatenate([x, u_ref], axis=-1)
+        elif u_ref is not None:
+            raise ValueError("u_ref requires input_reference=True")
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
         if self.rate:
             u_prev = self._u_prev

@@ -75,8 +75,9 @@ def dare_terminal_weight(problem: LinearMPCProblem) -> np.ndarray:
 def condense(
     problem: LinearMPCProblem,
     soft_state: float | None = None,
-    tracking: bool = False,
+    tracking: bool | str = False,
     control_horizon: int | None = None,
+    input_reference: bool = False,
 ) -> CondensedQP:
     """Condense an MPC problem into the parametric QP of ``CondensedQP``.
 
@@ -95,6 +96,24 @@ def condense(
     with ``x0 = concat([x, r])``. The constant ``r' Q r`` offset is
     dropped (it does not affect the minimizer). The reference is
     regulation-only (``gpad.m`` drives SoC spreads to zero).
+
+    ``tracking="preview"``: per-stage references — the stage cost is
+    ``(x_k - r_k)' Q (x_k - r_k)`` with an INDEPENDENT reference at every
+    prediction stage, and the parameter becomes
+    ``p = [x0; r_1; ...; r_N]`` (``n_x*(N+1)`` entries, references in
+    stage order). This is reference *preview* (a.k.a. trajectory
+    tracking): the controller anticipates future setpoint motion instead
+    of chasing a constant. The linear cost is ``-(Qbar S)'`` acting on the
+    stacked references; with ``Q_terminal`` set, stage N's reference is
+    weighted by it, consistently with the quadratic term.
+
+    ``input_reference``: adds an input target to the tracking cost —
+    stage cost gains ``(u_k - u_r)' R (u_k - u_r)`` with a single shared
+    ``u_r`` appended to the parameter (``n_u`` entries, after the state
+    references, before ``u_prev``). Required for offset-free designs
+    where the steady-state input is nonzero (``tpu_gpad.estimator``).
+    Only meaningful together with ``tracking``; the quadratic term is
+    unchanged (the ``u_r' R u_r`` constant is dropped).
 
     ``soft_state``: if set, the state box constraints are SOFTENED with
     quadratic slack penalties of weight ``soft_state`` — the decision
@@ -130,12 +149,31 @@ def condense(
     H = S.T @ Qbar @ S + Rbar
     H = 0.5 * (H + H.T)  # symmetrize against roundoff
     F = T.T @ Qbar @ S  # (n_x, n_z)
-    if tracking:
+    if tracking not in (False, True, "preview"):
+        raise ValueError(f"tracking must be False, True or 'preview': {tracking!r}")
+    if input_reference and not tracking:
+        raise ValueError("input_reference requires tracking")
+    ref_dim = 0  # extra parameter entries carrying references
+    if tracking == "preview":
+        # parameter p = [x0; r_1; ...; r_N]: per-stage references enter the
+        # linear cost as -(Qbar S)' rbar (expanding (x_k - r_k)' Q (x_k - r_k)
+        # stage by stage; Q_terminal, already folded into Qbar, weights r_N)
+        F_r = -(Qbar @ S)  # (n_x*N, n_z)
+        F = np.concatenate([F, F_r], axis=0)
+        ref_dim = n_x * N
+    elif tracking:
         # parameter p = [x0; r]: linear cost f(p) = F' x0 + F_r' r with
         # F_r = -(1_N' kron I)' Qbar S (from expanding (x_k - r)' Q (x_k - r))
         ones_kron = np.tile(np.eye(n_x), (N, 1))  # (n_x*N, n_x)
         F_r = -(ones_kron.T @ Qbar @ S)  # (n_x, n_z)
         F = np.concatenate([F, F_r], axis=0)  # (2*n_x, n_z)
+        ref_dim = n_x
+    if input_reference:
+        # shared input target u_r: (u_k - u_r)' R (u_k - u_r) contributes
+        # the linear term -u_r' R u_k at every stage -> F_u = -[R R ... R]
+        F_u = -np.tile(np.asarray(problem.R, dtype=np.float64), (1, N))
+        F = np.concatenate([F, F_u], axis=0)
+        ref_dim += n_u
 
     G_rows, b_rows, E_rows = [], [], []
 
@@ -203,10 +241,10 @@ def condense(
         H = 0.5 * (H + H.T)
         F = F @ Bm
         G = G @ Bm
-    if tracking:
-        # the constraint RHS does not depend on the setpoint r
-        E = np.concatenate([E, np.zeros((E.shape[0], n_x))], axis=1)
-    param_dim = 2 * n_x if tracking else n_x
+    if ref_dim:
+        # the constraint RHS does not depend on the references
+        E = np.concatenate([E, np.zeros((E.shape[0], ref_dim))], axis=1)
+    param_dim = n_x + ref_dim
     if has_rate:
         # parameter becomes p = [x0; r?; u_prev]: only the FIRST stage of
         # each rate block depends on u_prev (u_0 - u_prev <= du_max gives
@@ -258,10 +296,7 @@ def condense(
             n_u=n_u,
             n_x=param_dim,
             horizon=N,
-            name=problem.name
-            + ("_track" if tracking else "")
-            + ("_rate" if has_rate else "")
-            + "_soft",
+            name=problem.name + _suffix(tracking, input_reference, has_rate) + "_soft",
         )
 
     return CondensedQP(
@@ -274,9 +309,15 @@ def condense(
         n_u=n_u,
         n_x=param_dim,
         horizon=N,
-        name=problem.name
-        + ("_track" if tracking else "")
-        + ("_rate" if has_rate else ""),
+        name=problem.name + _suffix(tracking, input_reference, has_rate),
+    )
+
+
+def _suffix(tracking, input_reference: bool, has_rate: bool) -> str:
+    return (
+        ("_preview" if tracking == "preview" else "_track" if tracking else "")
+        + ("_uref" if input_reference else "")
+        + ("_rate" if has_rate else "")
     )
 
 
