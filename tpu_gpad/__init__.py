@@ -24,6 +24,12 @@ from tpu_gpad import problems, io
 from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
+from tpu_gpad.estimator import (
+    KalmanFilter,
+    OffsetFreeController,
+    TargetCalculator,
+    kalman_gain,
+)
 
 __version__ = "0.3.0"
 
@@ -44,4 +50,8 @@ __all__ = [
     "simulate",
     "polish",
     "polish_batch",
+    "KalmanFilter",
+    "OffsetFreeController",
+    "TargetCalculator",
+    "kalman_gain",
 ]

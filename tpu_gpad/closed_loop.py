@@ -203,6 +203,7 @@ class Controller:
         soft_state: float | None = None,
         tracking: bool | str = False,
         input_reference: bool = False,
+        process_disturbance: bool = False,
         polish: bool = False,
     ):
         if config is None:
@@ -211,7 +212,9 @@ class Controller:
             import dataclasses
 
             config = dataclasses.replace(config, iterations=iterations)
-        if data is not None and (soft_state is not None or tracking or input_reference):
+        if data is not None and (
+            soft_state is not None or tracking or input_reference or process_disturbance
+        ):
             raise ValueError(
                 "pass either a prebuilt `data` or soft_state/tracking, not "
                 "both: the controller cannot soften or re-parametrize a QP "
@@ -229,10 +232,12 @@ class Controller:
             soft_state=soft_state,
             tracking=tracking,
             input_reference=input_reference,
+            process_disturbance=process_disturbance,
         )
         self.tracking = tracking
         self.preview = tracking == "preview"
         self.input_reference = input_reference
+        self.process_disturbance = process_disturbance
         self.rate = problem.du_max is not None or problem.du_min is not None
         if data is None:
             data = dualize(self.qp, iterations=config.iterations, paired=paired)
@@ -246,7 +251,7 @@ class Controller:
         self._u_prev = None  # last applied move (rate-limited problems)
         self.last_result = None
 
-    def step(self, x, x_ref=None, u_ref=None) -> np.ndarray:
+    def step(self, x, x_ref=None, u_ref=None, d=None) -> np.ndarray:
         """Solve the MPC QP at state ``x`` and return u* (applied move).
 
         Output shape mirrors the input: (n_u,) for a single (n_x,) state,
@@ -257,6 +262,9 @@ class Controller:
         ``tracking="preview"`` controllers; defaults to the origin.
         ``u_ref``: the input target (n_u,) (batched: (B, n_u)) for
         ``input_reference=True`` controllers; defaults to zero.
+        ``d``: the constant per-stage state offset (n_x,) predicted by the
+        internal model (``process_disturbance=True`` controllers, e.g.
+        ``Bd @ d_hat`` from an estimator); defaults to zero.
         For rate-limited problems the previous ``step``'s returned move is
         threaded into the parameter automatically (zeros on the first step
         or after ``reset``)."""
@@ -297,6 +305,16 @@ class Controller:
             x = np.concatenate([x, u_ref], axis=-1)
         elif u_ref is not None:
             raise ValueError("u_ref requires input_reference=True")
+        if self.process_disturbance:
+            n_x = self.problem.n_x
+            if d is None:
+                d = np.zeros(x.shape[:-1] + (n_x,), dtype=np.float32)
+            d = np.broadcast_to(
+                np.asarray(d, dtype=np.float32), x.shape[:-1] + (n_x,)
+            )
+            x = np.concatenate([x, d], axis=-1)
+        elif d is not None:
+            raise ValueError("d requires process_disturbance=True")
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
         if self.rate:
             u_prev = self._u_prev

@@ -78,6 +78,7 @@ def condense(
     tracking: bool | str = False,
     control_horizon: int | None = None,
     input_reference: bool = False,
+    process_disturbance: bool = False,
 ) -> CondensedQP:
     """Condense an MPC problem into the parametric QP of ``CondensedQP``.
 
@@ -114,6 +115,17 @@ def condense(
     where the steady-state input is nonzero (``tpu_gpad.estimator``).
     Only meaningful together with ``tracking``; the quadratic term is
     unchanged (the ``u_r' R u_r`` constant is dropped).
+
+    ``process_disturbance``: predictions gain a constant per-stage state
+    offset ``c`` — dynamics ``x_{k+1} = A x_k + B u_k + c`` — entering as
+    ``n_x`` more parameter entries (after the references, before
+    ``u_prev``). ``x = T x0 + S z + S_c c`` with ``S_c`` stacking the
+    partial geometric sums ``sum_{j<i} A^j``; ``c`` shifts both the
+    tracking cost and the state-box RHS. This is how the offset-free
+    controller makes the MPC plan with its disturbance estimate
+    (``c = Bd d_hat``, Pannocchia & Rawlings 2003) — without it the loop
+    deadlocks off-target wherever the planned first move exactly cancels
+    the true disturbance.
 
     ``soft_state``: if set, the state box constraints are SOFTENED with
     quadratic slack penalties of weight ``soft_state`` — the decision
@@ -174,20 +186,39 @@ def condense(
         F_u = -np.tile(np.asarray(problem.R, dtype=np.float64), (1, N))
         F = np.concatenate([F, F_u], axis=0)
         ref_dim += n_u
+    S_c = None
+    if process_disturbance:
+        # x = T x0 + S z + S_c c: block i of S_c is sum_{j=0}^{i-1} A^j
+        # (the same lower-triangular structure as S with B = I, summed)
+        A64 = np.asarray(problem.A, dtype=np.float64)
+        power = np.eye(n_x)
+        total = np.zeros((n_x, n_x))
+        blocks = []
+        for _ in range(N):
+            total = total + power
+            blocks.append(total.copy())
+            power = A64 @ power
+        S_c = np.concatenate(blocks, axis=0)  # (n_x*N, n_x)
+        # the disturbance shifts predicted states: linear cost gains
+        # z' S' Qbar S_c c -> parameter rows F_c = S_c' Qbar S
+        F = np.concatenate([F, S_c.T @ Qbar @ S], axis=0)
 
-    G_rows, b_rows, E_rows = [], [], []
+    G_rows, b_rows, E_rows, c_rows = [], [], [], []
 
-    def add(Gr, br, Er):
+    def add(Gr, br, Er, cr=None):
         G_rows.append(Gr)
         b_rows.append(np.asarray(br, dtype=np.float64))
         E_rows.append(Er)
+        c_rows.append(
+            np.zeros((Gr.shape[0], n_x)) if cr is None else cr
+        )
 
     if problem.x_max is not None:
         xmax = np.tile(np.asarray(problem.x_max, dtype=np.float64), N)
-        add(S, xmax, -T)  # S z <= xmax - T x0
+        add(S, xmax, -T, None if S_c is None else -S_c)  # S z <= xmax - T x0 - S_c c
     if problem.x_min is not None:
         xmin = np.tile(np.asarray(problem.x_min, dtype=np.float64), N)
-        add(-S, -xmin, T)  # -S z <= -xmin + T x0
+        add(-S, -xmin, T, None if S_c is None else S_c)  # -S z <= -xmin + T x0 + S_c c
     I_z = np.eye(n_z)
     if problem.u_max is not None:
         add(I_z, np.tile(np.asarray(problem.u_max, dtype=np.float64), N), np.zeros((n_z, n_x)))
@@ -245,6 +276,10 @@ def condense(
         # the constraint RHS does not depend on the references
         E = np.concatenate([E, np.zeros((E.shape[0], ref_dim))], axis=1)
     param_dim = n_x + ref_dim
+    if process_disturbance:
+        # disturbance parameter c: state-box rows carry -/+ S_c columns
+        E = np.concatenate([E, np.concatenate(c_rows, axis=0)], axis=1)
+        param_dim += n_x
     if has_rate:
         # parameter becomes p = [x0; r?; u_prev]: only the FIRST stage of
         # each rate block depends on u_prev (u_0 - u_prev <= du_max gives
@@ -296,7 +331,9 @@ def condense(
             n_u=n_u,
             n_x=param_dim,
             horizon=N,
-            name=problem.name + _suffix(tracking, input_reference, has_rate) + "_soft",
+            name=problem.name
+            + _suffix(tracking, input_reference, has_rate, process_disturbance)
+            + "_soft",
         )
 
     return CondensedQP(
@@ -309,14 +346,18 @@ def condense(
         n_u=n_u,
         n_x=param_dim,
         horizon=N,
-        name=problem.name + _suffix(tracking, input_reference, has_rate),
+        name=problem.name
+        + _suffix(tracking, input_reference, has_rate, process_disturbance),
     )
 
 
-def _suffix(tracking, input_reference: bool, has_rate: bool) -> str:
+def _suffix(
+    tracking, input_reference: bool, has_rate: bool, process_disturbance: bool = False
+) -> str:
     return (
         ("_preview" if tracking == "preview" else "_track" if tracking else "")
         + ("_uref" if input_reference else "")
+        + ("_dist" if process_disturbance else "")
         + ("_rate" if has_rate else "")
     )
 
