@@ -135,6 +135,12 @@ def simulate(
     """
     if preview and x_ref is None:
         raise ValueError("preview=True requires an x_ref trajectory")
+    if problem.is_ltv:
+        raise ValueError(
+            "simulate propagates a time-INVARIANT plant; LTV problems are "
+            "for receding-horizon prediction (Controller / solve_batch) — "
+            "step your own plant and re-linearize per sample"
+        )
     if data is None:
         data = dualize(
             condense(

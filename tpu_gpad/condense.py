@@ -42,6 +42,38 @@ def prediction_matrices(A: np.ndarray, B: np.ndarray, N: int) -> tuple[np.ndarra
     return T, S
 
 
+def prediction_matrices_ltv(
+    A_seq: np.ndarray, B_seq: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked prediction matrices for TIME-VARYING dynamics
+    ``x_{k+1} = A_k x_k + B_k u_k`` (k = 0..N-1).
+
+    ``T`` block i (state x_i) is the transition product
+    ``Phi(i, 0) = A_{i-1} ... A_0``; ``S`` block (i, j) is
+    ``Phi(i, j) B_{j-1}`` with ``Phi(i, i) = I``. Reduces to
+    ``prediction_matrices`` when every stage shares (A, B)."""
+    A_seq = np.asarray(A_seq, dtype=np.float64)
+    B_seq = np.asarray(B_seq, dtype=np.float64)
+    N, n_x, _ = A_seq.shape
+    n_u = B_seq.shape[-1]
+    if B_seq.shape != (N, n_x, n_u):
+        raise ValueError(
+            f"LTV B must be ({N}, {n_x}, n_u); got {B_seq.shape}"
+        )
+    T_blocks = []
+    S = np.zeros((n_x * N, n_u * N))
+    phi = np.eye(n_x)  # Phi(i, 0) running product
+    for i in range(1, N + 1):
+        phi = A_seq[i - 1] @ phi
+        T_blocks.append(phi)
+        # Phi(i, j) B_{j-1} for j = 1..i, built by back-accumulating
+        acc = np.eye(n_x)  # Phi(i, j) for j = i down to 1
+        for j in range(i, 0, -1):
+            S[(i - 1) * n_x : i * n_x, (j - 1) * n_u : j * n_u] = acc @ B_seq[j - 1]
+            acc = acc @ A_seq[j - 1]
+    return np.concatenate(T_blocks, axis=0), S
+
+
 def blocking_matrix(n_u: int, N: int, M: int) -> np.ndarray:
     """Move-blocking map ``z_full = B z_blocked``: the first M moves are
     free, moves M..N-1 hold the last free move (hold-last blocking)."""
@@ -63,6 +95,13 @@ def dare_terminal_weight(problem: LinearMPCProblem) -> np.ndarray:
     tail — the standard recipe for closed-loop stability guarantees. The
     reference weights every stage equally (``gpad.m:76``)."""
     from scipy.linalg import solve_discrete_are
+
+    if problem.is_ltv:
+        raise ValueError(
+            "dare_terminal_weight needs time-invariant dynamics; for LTV "
+            "problems pass an explicit Q_terminal (e.g. the DARE weight of "
+            "the final-stage linearization)"
+        )
 
     return solve_discrete_are(
         np.asarray(problem.A, dtype=np.float64),
@@ -149,7 +188,15 @@ def condense(
     N = problem.horizon
     n_x, n_u = problem.n_x, problem.n_u
     n_z = n_u * N
-    T, S = prediction_matrices(problem.A, problem.B, N)
+    if problem.is_ltv:
+        if np.asarray(problem.A).shape[0] != N:
+            raise ValueError(
+                f"LTV A must stack horizon={N} stages; got "
+                f"{np.asarray(problem.A).shape}"
+            )
+        T, S = prediction_matrices_ltv(problem.A, problem.B)
+    else:
+        T, S = prediction_matrices(problem.A, problem.B, N)
 
     Qbar = np.kron(np.eye(N), np.asarray(problem.Q, dtype=np.float64))
     if problem.Q_terminal is not None:
@@ -188,16 +235,16 @@ def condense(
         ref_dim += n_u
     S_c = None
     if process_disturbance:
-        # x = T x0 + S z + S_c c: block i of S_c is sum_{j=0}^{i-1} A^j
-        # (the same lower-triangular structure as S with B = I, summed)
+        # x = T x0 + S z + S_c c: the per-stage offset obeys
+        # off_i = A_{i-1} off_{i-1} + c, so block i of S_c follows the
+        # recurrence Sc_i = A_{i-1} Sc_{i-1} + I (LTI: sum_{j<i} A^j)
         A64 = np.asarray(problem.A, dtype=np.float64)
-        power = np.eye(n_x)
         total = np.zeros((n_x, n_x))
         blocks = []
-        for _ in range(N):
-            total = total + power
-            blocks.append(total.copy())
-            power = A64 @ power
+        for k in range(N):
+            A_k = A64[k] if problem.is_ltv else A64
+            total = A_k @ total + np.eye(n_x)
+            blocks.append(total)
         S_c = np.concatenate(blocks, axis=0)  # (n_x*N, n_x)
         # the disturbance shifts predicted states: linear cost gains
         # z' S' Qbar S_c c -> parameter rows F_c = S_c' Qbar S

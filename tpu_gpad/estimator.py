@@ -224,6 +224,11 @@ class OffsetFreeController:
         x0: Optional[np.ndarray] = None,
         **controller_kw,
     ):
+        if problem.is_ltv:
+            raise ValueError(
+                "OffsetFreeController estimates against a time-invariant "
+                "model; re-linearize and rebuild for LTV plants"
+            )
         C = np.atleast_2d(np.asarray(C, dtype=np.float64))
         n_y = C.shape[0]
         if disturbance == "input":

@@ -9,7 +9,7 @@ used in the GPAD paper's experiments (``nmpc12-gpad.pdf`` section 5).
 from tpu_gpad.problems.battery import battery, default_x0 as battery_default_x0
 from tpu_gpad.problems.double_integrator import double_integrator
 from tpu_gpad.problems.mass_spring import mass_spring
-from tpu_gpad.problems.random_lti import random_lti
+from tpu_gpad.problems.random_lti import random_lti, random_ltv
 
 __all__ = [
     "battery",
@@ -17,4 +17,5 @@ __all__ = [
     "double_integrator",
     "mass_spring",
     "random_lti",
+    "random_ltv",
 ]

@@ -48,3 +48,38 @@ def random_lti(
         K_u=np.ones((1, n_u)) if coupled else None,
         name=f"random_lti_s{seed}_n{n_x}x{n_u}_N{horizon}",
     )
+
+
+def random_ltv(
+    n_x: int = 4,
+    n_u: int = 2,
+    horizon: int = 8,
+    seed: int = 0,
+    rho: float = 0.95,
+    drift: float = 0.3,
+) -> LinearMPCProblem:
+    """A random TIME-VARYING plant: per-stage (A_k, B_k) drifting smoothly
+    from a stable base pair — the shape successive linearization of a
+    nonlinear plant along a trajectory produces. ``drift`` scales the
+    per-stage perturbation (0 reduces to a stacked copy of one LTI pair)."""
+    rng = np.random.default_rng(seed)
+    A0 = rng.normal(size=(n_x, n_x))
+    A0 *= rho / max(np.abs(np.linalg.eigvals(A0)).max(), 1e-9)
+    B0 = rng.normal(size=(n_x, n_u))
+    ks = np.arange(horizon)[:, None, None] / max(horizon - 1, 1)
+    A = A0 + drift * ks * rng.normal(size=(n_x, n_x)) / np.sqrt(n_x)
+    B = B0 + drift * ks * rng.normal(size=(n_x, n_u)) / np.sqrt(n_x)
+    qd = rng.uniform(0.5, 5.0, n_x)
+    rd = rng.uniform(0.1, 2.0, n_u)
+    return LinearMPCProblem(
+        A=A,
+        B=B,
+        Q=np.diag(qd),
+        R=np.diag(rd),
+        horizon=horizon,
+        x_min=np.full(n_x, -4.0),
+        x_max=np.full(n_x, 4.0),
+        u_min=np.full(n_u, -1.0),
+        u_max=np.full(n_u, 1.0),
+        name=f"random_ltv_s{seed}_n{n_x}x{n_u}_N{horizon}",
+    )

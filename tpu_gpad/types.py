@@ -32,10 +32,18 @@ class LinearMPCProblem:
     (``u_min <= u_k <= u_max`` for k = 0..N-1); optional per-stage input
     coupling ``K_u u_k = 0`` encoded as two inequalities (the battery problem's
     charge-conservation constraint, ``Code/MATLAB/gpad.m:44,65-73,84-85``).
+
+    Linear TIME-VARYING dynamics (``x_{k+1} = A_k x_k + B_k u_k``, e.g. a
+    successive linearization of a nonlinear plant along a trajectory) are
+    expressed by passing stacked ``A`` of shape (N, n_x, n_x) and ``B`` of
+    shape (N, n_x, n_u) — ``is_ltv`` is then True, condensation uses the
+    per-stage transition products, and everything downstream of the
+    condensed QP (dualize, engines, Controller) is unchanged.
+    ``closed_loop.simulate`` and ``dare_terminal_weight`` require LTI.
     """
 
-    A: np.ndarray  # (n_x, n_x)
-    B: np.ndarray  # (n_x, n_u)
+    A: np.ndarray  # (n_x, n_x), or (N, n_x, n_x) for LTV
+    B: np.ndarray  # (n_x, n_u), or (N, n_x, n_u) for LTV
     Q: np.ndarray  # (n_x, n_x) stage state cost
     R: np.ndarray  # (n_u, n_u) stage input cost
     horizon: int  # N, number of prediction steps
@@ -59,15 +67,20 @@ class LinearMPCProblem:
 
     @property
     def n_x(self) -> int:
-        return self.A.shape[0]
+        return self.A.shape[-1]
 
     @property
     def n_u(self) -> int:
-        return self.B.shape[1]
+        return self.B.shape[-1]
 
     @property
     def n_z(self) -> int:
         return self.n_u * self.horizon
+
+    @property
+    def is_ltv(self) -> bool:
+        """True when A/B are stacked per-stage (time-varying dynamics)."""
+        return np.ndim(self.A) == 3
 
 
 @dataclass(frozen=True)
