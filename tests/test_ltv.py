@@ -139,7 +139,7 @@ def test_ltv_guards():
     problem = problems.random_ltv(horizon=6, seed=0)
     with pytest.raises(ValueError, match="time-invariant"):
         dare_terminal_weight(problem)
-    with pytest.raises(ValueError, match="time-INVARIANT"):
+    with pytest.raises(ValueError, match="time-invariant offset-free"):
         tpu_gpad.closed_loop.simulate(problem, np.zeros(4), n_steps=2)
     short = dataclasses.replace(problem, horizon=4)
     with pytest.raises(ValueError, match="stack horizon"):

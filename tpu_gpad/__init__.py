@@ -24,6 +24,7 @@ from tpu_gpad import problems, io
 from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
+from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear
 from tpu_gpad.estimator import (
     KalmanFilter,
     OffsetFreeController,
@@ -48,6 +49,9 @@ __all__ = [
     "solve_to_accuracy",
     "Controller",
     "simulate",
+    "NMPC",
+    "rk4",
+    "simulate_nonlinear",
     "polish",
     "polish_batch",
     "KalmanFilter",

@@ -135,11 +135,12 @@ def simulate(
     """
     if preview and x_ref is None:
         raise ValueError("preview=True requires an x_ref trajectory")
-    if problem.is_ltv:
+    if problem.is_ltv or problem.c is not None:
         raise ValueError(
-            "simulate propagates a time-INVARIANT plant; LTV problems are "
-            "for receding-horizon prediction (Controller / solve_batch) — "
-            "step your own plant and re-linearize per sample"
+            "simulate propagates a time-invariant offset-free plant; LTV "
+            "or affine-offset problems are for receding-horizon prediction "
+            "(Controller / solve_batch / tpu_gpad.nonlinear) — step your "
+            "own plant and re-linearize per sample"
         )
     if data is None:
         data = dualize(

@@ -198,6 +198,27 @@ def condense(
     else:
         T, S = prediction_matrices(problem.A, problem.B, N)
 
+    s_off = None  # (n_x*N,) constant prediction offset from problem.c
+    if problem.c is not None:
+        # known affine dynamics x_{k+1} = A_k x_k + B_k u_k + c_k: the
+        # prediction gains the constant x = T x0 + S z + s_off with
+        # off_{k+1} = A_k off_k + c_k (cf. the process_disturbance S_c,
+        # which carries the same recurrence for a per-solve PARAMETER)
+        c_seq = np.asarray(problem.c, dtype=np.float64)
+        if c_seq.ndim == 1:
+            c_seq = np.tile(c_seq, (N, 1))
+        if c_seq.shape != (N, n_x):
+            raise ValueError(
+                f"c must be (n_x,) or (N, n_x) = ({N}, {n_x}); got "
+                f"{np.asarray(problem.c).shape}"
+            )
+        A64 = np.asarray(problem.A, dtype=np.float64)
+        off, offs = np.zeros(n_x), []
+        for k in range(N):
+            off = (A64[k] if problem.is_ltv else A64) @ off + c_seq[k]
+            offs.append(off)
+        s_off = np.concatenate(offs)
+
     Qbar = np.kron(np.eye(N), np.asarray(problem.Q, dtype=np.float64))
     if problem.Q_terminal is not None:
         # replace the last diagonal block: stage-N state weighted by Q_N
@@ -208,6 +229,9 @@ def condense(
     H = S.T @ Qbar @ S + Rbar
     H = 0.5 * (H + H.T)  # symmetrize against roundoff
     F = T.T @ Qbar @ S  # (n_x, n_z)
+    # constant linear cost: the prediction offset enters every stage cost
+    # as (S z)' Qbar s_off (constants in s_off alone are dropped)
+    g_vec = np.zeros(n_z) if s_off is None else S.T @ Qbar @ s_off
     if tracking not in (False, True, "preview"):
         raise ValueError(f"tracking must be False, True or 'preview': {tracking!r}")
     if input_reference and not tracking:
@@ -262,9 +286,13 @@ def condense(
 
     if problem.x_max is not None:
         xmax = np.tile(np.asarray(problem.x_max, dtype=np.float64), N)
+        if s_off is not None:
+            xmax = xmax - s_off
         add(S, xmax, -T, None if S_c is None else -S_c)  # S z <= xmax - T x0 - S_c c
     if problem.x_min is not None:
         xmin = np.tile(np.asarray(problem.x_min, dtype=np.float64), N)
+        if s_off is not None:
+            xmin = xmin - s_off
         add(-S, -xmin, T, None if S_c is None else S_c)  # -S z <= -xmin + T x0 + S_c c
     I_z = np.eye(n_z)
     if problem.u_max is not None:
@@ -319,6 +347,7 @@ def condense(
         H = 0.5 * (H + H.T)
         F = F @ Bm
         G = G @ Bm
+        g_vec = Bm.T @ g_vec
     if ref_dim:
         # the constraint RHS does not depend on the references
         E = np.concatenate([E, np.zeros((E.shape[0], ref_dim))], axis=1)
@@ -371,7 +400,7 @@ def condense(
         return CondensedQP(
             H=H,
             F=F,
-            g=np.zeros(n_zc + n_s),
+            g=np.concatenate([g_vec, np.zeros(n_s)]),
             G=G,
             b0=b0,
             E=E,
@@ -380,13 +409,14 @@ def condense(
             horizon=N,
             name=problem.name
             + _suffix(tracking, input_reference, has_rate, process_disturbance)
+            + ("_aff" if s_off is not None else "")
             + "_soft",
         )
 
     return CondensedQP(
         H=H,
         F=F,
-        g=np.zeros(H.shape[0]),
+        g=g_vec,
         G=G,
         b0=b0,
         E=E,
@@ -394,7 +424,8 @@ def condense(
         n_x=param_dim,
         horizon=N,
         name=problem.name
-        + _suffix(tracking, input_reference, has_rate, process_disturbance),
+        + _suffix(tracking, input_reference, has_rate, process_disturbance)
+        + ("_aff" if s_off is not None else ""),
     )
 
 

@@ -1,0 +1,277 @@
+"""Successive-linearization nonlinear MPC (SL-NMPC) on the LTV condenser.
+
+No reference analogue — the reference solver (``Code/MATLAB/gpad.m``,
+``Code/CUDA/.../main.cu``) is strictly LTI. This layer turns any
+jax-traceable discrete dynamics ``f(x, u) -> x_next`` into a receding-
+horizon controller by, per sample:
+
+1. rolling the nominal trajectory from the measured state under the
+   previous plan (``lax.scan`` on device),
+2. linearizing per stage with ``jax.vmap(jax.jacfwd)`` (device) — giving
+   LTV matrices (A_k, B_k) plus the affine residual
+   ``c_k = f(xbar_k, ubar_k) - A_k xbar_k - B_k ubar_k`` that makes the
+   linear model EXACT at the nominal trajectory,
+3. condensing/dualizing the resulting affine-LTV QP (host float64,
+   ``condense``/``dualize``) and solving it with the normal GPAD engines
+   (device),
+4. optionally repeating (SQP-style inner iterations) before applying the
+   first move.
+
+The device/host split is deliberate: Jacobians, rollouts and the QP solve
+are batched device math; condensation is small dense float64 algebra whose
+conditioning matters more than its speed (see ``condense`` module docs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_gpad.condense import condense, dualize
+from tpu_gpad.solver import SolverConfig, solve_batch
+from tpu_gpad.types import LinearMPCProblem
+
+
+def rk4(f: Callable, dt: float) -> Callable:
+    """Discretize continuous dynamics ``xdot = f(x, u)`` with one classical
+    RK4 step of length ``dt`` (zero-order-hold input)."""
+
+    def step(x, u):
+        k1 = f(x, u)
+        k2 = f(x + 0.5 * dt * k1, u)
+        k3 = f(x + 0.5 * dt * k2, u)
+        k4 = f(x + dt * k3, u)
+        return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    return step
+
+
+@partial(jax.jit, static_argnums=0)
+def rollout(f: Callable, x0: jax.Array, us: jax.Array) -> jax.Array:
+    """Roll ``x_{k+1} = f(x_k, u_k)`` from ``x0`` under the plan ``us``
+    of shape (N, n_u). Returns the successor states x_1..x_N, (N, n_x)."""
+
+    def body(x, u):
+        xn = f(x, u)
+        return xn, xn
+
+    _, xs = jax.lax.scan(body, jnp.asarray(x0), jnp.asarray(us))
+    return xs
+
+
+@partial(jax.jit, static_argnums=0)
+def linearize(f: Callable, xs: jax.Array, us: jax.Array):
+    """Per-stage linearization of ``f`` along a nominal trajectory.
+
+    ``xs``: (N, n_x) linearization states xbar_0..xbar_{N-1}; ``us``:
+    (N, n_u) nominal inputs. Returns ``(A, B, c)`` with shapes
+    (N, n_x, n_x), (N, n_x, n_u), (N, n_x) such that the affine model
+    ``x_{k+1} = A_k x_k + B_k u_k + c_k`` agrees with ``f`` exactly at
+    the nominal (``c_k`` is the linearization residual). All three are
+    one vmapped forward-mode Jacobian sweep — device math."""
+    xs = jnp.asarray(xs)
+    us = jnp.asarray(us)
+    A = jax.vmap(jax.jacfwd(f, argnums=0))(xs, us)
+    B = jax.vmap(jax.jacfwd(f, argnums=1))(xs, us)
+    fx = jax.vmap(f)(xs, us)
+    c = fx - jnp.einsum("kij,kj->ki", A, xs) - jnp.einsum("kij,kj->ki", B, us)
+    return A, B, c
+
+
+class NMPC:
+    """Receding-horizon successive-linearization controller.
+
+    ``f``: jax-traceable discrete dynamics ``f(x, u) -> x_next`` (use
+    ``rk4(f_cont, dt)`` for continuous models). Cost is the tracking form
+    ``sum (x_k - x_ref)' Q (x_k - x_ref) + u_k' R u_k`` (plus
+    ``Q_terminal`` at stage N if given); ``x_ref`` is a per-``step``
+    argument, so one controller serves moving setpoints.
+
+    ``sqp_iters``: linearize->solve passes per sample. 1 = classic
+    real-time-iteration (cheapest, relies on warm starts across samples);
+    2-3 tightens the plan when the plant is strongly nonlinear.
+    ``damping``: step factor on the plan update between inner passes
+    (1.0 = full SQP step; < 1 for fragile linearizations).
+
+    Per-sample cost: one jitted Jacobian sweep + QP solve on device, one
+    condense/dualize on host (small dense float64; use
+    ``lipschitz="fro_dual"`` to skip the exact eigensolve for larger
+    problems). Single-plant: batch NMPC would need per-scenario
+    condensation — vmap the QP solve yourself if all scenarios share a
+    linearization.
+    """
+
+    def __init__(
+        self,
+        f: Callable,
+        n_x: int,
+        n_u: int,
+        horizon: int,
+        Q: np.ndarray,
+        R: np.ndarray,
+        Q_terminal: Optional[np.ndarray] = None,
+        x_min: Optional[np.ndarray] = None,
+        x_max: Optional[np.ndarray] = None,
+        u_min: Optional[np.ndarray] = None,
+        u_max: Optional[np.ndarray] = None,
+        du_min: Optional[np.ndarray] = None,
+        du_max: Optional[np.ndarray] = None,
+        soft_state: Optional[float] = None,
+        iterations: int = 200,
+        config: Optional[SolverConfig] = None,
+        sqp_iters: int = 1,
+        damping: float = 1.0,
+        lipschitz: str = "spectral_dual",
+        warm_start: bool = True,
+        name: str = "nmpc",
+    ):
+        if config is None:
+            config = SolverConfig(iterations=iterations, restart=True)
+        if config.iterations is None:
+            import dataclasses
+
+            config = dataclasses.replace(config, iterations=iterations)
+        if not 0.0 < damping <= 1.0:
+            raise ValueError(f"damping must be in (0, 1]: {damping}")
+        if sqp_iters < 1:
+            raise ValueError(f"sqp_iters must be >= 1: {sqp_iters}")
+        self.f = f
+        self.n_x, self.n_u, self.horizon = n_x, n_u, horizon
+        self.Q = np.asarray(Q, dtype=np.float64)
+        self.R = np.asarray(R, dtype=np.float64)
+        self.Q_terminal = Q_terminal
+        self.bounds = dict(
+            x_min=x_min, x_max=x_max, u_min=u_min, u_max=u_max,
+            du_min=du_min, du_max=du_max,
+        )
+        self.rate = du_min is not None or du_max is not None
+        self.soft_state = soft_state
+        self.config = config
+        self.sqp_iters = sqp_iters
+        self.damping = damping
+        self.lipschitz = lipschitz
+        self.warm_start = warm_start
+        self.name = name
+        self._us: np.ndarray | None = None  # previous plan, (N, n_u)
+        self._y = None  # previous dual iterate (warm start)
+        self._u_prev: np.ndarray | None = None  # last applied move
+        self.last_result = None
+
+    def _qp_for(self, us: np.ndarray, x: np.ndarray):
+        """Linearize along the rollout of ``us`` from ``x`` and condense."""
+        xs_next = rollout(self.f, jnp.asarray(x, dtype=jnp.float32),
+                          jnp.asarray(us, dtype=jnp.float32))
+        xs_lin = jnp.concatenate(
+            [jnp.asarray(x, dtype=jnp.float32)[None], xs_next[:-1]], axis=0
+        )
+        A, B, c = linearize(self.f, xs_lin, jnp.asarray(us, dtype=jnp.float32))
+        problem = LinearMPCProblem(
+            A=np.asarray(A, dtype=np.float64),
+            B=np.asarray(B, dtype=np.float64),
+            Q=self.Q,
+            R=self.R,
+            horizon=self.horizon,
+            Q_terminal=self.Q_terminal,
+            c=np.asarray(c, dtype=np.float64),
+            name=self.name,
+            **self.bounds,
+        )
+        qp = condense(problem, tracking=True, soft_state=self.soft_state)
+        data = dualize(
+            qp,
+            iterations=self.config.iterations,
+            paired="auto",
+            lipschitz=self.lipschitz,
+        )
+        return qp, data
+
+    def plan(self, x, x_ref=None) -> np.ndarray:
+        """Full receding-horizon plan (N, n_u) at state ``x`` (n_x,).
+
+        Runs ``sqp_iters`` linearize->condense->solve passes seeded from
+        the previous sample's plan shifted by one stage (hold-last)."""
+        x = np.asarray(x, dtype=np.float32).reshape(self.n_x)
+        x_ref = (
+            np.zeros(self.n_x, dtype=np.float32)
+            if x_ref is None
+            else np.asarray(x_ref, dtype=np.float32).reshape(self.n_x)
+        )
+        if self._us is None:
+            us = np.zeros((self.horizon, self.n_u), dtype=np.float32)
+        else:  # shift the previous plan: drop u_0, hold the last move
+            us = np.concatenate([self._us[1:], self._us[-1:]], axis=0)
+        res = None
+        for _ in range(self.sqp_iters):
+            qp, data = self._qp_for(us, x)
+            p = np.concatenate([x, x_ref])
+            if self.rate:
+                u_prev = (
+                    np.zeros(self.n_u, dtype=np.float32)
+                    if self._u_prev is None
+                    else self._u_prev
+                )
+                p = np.concatenate([p, u_prev])
+            y0 = self._y if self.warm_start else None
+            res = solve_batch(
+                data,
+                jnp.asarray(p[None], dtype=jnp.float32),
+                config=self.config,
+                y0=y0,
+            )
+            self._y = res.y
+            us_new = np.asarray(
+                res.z[0, : self.n_u * self.horizon], dtype=np.float32
+            ).reshape(self.horizon, self.n_u)
+            us = us + self.damping * (us_new - us)
+        self._us = us
+        self.last_result = res
+        if self.rate:
+            self._u_prev = us[0]
+        return us
+
+    def step(self, x, x_ref=None) -> np.ndarray:
+        """Applied move u_0 (n_u,) at state ``x``; see ``plan``."""
+        return self.plan(x, x_ref)[0]
+
+    def reset(self, u_prev=None) -> None:
+        """Drop the plan/dual warm starts (plant or setpoint discontinuity).
+
+        ``u_prev``: for rate-limited problems, the actuator's current
+        position (default zeros)."""
+        self._us = None
+        self._y = None
+        self._u_prev = (
+            None if u_prev is None
+            else np.asarray(u_prev, dtype=np.float32).reshape(self.n_u)
+        )
+
+
+def simulate_nonlinear(
+    plant: Callable,
+    controller: NMPC,
+    x0: np.ndarray,
+    n_steps: int,
+    x_ref=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Closed loop: ``u = controller.step(x, x_ref)``, ``x+ = plant(x, u)``.
+
+    ``plant`` may differ from the controller's model ``f`` (robustness
+    experiments). Host loop by design — each sample re-linearizes and
+    re-condenses (cf. ``closed_loop.simulate``, which can fuse the whole
+    LTI loop into one jitted scan precisely because its QP is fixed).
+    Returns ``(X, U)`` with shapes (n_steps + 1, n_x) and (n_steps, n_u).
+    """
+    x = np.asarray(x0, dtype=np.float32).reshape(controller.n_x)
+    X, U = [x], []
+    for _ in range(n_steps):
+        u = controller.step(x, x_ref)
+        x = np.asarray(
+            plant(jnp.asarray(x), jnp.asarray(u)), dtype=np.float32
+        )
+        X.append(x)
+        U.append(u)
+    return np.stack(X), np.stack(U)

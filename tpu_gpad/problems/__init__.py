@@ -9,6 +9,7 @@ used in the GPAD paper's experiments (``nmpc12-gpad.pdf`` section 5).
 from tpu_gpad.problems.battery import battery, default_x0 as battery_default_x0
 from tpu_gpad.problems.double_integrator import double_integrator
 from tpu_gpad.problems.mass_spring import mass_spring
+from tpu_gpad.problems.pendulum import pendulum_dynamics
 from tpu_gpad.problems.random_lti import random_lti, random_ltv
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "battery_default_x0",
     "double_integrator",
     "mass_spring",
+    "pendulum_dynamics",
     "random_lti",
     "random_ltv",
 ]

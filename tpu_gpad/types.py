@@ -63,6 +63,12 @@ class LinearMPCProblem:
     # becomes part of the QP parameter p = [x0; ...; u_prev] (see condense).
     # Standard production-MPC actuator slew protection; the reference has
     # amplitude boxes only (gpad.m:84-85).
+    c: Optional[np.ndarray] = None  # (n_x,) or (N, n_x) KNOWN per-stage
+    # affine dynamics offset: x_{k+1} = A_k x_k + B_k u_k + c_k. Folded
+    # into the condensed QP's constants (b0, g) at condense time — this is
+    # the linearization residual of successive-linearization NMPC
+    # (tpu_gpad.nonlinear), fixed per QP, unlike the process_disturbance
+    # PARAMETER which varies per solve.
     name: str = "lti"
 
     @property
