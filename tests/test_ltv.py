@@ -157,3 +157,86 @@ def test_ltv_estimator_guard():
     problem = problems.random_ltv(horizon=4, seed=2)
     with pytest.raises(ValueError, match="time-invariant"):
         OffsetFreeController(problem, C=np.eye(4))
+
+
+# ------------------------------------------------------- per-stage weights
+
+
+def test_stage_weights_reduce_to_shared():
+    """Stacked copies of one (Q, R) condense bit-identically to the
+    shared-weight (kron) path."""
+    prob0 = problems.random_lti(n_x=3, n_u=2, horizon=5, seed=6)
+    N = prob0.horizon
+    prob = dataclasses.replace(
+        prob0,
+        Q=np.repeat(prob0.Q[None], N, axis=0),
+        R=np.repeat(prob0.R[None], N, axis=0),
+    )
+    qp0, qp = condense(prob0), condense(prob)
+    np.testing.assert_allclose(qp.H, qp0.H)
+    np.testing.assert_allclose(qp.F, qp0.F)
+
+
+def test_stage_weights_solve_matches_exact_qp(rng):
+    """Genuinely time-varying weights (rising state cost toward the tail)
+    agree with the exact QP through the device solver."""
+    prob0 = problems.random_lti(n_x=4, n_u=2, horizon=6, seed=8)
+    N = prob0.horizon
+    scale = np.linspace(0.5, 4.0, N)
+    prob = dataclasses.replace(
+        prob0,
+        Q=scale[:, None, None] * prob0.Q[None],
+        R=(1.0 / scale)[:, None, None] * prob0.R[None],
+    )
+    qp = condense(prob)
+    data = tpu_gpad.dualize(qp, iterations=400, paired="auto")
+    X0 = rng.uniform(-0.8, 0.8, size=(6, 4)).astype(np.float32)
+    res = solve_batch(data, X0, config=SolverConfig(iterations=400, restart=True))
+    checked = 0
+    for i in range(6):
+        sol = solve_condensed_qp(qp, X0[i])
+        if sol.status != "optimal":
+            continue
+        checked += 1
+        err = np.abs(np.asarray(res.u[i]) - sol.z[: qp.n_u]).max()
+        assert err < backend_tol(5e-4, 5e-3), (i, err)
+    assert checked >= 3
+
+
+def test_stage_weights_terminal_and_uref():
+    """Q_terminal still replaces the last stacked block; input_reference's
+    linear-cost rows carry the PER-STAGE R blocks."""
+    prob0 = problems.random_lti(n_x=3, n_u=2, horizon=4, seed=3)
+    N = prob0.horizon
+    Qs = np.stack([(k + 1.0) * prob0.Q for k in range(N)])
+    Rs = np.stack([(k + 1.0) * prob0.R for k in range(N)])
+    Q_N = 7.0 * np.eye(3)
+    prob = dataclasses.replace(prob0, Q=Qs, R=Rs, Q_terminal=Q_N)
+    qp = condense(prob, tracking=True, input_reference=True)
+    from tpu_gpad.condense import prediction_matrices
+
+    T, S = prediction_matrices(prob0.A, prob0.B, N)
+    Qbar = np.zeros((3 * N, 3 * N))
+    for k in range(N):
+        Qbar[3 * k : 3 * k + 3, 3 * k : 3 * k + 3] = Qs[k]
+    Qbar[-3:, -3:] = Q_N
+    Rbar = np.zeros((2 * N, 2 * N))
+    for k in range(N):
+        Rbar[2 * k : 2 * k + 2, 2 * k : 2 * k + 2] = Rs[k]
+    np.testing.assert_allclose(qp.H, S.T @ Qbar @ S + Rbar, atol=1e-10)
+    # u_ref parameter rows (last n_u rows of F): -[R_1 .. R_N]
+    F_u = qp.F[-2:]
+    expect = -np.concatenate([Rs[k] for k in range(N)], axis=1)
+    np.testing.assert_allclose(F_u, expect, atol=1e-12)
+
+
+def test_stage_weights_guards():
+    prob0 = problems.random_lti(n_x=3, n_u=2, horizon=4, seed=0)
+    bad = dataclasses.replace(prob0, Q=np.repeat(prob0.Q[None], 3, axis=0))
+    with pytest.raises(ValueError, match="per-stage Q"):
+        condense(bad)
+    stacked = dataclasses.replace(
+        prob0, R=np.repeat(prob0.R[None], 4, axis=0)
+    )
+    with pytest.raises(ValueError, match="time-invariant"):
+        dare_terminal_weight(stacked)

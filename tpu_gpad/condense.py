@@ -96,11 +96,11 @@ def dare_terminal_weight(problem: LinearMPCProblem) -> np.ndarray:
     reference weights every stage equally (``gpad.m:76``)."""
     from scipy.linalg import solve_discrete_are
 
-    if problem.is_ltv:
+    if problem.is_ltv or np.ndim(problem.Q) == 3 or np.ndim(problem.R) == 3:
         raise ValueError(
-            "dare_terminal_weight needs time-invariant dynamics; for LTV "
-            "problems pass an explicit Q_terminal (e.g. the DARE weight of "
-            "the final-stage linearization)"
+            "dare_terminal_weight needs time-invariant dynamics and costs; "
+            "for LTV problems pass an explicit Q_terminal (e.g. the DARE "
+            "weight of the final-stage linearization)"
         )
 
     return solve_discrete_are(
@@ -109,6 +109,25 @@ def dare_terminal_weight(problem: LinearMPCProblem) -> np.ndarray:
         np.asarray(problem.Q, dtype=np.float64),
         np.asarray(problem.R, dtype=np.float64),
     )
+
+
+def _stage_blockdiag(W: np.ndarray, N: int, n: int, name: str) -> np.ndarray:
+    """Stack a stage cost weight into its horizon block diagonal.
+
+    ``W`` is (n, n) (shared across stages, the reference's formulation —
+    ``gpad.m:76``) or (N, n, n) stacked per stage (time-varying costs,
+    e.g. from linearizing a nonlinear cost along a trajectory)."""
+    W = np.asarray(W, dtype=np.float64)
+    if W.ndim == 2:
+        return np.kron(np.eye(N), W)
+    if W.shape != (N, n, n):
+        raise ValueError(
+            f"per-stage {name} must be ({N}, {n}, {n}); got {W.shape}"
+        )
+    out = np.zeros((N * n, N * n))
+    for k in range(N):
+        out[k * n : (k + 1) * n, k * n : (k + 1) * n] = W[k]
+    return out
 
 
 def condense(
@@ -219,13 +238,13 @@ def condense(
             offs.append(off)
         s_off = np.concatenate(offs)
 
-    Qbar = np.kron(np.eye(N), np.asarray(problem.Q, dtype=np.float64))
+    Qbar = _stage_blockdiag(problem.Q, N, n_x, "Q")
     if problem.Q_terminal is not None:
         # replace the last diagonal block: stage-N state weighted by Q_N
         Qbar[(N - 1) * n_x :, (N - 1) * n_x :] = np.asarray(
             problem.Q_terminal, dtype=np.float64
         )
-    Rbar = np.kron(np.eye(N), np.asarray(problem.R, dtype=np.float64))
+    Rbar = _stage_blockdiag(problem.R, N, n_u, "R")
     H = S.T @ Qbar @ S + Rbar
     H = 0.5 * (H + H.T)  # symmetrize against roundoff
     F = T.T @ Qbar @ S  # (n_x, n_z)
@@ -252,9 +271,13 @@ def condense(
         F = np.concatenate([F, F_r], axis=0)  # (2*n_x, n_z)
         ref_dim = n_x
     if input_reference:
-        # shared input target u_r: (u_k - u_r)' R (u_k - u_r) contributes
-        # the linear term -u_r' R u_k at every stage -> F_u = -[R R ... R]
-        F_u = -np.tile(np.asarray(problem.R, dtype=np.float64), (1, N))
+        # shared input target u_r: (u_k - u_r)' R_k (u_k - u_r) contributes
+        # the linear term -u_r' R_k u_k at every stage -> F_u = -[R_1 .. R_N]
+        # (Rbar's diagonal blocks, so per-stage R weights are honored)
+        F_u = -np.concatenate(
+            [Rbar[k * n_u : (k + 1) * n_u, k * n_u : (k + 1) * n_u] for k in range(N)],
+            axis=1,
+        )
         F = np.concatenate([F, F_u], axis=0)
         ref_dim += n_u
     S_c = None

@@ -44,8 +44,8 @@ class LinearMPCProblem:
 
     A: np.ndarray  # (n_x, n_x), or (N, n_x, n_x) for LTV
     B: np.ndarray  # (n_x, n_u), or (N, n_x, n_u) for LTV
-    Q: np.ndarray  # (n_x, n_x) stage state cost
-    R: np.ndarray  # (n_u, n_u) stage input cost
+    Q: np.ndarray  # (n_x, n_x) stage state cost, or (N, n_x, n_x) per stage
+    R: np.ndarray  # (n_u, n_u) stage input cost, or (N, n_u, n_u) per stage
     horizon: int  # N, number of prediction steps
     x_min: Optional[np.ndarray] = None  # (n_x,) or None for unconstrained
     x_max: Optional[np.ndarray] = None
