@@ -26,6 +26,7 @@ from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
 from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear
 from tpu_gpad.estimator import (
+    ExtendedKalmanFilter,
     KalmanFilter,
     OffsetFreeController,
     TargetCalculator,
@@ -54,6 +55,7 @@ __all__ = [
     "simulate_nonlinear",
     "polish",
     "polish_batch",
+    "ExtendedKalmanFilter",
     "KalmanFilter",
     "OffsetFreeController",
     "TargetCalculator",

@@ -281,3 +281,86 @@ class OffsetFreeController:
     @property
     def d_hat(self) -> np.ndarray:
         return self.filter.d_hat
+
+
+class ExtendedKalmanFilter:
+    """Time-varying EKF for nonlinear dynamics — the estimation side of
+    output-feedback NMPC.
+
+    Model: ``x+ = f(x, u) (+ w)``, ``y = h(x) (+ v)`` with jax-traceable
+    ``f``/``h``; per sample the Jacobians come from ``jax.jacfwd`` (jitted,
+    device) and the covariance recursion runs in host float64 (Joseph-form
+    correction for symmetry). Unlike ``KalmanFilter`` — steady-state gain,
+    linear, disturbance-augmented — the EKF re-linearizes at the current
+    estimate, so it pairs with ``tpu_gpad.nonlinear.NMPC``::
+
+        x_hat = ekf.update(y, u_prev)
+        u     = nmpc.step(x_hat, x_ref)
+
+    ``W``/``V``: process/measurement noise covariances (defaults
+    1e-3 I / 1e-4 I, matching ``KalmanFilter``).
+    """
+
+    def __init__(
+        self,
+        f,
+        h,
+        n_x: int,
+        n_y: int,
+        W: Optional[np.ndarray] = None,
+        V: Optional[np.ndarray] = None,
+        x0: Optional[np.ndarray] = None,
+        P0: Optional[np.ndarray] = None,
+    ):
+        import jax
+
+        self.f, self.h = f, h
+        self.n_x, self.n_y = n_x, n_y
+        self._f_and_jac = jax.jit(
+            lambda x, u: (f(x, u), jax.jacfwd(f, argnums=0)(x, u))
+        )
+        self._h_and_jac = jax.jit(lambda x: (h(x), jax.jacfwd(h)(x)))
+        self.W = (
+            np.eye(n_x) * 1e-3 if W is None else np.asarray(W, dtype=np.float64)
+        )
+        self.V = (
+            np.eye(n_y) * 1e-4 if V is None else np.asarray(V, dtype=np.float64)
+        )
+        self.x = (
+            np.zeros(n_x)
+            if x0 is None
+            else np.asarray(x0, dtype=np.float64).reshape(n_x)
+        )
+        self.P = (
+            np.eye(n_x) if P0 is None else np.asarray(P0, dtype=np.float64)
+        )
+        self._x0, self._P0 = self.x.copy(), self.P.copy()
+
+    def update(self, y: np.ndarray, u_prev: np.ndarray) -> np.ndarray:
+        """One EKF step: predict through ``f`` with ``u_prev``, correct
+        with the measurement ``y``. Returns the state estimate."""
+        import jax.numpy as jnp
+
+        y = np.asarray(y, dtype=np.float64).reshape(self.n_y)
+        xj = jnp.asarray(self.x, dtype=jnp.float32)
+        uj = jnp.asarray(u_prev, dtype=jnp.float32).reshape(-1)
+        fx, F = self._f_and_jac(xj, uj)
+        x_pred = np.asarray(fx, dtype=np.float64)
+        F = np.asarray(F, dtype=np.float64)
+        P_pred = F @ self.P @ F.T + self.W
+        hx, H = self._h_and_jac(jnp.asarray(x_pred, dtype=jnp.float32))
+        H = np.asarray(H, dtype=np.float64).reshape(self.n_y, self.n_x)
+        S = H @ P_pred @ H.T + self.V
+        K = np.linalg.solve(S.T, (P_pred @ H.T).T).T  # P H' S^-1
+        self.x = x_pred + K @ (y - np.asarray(hx, dtype=np.float64).reshape(self.n_y))
+        IKH = np.eye(self.n_x) - K @ H
+        self.P = IKH @ P_pred @ IKH.T + K @ self.V @ K.T  # Joseph form
+        return self.x.copy()
+
+    def reset(self, x0: Optional[np.ndarray] = None) -> None:
+        self.x = (
+            self._x0.copy()
+            if x0 is None
+            else np.asarray(x0, dtype=np.float64).reshape(self.n_x)
+        )
+        self.P = self._P0.copy()
