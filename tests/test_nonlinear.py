@@ -200,3 +200,55 @@ def test_nmpc_reset_and_guards():
     assert u.shape == (1,)
     ctrl.reset()
     assert ctrl._us is None and ctrl._y is None
+
+
+# --------------------------------------------------------------- batch NMPC
+
+
+def test_nmpc_batch_matches_single():
+    """A batch of identical states must plan identically to the single-
+    plant path (same linearizations, same QPs, one vmapped solve)."""
+    f = rk4(pendulum_dynamics(), dt=0.05)
+    kw = dict(
+        n_x=2, n_u=1, horizon=12, Q=np.diag([10.0, 1.0]), R=np.diag([0.1]),
+        u_min=np.array([-11.0]), u_max=np.array([11.0]), iterations=150,
+    )
+    single = NMPC(f, **kw)
+    batch = NMPC(f, **kw)
+    x = np.array([1.8, 0.3], dtype=np.float32)
+    for _ in range(3):  # a few samples so warm starts engage
+        u1 = single.plan(x, UPRIGHT)
+        ub = batch.plan_batch(np.stack([x, x]), UPRIGHT)
+    np.testing.assert_allclose(ub[0], ub[1], atol=1e-6)
+    np.testing.assert_allclose(ub[0], u1, atol=1e-4)
+
+
+def test_nmpc_batch_closed_loop():
+    """Different start angles all reach upright, planned together."""
+    import jax.numpy as jnp
+
+    f = rk4(pendulum_dynamics(), dt=0.05)
+    ctrl = NMPC(
+        f, n_x=2, n_u=1, horizon=25, Q=np.diag([10.0, 1.0]),
+        R=np.diag([0.1]), u_min=np.array([-11.0]), u_max=np.array([11.0]),
+        iterations=200, sqp_iters=2,
+    )
+    X = np.array([[2.07, 0.0], [2.4, 0.0], [2.8, -0.3]], dtype=np.float32)
+    for _ in range(80):
+        U = ctrl.step_batch(X, UPRIGHT)
+        X = np.asarray(jnp.stack([
+            f(jnp.asarray(X[b]), jnp.asarray(U[b])) for b in range(3)
+        ]))
+    assert np.abs(X[:, 0] - np.pi).max() < 0.05, X
+    assert np.abs(X[:, 1]).max() < 0.1
+
+
+def test_nmpc_batch_resets_on_size_change():
+    f = rk4(pendulum_dynamics(), dt=0.05)
+    ctrl = NMPC(f, 2, 1, 8, np.diag([10.0, 1.0]), np.diag([0.1]),
+                u_min=np.array([-11.0]), u_max=np.array([11.0]),
+                iterations=100)
+    u2 = ctrl.step_batch(np.zeros((2, 2)))
+    assert u2.shape == (2, 1)
+    u3 = ctrl.step_batch(np.zeros((3, 2)))  # size change: fresh warm start
+    assert u3.shape == (3, 1)

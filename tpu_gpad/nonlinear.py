@@ -100,9 +100,9 @@ class NMPC:
     Per-sample cost: one jitted Jacobian sweep + QP solve on device, one
     condense/dualize on host (small dense float64; use
     ``lipschitz="fro_dual"`` to skip the exact eigensolve for larger
-    problems). Single-plant: batch NMPC would need per-scenario
-    condensation — vmap the QP solve yourself if all scenarios share a
-    linearization.
+    problems). ``plan_batch``/``step_batch`` run B independent scenarios
+    with per-scenario linearizations and ONE vmapped device solve
+    (``solve_multi``).
     """
 
     def __init__(
@@ -159,6 +159,9 @@ class NMPC:
         self._us: np.ndarray | None = None  # previous plan, (N, n_u)
         self._y = None  # previous dual iterate (warm start)
         self._u_prev: np.ndarray | None = None  # last applied move
+        self._us_b: np.ndarray | None = None  # batch-mode plan, (B, N, n_u)
+        self._y_b = None
+        self._u_prev_b: np.ndarray | None = None
         self.last_result = None
 
     def _qp_for(self, us: np.ndarray, x: np.ndarray):
@@ -237,6 +240,88 @@ class NMPC:
         """Applied move u_0 (n_u,) at state ``x``; see ``plan``."""
         return self.plan(x, x_ref)[0]
 
+    def plan_batch(self, X, x_ref=None) -> np.ndarray:
+        """Batch of B independent scenarios: plans of shape (B, N, n_u).
+
+        Each scenario linearizes along ITS OWN nominal trajectory (vmapped
+        rollout + Jacobians on device), condenses on host, and all B QPs
+        solve in ONE vmapped device call via ``solve_multi`` — the
+        nonlinear analogue of the reference's per-dataset host loop
+        (``main.cu:104-108``). Keeps its own warm-start state, separate
+        from the single-plant ``plan``; batch-size changes reset it."""
+        from tpu_gpad.solver.multi import solve_multi, stack_data
+
+        X = np.atleast_2d(np.asarray(X, dtype=np.float32))
+        B = X.shape[0]
+        x_ref = (
+            np.zeros_like(X)
+            if x_ref is None
+            else np.broadcast_to(
+                np.asarray(x_ref, dtype=np.float32), X.shape
+            ).astype(np.float32)
+        )
+        if self._us_b is None or self._us_b.shape[0] != B:
+            us = np.zeros((B, self.horizon, self.n_u), dtype=np.float32)
+            self._y_b = None
+            self._u_prev_b = None
+        else:
+            us = np.concatenate([self._us_b[:, 1:], self._us_b[:, -1:]], axis=1)
+        res = None
+        for _ in range(self.sqp_iters):
+            xs_next = jax.vmap(lambda x, u: rollout(self.f, x, u))(
+                jnp.asarray(X), jnp.asarray(us)
+            )
+            xs_lin = jnp.concatenate(
+                [jnp.asarray(X)[:, None], xs_next[:, :-1]], axis=1
+            )
+            A, Bm, c = jax.vmap(
+                lambda xs, u: linearize(self.f, xs, u)
+            )(xs_lin, jnp.asarray(us))
+            A, Bm, c = map(partial(np.asarray, dtype=np.float64), (A, Bm, c))
+            datas = []
+            for b in range(B):
+                problem = LinearMPCProblem(
+                    A=A[b], B=Bm[b], Q=self.Q, R=self.R,
+                    horizon=self.horizon, Q_terminal=self.Q_terminal,
+                    c=c[b], name=self.name, **self.bounds,
+                )
+                qp = condense(problem, tracking=True, soft_state=self.soft_state)
+                datas.append(dualize(
+                    qp,
+                    iterations=self.config.iterations,
+                    paired="auto",
+                    lipschitz=self.lipschitz,
+                ))
+            P = np.concatenate([X, x_ref], axis=-1)
+            if self.rate:
+                u_prev = (
+                    np.zeros((B, self.n_u), dtype=np.float32)
+                    if self._u_prev_b is None
+                    else self._u_prev_b
+                )
+                P = np.concatenate([P, u_prev], axis=-1)
+            y0 = self._y_b if self.warm_start else None
+            res = solve_multi(
+                stack_data(datas),
+                jnp.asarray(P[:, None], dtype=jnp.float32),  # (B, 1, p)
+                config=self.config,
+                y0=y0,
+            )
+            self._y_b = res.y
+            us_new = np.asarray(
+                res.z[:, 0, : self.n_u * self.horizon], dtype=np.float32
+            ).reshape(B, self.horizon, self.n_u)
+            us = us + self.damping * (us_new - us)
+        self._us_b = us
+        self.last_result = res
+        if self.rate:
+            self._u_prev_b = us[:, 0]
+        return us
+
+    def step_batch(self, X, x_ref=None) -> np.ndarray:
+        """Applied moves (B, n_u) for a batch of states; see ``plan_batch``."""
+        return self.plan_batch(X, x_ref)[:, 0]
+
     def reset(self, u_prev=None) -> None:
         """Drop the plan/dual warm starts (plant or setpoint discontinuity).
 
@@ -244,6 +329,9 @@ class NMPC:
         position (default zeros)."""
         self._us = None
         self._y = None
+        self._us_b = None
+        self._y_b = None
+        self._u_prev_b = None
         self._u_prev = (
             None if u_prev is None
             else np.asarray(u_prev, dtype=np.float32).reshape(self.n_u)
