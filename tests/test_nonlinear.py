@@ -252,3 +252,50 @@ def test_nmpc_batch_resets_on_size_change():
     assert u2.shape == (2, 1)
     u3 = ctrl.step_batch(np.zeros((3, 2)))  # size change: fresh warm start
     assert u3.shape == (3, 1)
+
+
+# ------------------------------------------------------------ preview NMPC
+
+
+def test_nmpc_preview_figure_eight():
+    """Trajectory-tracking NMPC: a drag point mass follows a figure-eight
+    with per-stage reference preview. Preview anticipates the curve; a
+    constant-setpoint controller would cut every corner."""
+    from tpu_gpad.problems.point_mass import figure_eight, point_mass_drag
+
+    dt = 0.1
+    f = rk4(point_mass_drag(k=0.3), dt=dt)
+    N = 12
+    n_steps = 60
+    traj = figure_eight(n_steps + N + 1, dt, scale=1.0, period=6.0)
+    ctrl = NMPC(
+        f, n_x=4, n_u=2, horizon=N,
+        Q=np.diag([20.0, 20.0, 1.0, 1.0]), R=np.diag([0.05, 0.05]),
+        u_min=np.full(2, -6.0), u_max=np.full(2, 6.0),
+        iterations=200, sqp_iters=2, preview=True,
+    )
+    X, U = simulate_nonlinear(f, ctrl, traj[0], n_steps, x_ref=traj)
+    pos_err = np.linalg.norm(X[1:, :2] - traj[1 : n_steps + 1, :2], axis=1)
+    # transient settles, then the mass rides the curve closely
+    assert pos_err[10:].max() < 0.08, pos_err[10:].max()
+    assert np.abs(U).max() <= 6.0 + 1e-3
+
+
+def test_nmpc_preview_shapes_and_batch():
+    from tpu_gpad.problems.point_mass import point_mass_drag
+
+    f = rk4(point_mass_drag(), dt=0.1)
+    ctrl = NMPC(
+        f, n_x=4, n_u=2, horizon=6,
+        Q=np.eye(4), R=np.eye(2) * 0.1,
+        u_min=np.full(2, -6.0), u_max=np.full(2, 6.0),
+        iterations=100, preview=True,
+    )
+    window = np.zeros((6, 4), dtype=np.float32)
+    u = ctrl.step(np.zeros(4), window)
+    assert u.shape == (2,)
+    # batch: shared window and per-scenario windows both accepted
+    U = ctrl.step_batch(np.zeros((3, 4)), window)
+    assert U.shape == (3, 2)
+    U2 = ctrl.step_batch(np.zeros((3, 4)), np.zeros((3, 6, 4)))
+    assert U2.shape == (3, 2)

@@ -127,6 +127,7 @@ class NMPC:
         damping: float = 1.0,
         lipschitz: str = "spectral_dual",
         warm_start: bool = True,
+        preview: bool = False,
         name: str = "nmpc",
     ):
         if config is None:
@@ -155,6 +156,8 @@ class NMPC:
         self.damping = damping
         self.lipschitz = lipschitz
         self.warm_start = warm_start
+        self.preview = preview  # per-stage references: x_ref is a
+        # (N, n_x) trajectory window instead of one setpoint
         self.name = name
         self._us: np.ndarray | None = None  # previous plan, (N, n_u)
         self._y = None  # previous dual iterate (warm start)
@@ -183,7 +186,11 @@ class NMPC:
             name=self.name,
             **self.bounds,
         )
-        qp = condense(problem, tracking=True, soft_state=self.soft_state)
+        qp = condense(
+            problem,
+            tracking="preview" if self.preview else True,
+            soft_state=self.soft_state,
+        )
         data = dualize(
             qp,
             iterations=self.config.iterations,
@@ -198,11 +205,21 @@ class NMPC:
         Runs ``sqp_iters`` linearize->condense->solve passes seeded from
         the previous sample's plan shifted by one stage (hold-last)."""
         x = np.asarray(x, dtype=np.float32).reshape(self.n_x)
-        x_ref = (
-            np.zeros(self.n_x, dtype=np.float32)
-            if x_ref is None
-            else np.asarray(x_ref, dtype=np.float32).reshape(self.n_x)
-        )
+        if self.preview:
+            # per-stage reference window r_1..r_N, flattened into p
+            x_ref = (
+                np.zeros(self.horizon * self.n_x, dtype=np.float32)
+                if x_ref is None
+                else np.asarray(x_ref, dtype=np.float32).reshape(
+                    self.horizon * self.n_x
+                )
+            )
+        else:
+            x_ref = (
+                np.zeros(self.n_x, dtype=np.float32)
+                if x_ref is None
+                else np.asarray(x_ref, dtype=np.float32).reshape(self.n_x)
+            )
         if self._us is None:
             us = np.zeros((self.horizon, self.n_u), dtype=np.float32)
         else:  # shift the previous plan: drop u_0, hold the last move
@@ -253,13 +270,16 @@ class NMPC:
 
         X = np.atleast_2d(np.asarray(X, dtype=np.float32))
         B = X.shape[0]
-        x_ref = (
-            np.zeros_like(X)
-            if x_ref is None
-            else np.broadcast_to(
-                np.asarray(x_ref, dtype=np.float32), X.shape
+        ref_width = self.horizon * self.n_x if self.preview else self.n_x
+        if x_ref is None:
+            x_ref = np.zeros((B, ref_width), dtype=np.float32)
+        else:  # one shared window/setpoint, or per-scenario (leading B)
+            x_ref = np.asarray(x_ref, dtype=np.float32)
+            x_ref = np.broadcast_to(
+                x_ref.reshape(-1, ref_width) if x_ref.size == B * ref_width
+                else x_ref.reshape(ref_width),
+                (B, ref_width),
             ).astype(np.float32)
-        )
         if self._us_b is None or self._us_b.shape[0] != B:
             us = np.zeros((B, self.horizon, self.n_u), dtype=np.float32)
             self._y_b = None
@@ -285,7 +305,11 @@ class NMPC:
                     horizon=self.horizon, Q_terminal=self.Q_terminal,
                     c=c[b], name=self.name, **self.bounds,
                 )
-                qp = condense(problem, tracking=True, soft_state=self.soft_state)
+                qp = condense(
+            problem,
+            tracking="preview" if self.preview else True,
+            soft_state=self.soft_state,
+        )
                 datas.append(dualize(
                     qp,
                     iterations=self.config.iterations,
@@ -351,12 +375,24 @@ def simulate_nonlinear(
     experiments). Host loop by design — each sample re-linearizes and
     re-condenses (cf. ``closed_loop.simulate``, which can fuse the whole
     LTI loop into one jitted scan precisely because its QP is fixed).
+    For a ``preview=True`` controller, ``x_ref`` is a full reference
+    TRAJECTORY (T, n_x): sample t previews the receding window
+    ``x_ref[t+1 : t+N+1]``, holding the final row once it runs out.
     Returns ``(X, U)`` with shapes (n_steps + 1, n_x) and (n_steps, n_u).
     """
     x = np.asarray(x0, dtype=np.float32).reshape(controller.n_x)
+    traj = None
+    if controller.preview and x_ref is not None:
+        traj = np.atleast_2d(np.asarray(x_ref, dtype=np.float32))
+        need = n_steps + controller.horizon + 1
+        if traj.shape[0] < need:  # hold the final reference row
+            traj = np.concatenate(
+                [traj, np.repeat(traj[-1:], need - traj.shape[0], axis=0)]
+            )
     X, U = [x], []
-    for _ in range(n_steps):
-        u = controller.step(x, x_ref)
+    for t in range(n_steps):
+        ref = traj[t + 1 : t + 1 + controller.horizon] if traj is not None else x_ref
+        u = controller.step(x, ref)
         x = np.asarray(
             plant(jnp.asarray(x), jnp.asarray(u)), dtype=np.float32
         )
