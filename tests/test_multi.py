@@ -119,3 +119,48 @@ def test_solve_multi_heterogeneous_limits():
     u = np.asarray(res.u)
     assert abs(u[0, 0, 0]) <= 0.2 + 1e-3  # tight box binds
     assert abs(u[1, 0, 0]) > 0.3  # loose box allows a bigger move
+
+
+def test_solve_multi_sharded_matches_unsharded():
+    """8 heterogeneous plants shard over the 8-device mesh; results must
+    match the single-device vmapped solve exactly (zero-communication DP)."""
+    import jax
+    from tpu_gpad.parallel import make_mesh, solve_multi_sharded
+
+    datas = _plants(n=8)
+    stacked = stack_data(datas)
+    rng = np.random.default_rng(3)
+    X0 = rng.uniform(-0.3, 0.3, size=(8, 4, 3)).astype(np.float32)
+    cfg = SolverConfig(iterations=200)
+    ref = solve_multi(stacked, X0, config=cfg)
+    mesh = make_mesh(8)
+    res = solve_multi_sharded(stacked, X0, config=cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.z), np.asarray(ref.z), atol=1e-6)
+
+
+def test_solve_multi_sharded_eps_and_errors():
+    import jax
+    from tpu_gpad.parallel import make_mesh, solve_multi_sharded
+
+    datas = _plants(n=4, iterations=400)
+    stacked = stack_data(datas)
+    rng = np.random.default_rng(5)
+    X0 = rng.uniform(-0.2, 0.2, size=(4, 2, 3)).astype(np.float32)
+    cfg = SolverConfig(mode="eps", eps_g=1e-4, eps_V=1e-4, iterations=400,
+                       restart=True)
+    mesh = make_mesh(4)
+    res = solve_multi_sharded(stacked, X0, config=cfg, mesh=mesh)
+    ref = solve_multi(stacked, X0, config=cfg)
+    assert np.asarray(res.converged).all()
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u), atol=1e-6)
+    with pytest.raises(ValueError, match="not divisible"):
+        solve_multi_sharded(
+            stack_data(_plants(n=3)),
+            np.zeros((3, 2, 3), np.float32),
+            mesh=mesh,
+        )
+    with pytest.raises(ValueError, match="stack_data result"):
+        solve_multi_sharded(
+            _plants(n=1)[0], np.zeros((1, 2, 3), np.float32), mesh=mesh
+        )

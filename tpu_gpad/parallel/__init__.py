@@ -9,7 +9,14 @@ from tpu_gpad.parallel.distrib import (
     make_mesh,
     data_specs,
     solve_batch_sharded,
+    solve_multi_sharded,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "data_specs", "solve_batch_sharded", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "data_specs",
+    "solve_batch_sharded",
+    "solve_multi_sharded",
+    "shard_batch",
+]

@@ -141,3 +141,70 @@ def solve_batch_sharded(
         check_vma=False,
     )
     return shmapped(data, X0)
+
+
+def _stacked_data_specs(like: GPADData, plant_axis: str) -> GPADData:
+    """PartitionSpecs for a ``stack_data`` result: the leading plant axis
+    of every array leaf shards over ``plant_axis``; within a plant,
+    everything replicates (plants are embarrassingly parallel)."""
+    import dataclasses
+
+    from tpu_gpad.solver.multi import _ARRAYS
+
+    base = data_specs(like, model_axis=None)
+    upd = {f: P(plant_axis, *getattr(base, f)) for f in _ARRAYS}
+    upd["D"] = None if like.D is None else P(plant_axis, *base.D)
+    return dataclasses.replace(base, **upd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "plant_axis")
+)
+def solve_multi_sharded(
+    data: GPADData,
+    x0: jax.Array,
+    config: SolverConfig = SolverConfig(),
+    *,
+    mesh: Mesh,
+    plant_axis: str = "data",
+) -> SolveResult:
+    """Mesh-sharded multi-plant solve: the plant axis of a ``stack_data``
+    result shards over ``plant_axis`` (P must divide evenly), each device
+    vmapping over its local plants — fleets of heterogeneous controllers
+    scale across chips with zero communication (each plant's iteration is
+    fully device-resident, so scaling is embarrassingly linear, like
+    scenario DP). ``x0``: (P, B, n_x) per-plant scenario batches.
+
+    For sharding WITHIN one plant (huge batches or duals), use
+    ``solve_batch_sharded`` on that plant instead — the two compose only
+    by nesting meshes, which this helper deliberately does not do."""
+    from tpu_gpad.solver.multi import solve_multi
+
+    n_dev = mesh.shape[plant_axis]
+    n_plants = data.theta.shape[0]
+    if data.theta.ndim < 2:
+        raise ValueError("solve_multi_sharded needs a stack_data result")
+    if n_plants % n_dev:
+        raise ValueError(
+            f"plant count {n_plants} not divisible by mesh axis {n_dev}"
+        )
+    if x0.shape[0] != n_plants:
+        raise ValueError(
+            f"x0 leading axis {x0.shape[0]} != number of plants {n_plants}"
+        )
+
+    def local_solve(data_local: GPADData, x0_local: jax.Array) -> SolveResult:
+        return solve_multi(data_local, x0_local, config=config)
+
+    pa = plant_axis
+    shmapped = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(_stacked_data_specs(data, pa), P(pa)),
+        out_specs=SolveResult(
+            u=P(pa), z=P(pa), y=P(pa), iterations=P(pa),
+            residual=P(pa), gap=P(pa), converged=P(pa),
+        ),
+        check_vma=False,
+    )
+    return shmapped(data, x0)
