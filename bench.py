@@ -171,6 +171,22 @@ def main():
         )
         detail["throughput_bf16_solves_per_sec"] = batch / t_bf16
 
+    def _serving_mode():
+        # diagnostics=False: residual-free serving — the kernels drop their
+        # w/zhat diagnostic outputs (u/z/y bit-identical, residual/gap NaN)
+        cfg_srv = SolverConfig(iterations=iters, engine=args.engine,
+                               diagnostics=False)
+        t_srv = device_time_per_call(
+            lambda: solve_batch(data, X0, config=cfg_srv).u, k_large=k_large
+        )
+        detail["throughput_serving_solves_per_sec"] = batch / t_srv
+        cfg_srv_f = SolverConfig(iterations=iters, engine=args.engine,
+                                 precision="default", diagnostics=False)
+        t_srv_f = device_time_per_call(
+            lambda: solve_batch(data, X0, config=cfg_srv_f).u, k_large=k_large
+        )
+        detail["throughput_serving_fast_solves_per_sec"] = batch / t_srv_f
+
     def _xla_engine():
         cfg_xla = SolverConfig(iterations=iters, engine="xla")
         t_xla = device_time_per_call(
@@ -229,6 +245,7 @@ def main():
         )
 
     optional("fast_modes", _fast_modes)
+    optional("serving_mode", _serving_mode)
     optional("xla_engine", _xla_engine)
     if not args.quick:
         optional("eps_restart", _eps_restart)

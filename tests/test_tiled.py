@@ -128,7 +128,7 @@ def test_tiled_routing_when_vmem_declines(battery_paired, monkeypatch):
     the tiled kernel (fixed mode) and the tiled chunk builder (eps mode)."""
     qp, data = battery_paired
     X0 = _x0_batch(4, qp.n_x, seed=13)
-    monkeypatch.setattr(kernels, "dual_fits_vmem", lambda d, chunked=False: False)
+    monkeypatch.setattr(kernels, "dual_fits_vmem", lambda d, chunked=False, diagnostics=True: False)
     monkeypatch.setattr(
         kernels, "pick_lane_tile",
         lambda B, S, n_arrays=26, extra_per_lane=0, mats=0: None,
@@ -152,7 +152,7 @@ def test_tiled_eps_restart_routing(battery_paired, monkeypatch):
     """eps + restart through the tiled chunk builder converges like XLA."""
     qp, data = battery_paired
     X0 = _x0_batch(4, qp.n_x, seed=17)
-    monkeypatch.setattr(kernels, "dual_fits_vmem", lambda d, chunked=False: False)
+    monkeypatch.setattr(kernels, "dual_fits_vmem", lambda d, chunked=False, diagnostics=True: False)
     monkeypatch.setattr(
         kernels, "pick_lane_tile",
         lambda B, S, n_arrays=26, extra_per_lane=0, mats=0: None,

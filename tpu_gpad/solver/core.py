@@ -75,6 +75,15 @@ class SolverConfig:
     # "auto" uses it whenever detected (mvp form, no model-axis TP);
     # "on" raises if unavailable; "off" forces the dense product. The dual
     # form is unaffected (its square Hessian has no exploitable block).
+    diagnostics: bool = True  # fixed-mode only: False skips the residual/
+    # duality-gap recovery entirely — the mvp-family fused kernels drop
+    # their w/zhat diagnostic outputs and the post-loop recovery matmuls
+    # are skipped; SolveResult.residual/gap come back as NaN. u/z/y are
+    # bit-identical, so warm-started serving loops lose nothing.
+    # Chip-measured effect at the headline shape: within tunnel noise
+    # (interleaved A/B ~ +1%/-5% across precisions) — the value is the
+    # contract, not a throughput win (docs/DESIGN.md section 8e).
+    # Requires mode="fixed" (the eps test needs the residuals).
     restart: bool = False  # O'Donoghue-Candes adaptive restart: reset the
     # momentum recursion (theta -> 1, extrapolation cleared) per scenario
     # whenever the momentum direction opposes the projected-gradient step,
@@ -300,16 +309,21 @@ def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -
     )
     a = 1.0 - jnp.prod(1.0 - data.theta[: config.iterations])
     z = -mm(s, data.MG_T) - a * g_P
-    wd = w[..., 0, :] - w[..., 1, :]
-    zhat = -mm(wd, data.MG_T) - g_P
-    viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm)
+    if config.diagnostics:
+        wd = w[..., 0, :] - w[..., 1, :]
+        zhat = -mm(wd, data.MG_T) - g_P
+        viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm)
+        residual = jnp.maximum(viol_z, 0.0)
+    else:
+        residual = jnp.full(batch_shape, jnp.nan, dtype=jnp.float32)
+        gap = residual
     iters = jnp.full(batch_shape, config.iterations, dtype=jnp.int32)
     return SolveResult(
         u=z[..., : data.n_u],
         z=z,
         y=y,
         iterations=iters,
-        residual=jnp.maximum(viol_z, 0.0),
+        residual=residual,
         gap=gap,
         converged=jnp.ones(batch_shape, dtype=bool),
     )
@@ -369,11 +383,17 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if resolve_form(data, config) == "dual":
         # whole-VMEM kernel, or the HBM-streamed tiled kernel for duals
         # whose Hessian/state exceed VMEM (the reference's 30x30 flagship)
-        if not (kernels.dual_fits_vmem(data) or kernels.dual_tiled_fits(data)):
+        if not (
+            kernels.dual_fits_vmem(data, diagnostics=config.diagnostics)
+            or kernels.dual_tiled_fits(data)
+        ):
             return "xla"
     elif not (
-        kernels.fits_vmem(data)
-        or (resolve_flat(data, config) and kernels.flat_fits_vmem(data))
+        kernels.fits_vmem(data, diagnostics=config.diagnostics)
+        or (
+            resolve_flat(data, config)
+            and kernels.flat_fits_vmem(data, diagnostics=config.diagnostics)
+        )
     ):
         return "xla"
     return "pallas"
@@ -408,7 +428,9 @@ def resolve_form(data: GPADData, config: SolverConfig) -> str:
         if flat_avail:
             from tpu_gpad.solver import kernels
 
-            if config.engine != "pallas" or kernels.flat_fits_vmem(data):
+            if config.engine != "pallas" or kernels.flat_fits_vmem(
+                data, diagnostics=config.diagnostics
+            ):
                 return "mvp"
         return "dual" if dual_ok else "mvp"
     if config.form == "dual":
@@ -449,16 +471,21 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Sol
         0, config.iterations, body, (y, y_prev, z, w, zhat, ones, ones),
         unroll=config.unroll,
     )
-    viol_z, _, gap = _residuals(
-        data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat
-    )
+    if config.diagnostics:
+        viol_z, _, gap = _residuals(
+            data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat
+        )
+        residual = jnp.maximum(viol_z, 0.0)
+    else:
+        residual = jnp.full(batch_shape, jnp.nan, dtype=jnp.float32)
+        gap = residual
     iters = jnp.full(batch_shape, config.iterations, dtype=jnp.int32)
     return SolveResult(
         u=z[..., : data.n_u],
         z=z,
         y=y,
         iterations=iters,
-        residual=jnp.maximum(viol_z, 0.0),
+        residual=residual,
         gap=gap,
         converged=jnp.ones(batch_shape, dtype=bool),
     )
@@ -577,6 +604,11 @@ def solve_batch(
             f"schedule only has {data.max_iters}; re-dualize with a longer one"
         )
     config = _dc.replace(config, iterations=n_iters)
+    if not config.diagnostics and config.mode != "fixed":
+        raise ValueError(
+            "diagnostics=False requires mode='fixed' (the eps termination "
+            "test needs the residual/gap diagnostics)"
+        )
     g_P, p_D = affine_params(data, x0)
     engine = resolve_engine(data, config, y0)
     if engine == "pallas":

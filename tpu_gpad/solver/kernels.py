@@ -205,14 +205,22 @@ def _norm_y0(y0, Bflat: int, m_half: int):
     return jnp.broadcast_to(y0, (Bflat, 2, m_half))
 
 
-def dual_fits_vmem(data: GPADData, chunked: bool = False) -> bool:
-    """Can the smallest tile of the fused dual (or chunked-eps) kernel fit?"""
+def dual_fits_vmem(
+    data: GPADData, chunked: bool = False, diagnostics: bool = True
+) -> bool:
+    """Can the smallest tile of the fused dual (or chunked-eps) kernel fit?
+
+    ``diagnostics`` is accepted for signature parity with the mvp-family
+    guards but ignored: the dual kernel keeps its full output set either
+    way (dropping wp/wm was chip-measured slower — see
+    ``gpad_pallas_fixed_dual``)."""
+    del diagnostics
     S = _round_up(data.m_half, SUBLANE)
     n_arrays = DUAL_CHUNK_ARRAYS if chunked else DUAL_FIXED_ARRAYS
     return pick_lane_tile(1, S, n_arrays, mats=4 * S * S) is not None
 
 
-def fits_vmem(data: GPADData) -> bool:
+def fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
     """Can the smallest (128-lane) tile of the dense/paired mvp kernel fit?
 
     Uses the SAME coefficients as the kernels' own tile searches so the
@@ -221,11 +229,15 @@ def fits_vmem(data: GPADData) -> bool:
     if data.paired:
         S_h = _round_up(data.m_half, SUBLANE)
         na, nz_coef = PAIRED_ARRAYS
+        if not diagnostics:
+            na, nz_coef = na - 4, nz_coef - 2
         return pick_lane_tile(
             1, S_h, na, nz_coef * S_z, mats=2 * 4 * S_h * S_z
         ) is not None
     S_m = _round_up(data.m, SUBLANE)
     na, nz_coef = DENSE_ARRAYS
+    if not diagnostics:
+        na, nz_coef = na - 2, nz_coef - 2
     return pick_lane_tile(
         1, S_m, na, nz_coef * S_z, mats=2 * 4 * S_m * S_z
     ) is not None
@@ -241,11 +253,11 @@ def _gpad_kernel(
     y0_ref,  # (S_m, B_t) warm-start dual (zeros when cold)
     MGt_ref,  # (S_z, S_m) == MG_T'
     GLt_ref,  # (S_m, S_z) == GL_T'
-    # outputs
+    # outputs (w/zhat present only with diagnostics — see solve_batch_pallas)
     z_ref,
     y_ref,
-    w_ref,
-    zhat_ref,
+    w_ref=None,
+    zhat_ref=None,
     *,
     iterations: int,
     mm_dtype,
@@ -288,8 +300,9 @@ def _gpad_kernel(
     )
     z_ref[:] = z
     y_ref[:] = y
-    w_ref[:] = w
-    zhat_ref[:] = zhat
+    if w_ref is not None:
+        w_ref[:] = w
+        zhat_ref[:] = zhat
 
 
 def _make_dual_body(theta_ref, beta_ref, idx, Dn, cp, cm, *, mm_dtype,
@@ -354,12 +367,12 @@ def _gpad_kernel_dual(
     y0p_ref,
     y0m_ref,
     Dn_ref,
-    # outputs
+    # outputs (wp/wm present only with diagnostics)
     s_ref,
     yp_ref,
     ym_ref,
-    wp_ref,
-    wm_ref,
+    wp_ref=None,
+    wm_ref=None,
     *,
     iterations: int,
     mm_dtype,
@@ -409,14 +422,16 @@ def _gpad_kernel_dual(
     s_ref[:] = s
     yp_ref[:] = yp
     ym_ref[:] = ym
-    wp_ref[:] = wp
-    wm_ref[:] = wm
+    if wp_ref is not None:
+        wp_ref[:] = wp
+        wm_ref[:] = wm
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iterations", "matmul_dtype", "precision", "interpret", "restart"
+        "iterations", "matmul_dtype", "precision", "interpret", "restart",
+        "diagnostics",
     ),
 )
 def gpad_pallas_fixed_dual(
@@ -430,10 +445,18 @@ def gpad_pallas_fixed_dual(
     precision: str = "highest",
     interpret: bool = False,
     restart: bool = False,
+    diagnostics: bool = True,
 ):
     """Dual-form fused kernel (scenario-minor layout — see
     ``_gpad_kernel_dual``). Returns (z, y, w, zhat) like the other entry
-    points; z/zhat are reconstructed with two post-loop matmuls."""
+    points; z/zhat are reconstructed with two post-loop matmuls.
+
+    ``diagnostics=False`` skips only the post-loop zhat/w recovery and
+    returns (z, y, None, None). Unlike the mvp-family kernels the wp/wm
+    OUTPUTS are kept: a 3-output variant never measured faster and once
+    measured a -14% Mosaic-schedule regression (the write traffic is
+    negligible next to the square matmul) — see docs/DESIGN.md section
+    8e for the measurement story."""
     B = g_P.shape[0]
     m_h, n_z = data.m_half, data.n_z
     S = _round_up(m_h, SUBLANE)  # dual rows on SUBLANES: 8-rounding, not 128
@@ -510,9 +533,11 @@ def gpad_pallas_fixed_dual(
         precision=prec, preferred_element_type=jnp.float32,
     )
     z = -mm(sT, data.MG_T) - a * g_P
+    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    if not diagnostics:
+        return z, y, None, None
     wd = (wp[:m_h, :B] - wm[:m_h, :B]).T
     zhat = -mm(wd, data.MG_T) - g_P
-    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
     w = jnp.stack([wp[:m_h, :B].T, wm[:m_h, :B].T], axis=1)
     return z, y, w, zhat
 
@@ -855,7 +880,7 @@ def _dual_tiled_call(
     jax.jit,
     static_argnames=(
         "iterations", "matmul_dtype", "precision", "interpret", "restart",
-        "row_tile",
+        "row_tile", "diagnostics",
     ),
 )
 def gpad_pallas_fixed_dual_tiled(
@@ -870,6 +895,7 @@ def gpad_pallas_fixed_dual_tiled(
     interpret: bool = False,
     restart: bool = False,
     row_tile: int | None = None,
+    diagnostics: bool = True,
 ):
     """Whole-solve entry for the HBM-streamed tiled dual kernel.
 
@@ -934,9 +960,14 @@ def gpad_pallas_fixed_dual_tiled(
         precision=prec, preferred_element_type=jnp.float32,
     )
     z = -mm(sT, data.MG_T) - a * g_P
+    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    if not diagnostics:
+        # the tiled kernel's HBM-resident state makes its wp/wm writes
+        # essentially free (the D stream dominates); only the post-loop
+        # zhat reconstruction matmul is skipped here
+        return z, y, None, None
     wd = (wp[:m_h, :B] - wm[:m_h, :B]).T
     zhat = -mm(wd, data.MG_T) - g_P
-    y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
     w = jnp.stack([wp[:m_h, :B].T, wm[:m_h, :B].T], axis=1)
     return z, y, w, zhat
 
@@ -1115,13 +1146,13 @@ def _gpad_kernel_paired(
     y0m_ref,
     MG_ref,
     GL_ref,
-    # outputs
+    # outputs (wp/wm/zhat present only with diagnostics)
     z_ref,
     yp_ref,
     ym_ref,
-    wp_ref,
-    wm_ref,
-    zhat_ref,
+    wp_ref=None,
+    wm_ref=None,
+    zhat_ref=None,
     *,
     iterations: int,
     mm_dtype,
@@ -1166,14 +1197,17 @@ def _gpad_kernel_paired(
     z_ref[:] = z
     yp_ref[:] = yp
     ym_ref[:] = ym
-    wp_ref[:] = wp
-    wm_ref[:] = wm
-    zhat_ref[:] = zhat
+    if wp_ref is not None:
+        wp_ref[:] = wp
+        wm_ref[:] = wm
+        zhat_ref[:] = zhat
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "matmul_dtype", "precision", "interpret"),
+    static_argnames=(
+        "iterations", "matmul_dtype", "precision", "interpret", "diagnostics"
+    ),
 )
 def gpad_pallas_fixed_paired(
     data: GPADData,
@@ -1185,15 +1219,20 @@ def gpad_pallas_fixed_paired(
     matmul_dtype: str = "float32",
     precision: str = "highest",
     interpret: bool = False,
+    diagnostics: bool = True,
 ):
     """Paired-layout fused kernel (scenario-minor). ``p_D`` has shape
-    (B, 2, m_h); returns (z, y, w, zhat) with y/w in (B, 2, m_h)."""
+    (B, 2, m_h); returns (z, y, w, zhat) with y/w in (B, 2, m_h).
+    ``diagnostics=False`` drops the wp/wm/zhat outputs and returns
+    (z, y, None, None)."""
     B = g_P.shape[0]
     m_h, n_z = data.m_half, data.n_z
     S_h = _round_up(m_h, SUBLANE)
     S_z = _round_up(n_z, SUBLANE)
     mats = 2 * 4 * S_h * S_z
     na, nz_coef = PAIRED_ARRAYS
+    if not diagnostics:
+        na, nz_coef = na - 4, nz_coef - 2
     B_t = pick_lane_tile(B, S_h, na, nz_coef * S_z, mats=mats)
     if B_t is None:
         raise ValueError(
@@ -1232,7 +1271,20 @@ def gpad_pallas_fixed_paired(
     lane_spec_h = pl.BlockSpec(
         (S_h, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
-    z, yp, ym, wp, wm, zhat = pl.pallas_call(
+    out_specs = [lane_spec_z, lane_spec_h, lane_spec_h]
+    out_shape = [
+        jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+        jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+        jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+    ]
+    if diagnostics:
+        out_specs += [lane_spec_h, lane_spec_h, lane_spec_z]
+        out_shape += [
+            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -1246,23 +1298,9 @@ def gpad_pallas_fixed_paired(
                 _const_spec(MGt),  # MG_T' (half stack)
                 _const_spec(GLt),  # GL_T'
             ],
-            out_specs=[
-                lane_spec_z,
-                lane_spec_h,
-                lane_spec_h,
-                lane_spec_h,
-                lane_spec_h,
-                lane_spec_z,
-            ],
+            out_specs=out_specs,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * S_h * S_z * 2 * iterations * B_p,
             bytes_accessed=mats + 4 * B_p * (4 * S_h + 2 * S_z),
@@ -1270,7 +1308,11 @@ def gpad_pallas_fixed_paired(
         ),
         interpret=interpret,
     )(theta, beta, gPT, pDpT, pDmT, y0pT, y0mT, MGt, GLt)
+    z, yp, ym = outs[:3]
     y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    if not diagnostics:
+        return z[:n_z, :B].T, y, None, None
+    wp, wm, zhat = outs[3:]
     w = jnp.stack([wp[:m_h, :B].T, wm[:m_h, :B].T], axis=1)
     return z[:n_z, :B].T, y, w, zhat[:n_z, :B].T
 
@@ -1278,7 +1320,7 @@ def gpad_pallas_fixed_paired(
 FLAT_PAIRED_ARRAYS = (26, 9)  # (dual-half space, primal space) coefficients
 
 
-def flat_fits_vmem(data: GPADData) -> bool:
+def flat_fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
     """Can the flat paired kernel (identity-block layout) fit a tile?"""
     if not (data.paired and data.n_struct is not None):
         return False
@@ -1287,6 +1329,8 @@ def flat_fits_vmem(data: GPADData) -> bool:
     S_z = _round_up(data.n_z, SUBLANE)
     S_hf = S_s + S_z
     na, nz_coef = FLAT_PAIRED_ARRAYS
+    if not diagnostics:
+        na, nz_coef = na - 4, nz_coef - 2
     mats = 4 * (S_z * S_hf + S_s * S_z)
     return pick_lane_tile(1, S_hf, na, nz_coef * S_z, mats=mats) is not None
 
@@ -1304,13 +1348,13 @@ def _gpad_kernel_paired_flat(
     MGf_ref,  # (S_z, S_hf) == [MG_s' | H^-1] (flat half stack)
     GLs_ref,  # (S_s, S_z) == GL_T' structured rows only
     invL_ref,  # (1, 1) SMEM: 1/L for the identity-block rows
-    # outputs
+    # outputs (wp/wm/zhat present only with diagnostics)
     z_ref,
     yp_ref,
     ym_ref,
-    wp_ref,
-    wm_ref,
-    zhat_ref,
+    wp_ref=None,
+    wm_ref=None,
+    zhat_ref=None,
     *,
     iterations: int,
     mm_dtype,
@@ -1358,14 +1402,17 @@ def _gpad_kernel_paired_flat(
     z_ref[:] = z
     yp_ref[:] = yp
     ym_ref[:] = ym
-    wp_ref[:] = wp
-    wm_ref[:] = wm
-    zhat_ref[:] = zhat
+    if wp_ref is not None:
+        wp_ref[:] = wp
+        wm_ref[:] = wm
+        zhat_ref[:] = zhat
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "matmul_dtype", "precision", "interpret"),
+    static_argnames=(
+        "iterations", "matmul_dtype", "precision", "interpret", "diagnostics"
+    ),
 )
 def gpad_pallas_fixed_paired_flat(
     data: GPADData,
@@ -1377,12 +1424,14 @@ def gpad_pallas_fixed_paired_flat(
     matmul_dtype: str = "float32",
     precision: str = "highest",
     interpret: bool = False,
+    diagnostics: bool = True,
 ):
     """Flat-layout paired kernel entry (requires ``data.n_struct``).
 
     Same contract as ``gpad_pallas_fixed_paired``; dual-sized rows are
     carried in the flat [struct | box] padded layout internally and mapped
-    back to the (B, 2, m_h) data order on exit."""
+    back to the (B, 2, m_h) data order on exit. ``diagnostics=False``
+    drops the wp/wm/zhat outputs and returns (z, y, None, None)."""
     if data.n_struct is None:
         raise ValueError("flat kernel needs data with a detected identity block")
     B = g_P.shape[0]
@@ -1392,6 +1441,8 @@ def gpad_pallas_fixed_paired_flat(
     S_hf = S_s + S_z
     mm_dtype = jnp.dtype(matmul_dtype)
     na, nz_coef = FLAT_PAIRED_ARRAYS
+    if not diagnostics:
+        na, nz_coef = na - 4, nz_coef - 2
     mats = 4 * (S_z * S_hf + S_s * S_z)
     B_t = pick_lane_tile(B, S_hf, na, nz_coef * S_z, mats=mats)
     if B_t is None:
@@ -1445,7 +1496,20 @@ def gpad_pallas_fixed_paired_flat(
     lane_spec_h = pl.BlockSpec(
         (S_hf, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
-    z, yp, ym, wp, wm, zhat = pl.pallas_call(
+    out_specs = [lane_spec_z, lane_spec_h, lane_spec_h]
+    out_shape = [
+        jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+        jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
+        jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
+    ]
+    if diagnostics:
+        out_specs += [lane_spec_h, lane_spec_h, lane_spec_z]
+        out_shape += [
+            jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -1463,23 +1527,9 @@ def gpad_pallas_fixed_paired_flat(
                     memory_space=pltpu.SMEM,
                 ),  # 1/L
             ],
-            out_specs=[
-                lane_spec_z,
-                lane_spec_h,
-                lane_spec_h,
-                lane_spec_h,
-                lane_spec_h,
-                lane_spec_z,
-            ],
+            out_specs=out_specs,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=(2 * S_z * S_hf + 2 * S_s * S_z) * iterations * B_p,
             bytes_accessed=mats + 4 * B_p * (4 * S_hf + 2 * S_z),
@@ -1487,6 +1537,7 @@ def gpad_pallas_fixed_paired_flat(
         ),
         interpret=interpret,
     )(theta, beta, gPT, pDpT, pDmT, y0pT, y0mT, MGf, GLs, invL)
+    z, yp, ym = outs[:3]
 
     def from_flat(xf):  # (S_hf, B_p) -> (B, m_h) in data row order
         return jnp.concatenate(
@@ -1494,13 +1545,18 @@ def gpad_pallas_fixed_paired_flat(
         ).T
 
     y = jnp.stack([from_flat(yp), from_flat(ym)], axis=1)
+    if not diagnostics:
+        return z[:n_z, :B].T, y, None, None
+    wp, wm, zhat = outs[3:]
     w = jnp.stack([from_flat(wp), from_flat(wm)], axis=1)
     return z[:n_z, :B].T, y, w, zhat[:n_z, :B].T
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "matmul_dtype", "precision", "interpret"),
+    static_argnames=(
+        "iterations", "matmul_dtype", "precision", "interpret", "diagnostics"
+    ),
 )
 def gpad_pallas_fixed(
     data: GPADData,
@@ -1512,11 +1568,14 @@ def gpad_pallas_fixed(
     matmul_dtype: str = "float32",
     precision: str = "highest",
     interpret: bool = False,
+    diagnostics: bool = True,
 ):
     """Run the fused fixed-budget GPAD kernel on a (B, n_z)/(B, m) batch.
 
     Scenario-minor layout (see ``_gpad_kernel``). Returns padded-stripped
-    final (z, y, w, zhat) in the batch-major external convention."""
+    final (z, y, w, zhat) in the batch-major external convention.
+    ``diagnostics=False`` drops the w/zhat outputs and returns
+    (z, y, None, None)."""
     B = g_P.shape[0]
     m, n_z = data.m, data.n_z
     S_m = _round_up(m, SUBLANE)
@@ -1525,6 +1584,8 @@ def gpad_pallas_fixed(
     # buffered in/out blocks) plus the two constant operands
     mats = 2 * 4 * S_m * S_z
     na, nz_coef = DENSE_ARRAYS
+    if not diagnostics:
+        na, nz_coef = na - 2, nz_coef - 2
     B_t = pick_lane_tile(B, S_m, na, nz_coef * S_z, mats=mats)
     if B_t is None:
         raise ValueError(
@@ -1568,8 +1629,19 @@ def gpad_pallas_fixed(
         (S_m, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
 
+    out_specs = [lane_spec_z, lane_spec_m]  # z, y
+    out_shape = [
+        jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+        jax.ShapeDtypeStruct((S_m, B_p), jnp.float32),
+    ]
+    if diagnostics:
+        out_specs += [lane_spec_m, lane_spec_z]  # w, zhat
+        out_shape += [
+            jax.ShapeDtypeStruct((S_m, B_p), jnp.float32),
+            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
+        ]
     flops_mm = 2 * S_m * S_z * 2 * iterations * B_p
-    z, y, w, zhat = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # theta, beta -> SMEM
@@ -1581,25 +1653,19 @@ def gpad_pallas_fixed(
                 _const_spec(MGt),  # MG_T' (constant index map: fetched once)
                 _const_spec(GLt),  # GL_T'
             ],
-            out_specs=[
-                lane_spec_z,  # z
-                lane_spec_m,  # y
-                lane_spec_m,  # w
-                lane_spec_z,  # zhat
-            ],
+            out_specs=out_specs,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_m, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_m, B_p), jnp.float32),
-            jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_mm, bytes_accessed=mats + 4 * B_p * (2 * S_m + 2 * S_z),
             transcendentals=0,
         ),
         interpret=interpret,
     )(theta, beta, gPT, pDT, y0T, MGt, GLt)
+    z, y = outs[:2]
+    if not diagnostics:
+        return z[:n_z, :B].T, y[:m, :B].T, None, None
+    w, zhat = outs[2:]
     return (
         z[:n_z, :B].T,
         y[:m, :B].T,
@@ -1656,19 +1722,22 @@ def solve_batch_pallas(
                 data, gP2, pD2, dataclasses.replace(config, engine="xla"), y0
             )
     else:
+        diag = config.diagnostics
         form = _core.resolve_form(data, config)
         if form == "dual":
             # the whole-VMEM kernel when the budget admits it; the
             # HBM-streamed tiled kernel for oversized duals (same contract)
             fixed = (
                 gpad_pallas_fixed_dual
-                if dual_fits_vmem(data)
+                if dual_fits_vmem(data, diagnostics=diag)
                 else gpad_pallas_fixed_dual_tiled
             )
         elif data.paired:
             # flat (identity-block) variant when detected + it fits:
             # 2*n_z^2 fewer flops/iter than the dense paired product
-            use_flat = _core.resolve_flat(data, config) and flat_fits_vmem(data)
+            use_flat = _core.resolve_flat(data, config) and flat_fits_vmem(
+                data, diagnostics=diag
+            )
             fixed = (
                 gpad_pallas_fixed_paired_flat
                 if use_flat
@@ -1699,16 +1768,24 @@ def solve_batch_pallas(
             matmul_dtype=config.matmul_dtype,
             precision=config.precision,
             interpret=interpret,
+            diagnostics=diag,
             **kw,
         )
-        mm = _core._make_matmul(config)
-        viol_z, _, gap = _core._residuals(data, gP2, pD2, z, zhat, w, mm)
+        if diag:
+            mm = _core._make_matmul(config)
+            viol_z, _, gap = _core._residuals(data, gP2, pD2, z, zhat, w, mm)
+            residual = jnp.maximum(viol_z, 0.0)
+        else:
+            # residual-free serving mode: the diagnostic outputs were never
+            # materialized (see SolverConfig.diagnostics)
+            residual = jnp.full((Bflat,), jnp.nan, dtype=jnp.float32)
+            gap = residual
         res = SolveResult(
             u=z[:, : data.n_u],
             z=z,
             y=y,
             iterations=jnp.full((Bflat,), config.iterations, dtype=jnp.int32),
-            residual=jnp.maximum(viol_z, 0.0),
+            residual=residual,
             gap=gap,
             converged=jnp.ones((Bflat,), dtype=bool),
         )
