@@ -25,6 +25,7 @@ from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
 from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear
+from tpu_gpad.robust import scenario_plan, scenario_problem_variants, scenario_qp
 from tpu_gpad.estimator import (
     ExtendedKalmanFilter,
     KalmanFilter,
@@ -53,6 +54,9 @@ __all__ = [
     "NMPC",
     "rk4",
     "simulate_nonlinear",
+    "scenario_qp",
+    "scenario_plan",
+    "scenario_problem_variants",
     "polish",
     "polish_batch",
     "ExtendedKalmanFilter",

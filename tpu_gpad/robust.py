@@ -1,0 +1,182 @@
+"""Multi-scenario (robust) MPC: one QP over several model realizations.
+
+Classic scenario-based robust MPC (Bemporad & Morari's multi-model
+formulation): given S realizations of the plant (parametric uncertainty,
+packaged as S ``LinearMPCProblem``/``CondensedQP`` instances over the same
+input/parameter spaces), optimize ONE first move shared by every scenario
+while each scenario carries its own tail plan:
+
+    z~ = [u_0; v^1; ...; v^S],   v^s = [u_1^s; ...; u_{N-1}^s]
+
+    minimize    sum_s w_s * (0.5 z_s' H^s z_s + (F^s' p + g^s)' z_s)
+    subject to  G^s z_s <= b0^s + E^s p      for every s
+    where       z_s = T_s z~  (selector: shared u_0 block + scenario tail)
+
+The combined problem is again a dense strictly-convex ``CondensedQP`` —
+dualize/solve_batch/Controller and every engine (XLA, the fused Pallas
+kernels, eps mode, restart, sharding) work on it unchanged, and
+``SolveResult.u`` is exactly the shared first move. The reference has no
+robust layer (single battery model, ``gpad.m:34-49``); this composes its
+condensed-QP machinery the TPU-batched way.
+
+No new solver math is introduced: everything here is offline numpy
+assembly, mirroring how ``condense`` itself is offline (``gpad.m:50-77``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tpu_gpad.types import CondensedQP, LinearMPCProblem
+
+
+def _selector(n_shared: int, tail: int, s: int, S: int) -> np.ndarray:
+    """T_s mapping the stacked decision z~ onto scenario s's plan z_s.
+
+    z~ = [shared (n_shared) | tail^1 | ... | tail^S]; z_s = T_s z~ picks
+    the shared block plus tail^s."""
+    n_tilde = n_shared + S * tail
+    T = np.zeros((n_shared + tail, n_tilde))
+    T[:n_shared, :n_shared] = np.eye(n_shared)
+    off = n_shared + s * tail
+    T[n_shared:, off : off + tail] = np.eye(tail)
+    return T
+
+
+def scenario_qp(
+    qps: Sequence[CondensedQP],
+    weights: Optional[Sequence[float]] = None,
+    n_shared: Optional[int] = None,
+    dedupe: bool = True,
+) -> CondensedQP:
+    """Combine S per-scenario condensed QPs into one robust QP.
+
+    ``n_shared`` is the number of leading decision variables forced equal
+    across scenarios (default: ``n_u`` — the applied move, the standard
+    non-anticipativity constraint of closed-loop scenario MPC). ``weights``
+    are the scenario probabilities/costs (default uniform, normalized).
+    ``dedupe`` drops exactly-duplicated constraint rows — the shared-move
+    box rows repeat identically in every scenario and would otherwise
+    inflate the dual dimension S-fold for those rows.
+
+    All scenarios must agree on (n_u, n_x-parameter, horizon, n_z). The
+    result's ``horizon`` is the stacked plan length ``n_z~ / n_u``
+    (= 1 + S*(N-1) first-move-sharing scenarios of horizon N); ``u* =
+    z~[:n_u]`` remains the applied move, so Controller/solve contracts
+    hold unchanged.
+    """
+    if len(qps) == 0:
+        raise ValueError("need at least one scenario QP")
+    q0 = qps[0]
+    for q in qps[1:]:
+        if (q.n_u, q.n_x, q.horizon, q.n_z) != (
+            q0.n_u, q0.n_x, q0.horizon, q0.n_z,
+        ):
+            raise ValueError(
+                "scenario QPs must share (n_u, n_x, horizon, n_z); got "
+                f"{(q.n_u, q.n_x, q.horizon, q.n_z)} vs "
+                f"{(q0.n_u, q0.n_x, q0.horizon, q0.n_z)}"
+            )
+    S = len(qps)
+    if weights is None:
+        w = np.full(S, 1.0 / S)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (S,) or (w <= 0).any():
+            raise ValueError("weights must be S positive floats")
+        w = w / w.sum()
+    if n_shared is None:
+        n_shared = q0.n_u
+    if not 0 < n_shared <= q0.n_z:
+        raise ValueError(f"n_shared must be in (0, {q0.n_z}]")
+    tail = q0.n_z - n_shared
+    n_tilde = n_shared + S * tail
+
+    H = np.zeros((n_tilde, n_tilde))
+    F = np.zeros((q0.F.shape[0], n_tilde))
+    g = np.zeros(n_tilde)
+    G_rows, b_rows, E_rows = [], [], []
+    for s, q in enumerate(qps):
+        T = _selector(n_shared, tail, s, S)
+        H += w[s] * (T.T @ q.H @ T)
+        F += w[s] * (q.F @ T)
+        g += w[s] * (T.T @ q.g)
+        G_rows.append(q.G @ T)
+        b_rows.append(np.asarray(q.b0, dtype=np.float64))
+        E_rows.append(np.asarray(q.E, dtype=np.float64))
+    G = np.concatenate(G_rows, axis=0)
+    b0 = np.concatenate(b_rows, axis=0)
+    E = np.concatenate(E_rows, axis=0)
+
+    if dedupe:
+        # drop rows identical in (G, b0, E) — e.g. the shared-move input
+        # boxes, which every scenario contributes verbatim
+        stacked = np.concatenate([G, b0[:, None], E], axis=1)
+        _, keep = np.unique(stacked, axis=0, return_index=True)
+        keep = np.sort(keep)
+        G, b0, E = G[keep], b0[keep], E[keep]
+
+    if n_tilde % q0.n_u == 0:
+        horizon = n_tilde // q0.n_u
+    else:  # n_shared not a multiple of n_u: no consistent stage count
+        horizon = q0.horizon
+    return CondensedQP(
+        H=H,
+        F=F,
+        g=g,
+        G=G,
+        b0=b0,
+        E=E,
+        n_u=q0.n_u,
+        n_x=q0.n_x,
+        horizon=horizon,
+        name=f"scenario[{S}x{q0.name}]",
+    )
+
+
+def scenario_plan(z, s: int, n_u: int, horizon: int, n_scenarios: int,
+                  n_shared: Optional[int] = None):
+    """Extract scenario ``s``'s full plan (horizon, n_u) from the stacked
+    primal ``z`` of a ``scenario_qp`` solve (leading batch dims pass
+    through). ``horizon``/``n_shared`` refer to the ORIGINAL per-scenario
+    QP (defaults: ``n_shared = n_u``)."""
+    import numpy as _np
+
+    if n_shared is None:
+        n_shared = n_u
+    tail = n_u * horizon - n_shared
+    off = n_shared + s * tail
+    shared = z[..., :n_shared]
+    tail_s = z[..., off : off + tail]
+    flat = _np.concatenate(
+        [_np.asarray(shared), _np.asarray(tail_s)], axis=-1
+    )
+    return flat.reshape(flat.shape[:-1] + (horizon, n_u))
+
+
+def scenario_problem_variants(
+    problem: LinearMPCProblem,
+    A_list: Optional[Sequence[np.ndarray]] = None,
+    B_list: Optional[Sequence[np.ndarray]] = None,
+) -> list[LinearMPCProblem]:
+    """Convenience: clone ``problem`` with per-scenario (A, B) realizations
+    (e.g. vertices of an uncertain parameter box). Lengths must match; pass
+    None for either to keep the nominal matrices everywhere."""
+    import dataclasses
+
+    if A_list is None and B_list is None:
+        raise ValueError("pass at least one of A_list/B_list")
+    S = len(A_list if A_list is not None else B_list)
+    if A_list is not None and B_list is not None and len(A_list) != len(B_list):
+        raise ValueError("A_list and B_list must have equal length")
+    out = []
+    for s in range(S):
+        kw = {}
+        if A_list is not None:
+            kw["A"] = np.asarray(A_list[s], dtype=np.float64)
+        if B_list is not None:
+            kw["B"] = np.asarray(B_list[s], dtype=np.float64)
+        out.append(dataclasses.replace(problem, name=f"{problem.name}_s{s}", **kw))
+    return out
