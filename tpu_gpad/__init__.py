@@ -25,7 +25,13 @@ from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
 from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear
-from tpu_gpad.robust import scenario_plan, scenario_problem_variants, scenario_qp
+from tpu_gpad.robust import (
+    lqr_gain,
+    scenario_plan,
+    scenario_problem_variants,
+    scenario_qp,
+    tube_tightened_problem,
+)
 from tpu_gpad.estimator import (
     ExtendedKalmanFilter,
     KalmanFilter,
@@ -57,6 +63,8 @@ __all__ = [
     "scenario_qp",
     "scenario_plan",
     "scenario_problem_variants",
+    "tube_tightened_problem",
+    "lqr_gain",
     "polish",
     "polish_batch",
     "ExtendedKalmanFilter",

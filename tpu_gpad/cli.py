@@ -310,9 +310,9 @@ def cmd_info(args) -> int:
     if args.bound:
         from tpu_gpad.bounds import certify
 
-        box = (problem.x_min if problem.x_min is not None
+        box = (np.atleast_2d(problem.x_min)[0] if problem.x_min is not None
                else np.full(problem.n_x, -0.4))
-        box_hi = (problem.x_max if problem.x_max is not None
+        box_hi = (np.atleast_2d(problem.x_max)[0] if problem.x_max is not None
                   else np.full(problem.n_x, 0.4))
         kw = (dict(n_samples=50, seed=args.seed)
               if args.bound_method == "sampled" else {})

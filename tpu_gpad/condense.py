@@ -130,6 +130,21 @@ def _stage_blockdiag(W: np.ndarray, N: int, n: int, name: str) -> np.ndarray:
     return out
 
 
+def _stage_bounds(v, N: int, n: int, name: str) -> np.ndarray:
+    """Stacked box RHS: a constant (n,) bound tiles over the horizon; a
+    per-stage (N, n) bound (e.g. tube-MPC constraint tightening,
+    ``tpu_gpad.robust.tube_tightened_problem``) ravels in stage order.
+    State boxes index stages 1..N, input boxes stages 0..N-1."""
+    arr = np.asarray(v, dtype=np.float64)
+    if arr.ndim == 1:
+        if arr.shape != (n,):
+            raise ValueError(f"{name} must be ({n},) or ({N}, {n}); got {arr.shape}")
+        return np.tile(arr, N)
+    if arr.shape != (N, n):
+        raise ValueError(f"{name} must be ({n},) or ({N}, {n}); got {arr.shape}")
+    return arr.ravel()
+
+
 def condense(
     problem: LinearMPCProblem,
     soft_state: float | None = None,
@@ -308,20 +323,20 @@ def condense(
         )
 
     if problem.x_max is not None:
-        xmax = np.tile(np.asarray(problem.x_max, dtype=np.float64), N)
+        xmax = _stage_bounds(problem.x_max, N, n_x, "x_max")
         if s_off is not None:
             xmax = xmax - s_off
         add(S, xmax, -T, None if S_c is None else -S_c)  # S z <= xmax - T x0 - S_c c
     if problem.x_min is not None:
-        xmin = np.tile(np.asarray(problem.x_min, dtype=np.float64), N)
+        xmin = _stage_bounds(problem.x_min, N, n_x, "x_min")
         if s_off is not None:
             xmin = xmin - s_off
         add(-S, -xmin, T, None if S_c is None else S_c)  # -S z <= -xmin + T x0 + S_c c
     I_z = np.eye(n_z)
     if problem.u_max is not None:
-        add(I_z, np.tile(np.asarray(problem.u_max, dtype=np.float64), N), np.zeros((n_z, n_x)))
+        add(I_z, _stage_bounds(problem.u_max, N, n_u, "u_max"), np.zeros((n_z, n_x)))
     if problem.u_min is not None:
-        add(-I_z, -np.tile(np.asarray(problem.u_min, dtype=np.float64), N), np.zeros((n_z, n_x)))
+        add(-I_z, -_stage_bounds(problem.u_min, N, n_u, "u_min"), np.zeros((n_z, n_x)))
     if problem.K_u is not None:
         K_u = np.asarray(problem.K_u, dtype=np.float64)
         Kbar = np.kron(np.eye(N), K_u)  # (n_c*N, n_z)

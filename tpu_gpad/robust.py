@@ -156,6 +156,102 @@ def scenario_plan(z, s: int, n_u: int, horizon: int, n_scenarios: int,
     return flat.reshape(flat.shape[:-1] + (horizon, n_u))
 
 
+def lqr_gain(problem: LinearMPCProblem) -> np.ndarray:
+    """The infinite-horizon LQR feedback K (u = K x) for (A, B, Q, R) —
+    the standard tube-MPC ancillary controller. Sign convention: K
+    already INCLUDES the minus, i.e. ``A + B K`` is the closed loop."""
+    from scipy.linalg import solve_discrete_are
+
+    if problem.is_ltv or np.ndim(problem.Q) == 3 or np.ndim(problem.R) == 3:
+        raise ValueError("lqr_gain needs time-invariant dynamics and costs")
+    A = np.asarray(problem.A, dtype=np.float64)
+    B = np.asarray(problem.B, dtype=np.float64)
+    Q = np.asarray(problem.Q, dtype=np.float64)
+    R = np.asarray(problem.R, dtype=np.float64)
+    P = solve_discrete_are(A, B, Q, R)
+    return -np.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
+
+
+def tube_tightened_problem(
+    problem: LinearMPCProblem,
+    w_max: np.ndarray,
+    K: Optional[np.ndarray] = None,
+) -> LinearMPCProblem:
+    """Constraint-tightened nominal problem for tube MPC under additive
+    box disturbances ``|w_k| <= w_max`` (componentwise).
+
+    Classic Chisci-Rossiter-Zappa tightening: with the ancillary feedback
+    ``u = u_nom + K (x - x_nom)`` (pass ``K=lqr_gain(problem)``; ``K=None``
+    means no feedback — an open-loop tube, sensible only for stable A),
+    the tracking error obeys ``e_{k+1} = (A + B K) e_k + w_k`` from
+    ``e_0 = 0``, so componentwise ``|e_k| <= m_k = sum_{j<k} |A_K^j| w_max``.
+    Planning the NOMINAL trajectory against boxes tightened by ``m_k``
+    (states, stages 1..N) and ``|K| m_k`` (inputs, stages 0..N-1)
+    guarantees the TRUE trajectory under any admissible disturbance
+    satisfies the original constraints. Returns a new problem with
+    per-stage bounds (condense handles (N, n)-shaped boxes); raises if
+    the tube outgrows a box within the horizon (the problem would be
+    infeasible for every x0).
+
+    The closed-loop law to APPLY is ``u = u_mpc + K (x_measured -
+    x_nominal)``; re-planning from the measured state each sample (as
+    ``Controller`` does) is simpler and inherits the same guarantee
+    one step ahead. Robustness beyond the reference's nominal-only
+    formulation; complements ``scenario_qp`` (parametric uncertainty)
+    with additive-disturbance uncertainty."""
+    if problem.is_ltv:
+        raise ValueError("tube tightening needs time-invariant dynamics")
+    N = problem.horizon
+    n_x, n_u = problem.n_x, problem.n_u
+    w = np.asarray(w_max, dtype=np.float64)
+    if w.shape != (n_x,) or (w < 0).any():
+        raise ValueError(f"w_max must be ({n_x},) nonnegative; got {w.shape}")
+    A = np.asarray(problem.A, dtype=np.float64)
+    if K is None:
+        K_arr = np.zeros((n_u, n_x))
+    else:
+        K_arr = np.asarray(K, dtype=np.float64)
+        if K_arr.shape != (n_u, n_x):
+            raise ValueError(f"K must be ({n_u}, {n_x}); got {K_arr.shape}")
+    A_K = A + np.asarray(problem.B, dtype=np.float64) @ K_arr
+
+    # m_k = sum_{j<k} |A_K^j| w componentwise, k = 1..N
+    m = np.zeros((N + 1, n_x))
+    P_j = np.eye(n_x)
+    for k in range(1, N + 1):
+        m[k] = m[k - 1] + np.abs(P_j) @ w
+        P_j = A_K @ P_j
+    abs_K = np.abs(K_arr)
+
+    def tighten(bound, margin_rows, lower: bool):
+        if bound is None:
+            return None
+        b = np.asarray(bound, dtype=np.float64)
+        if b.ndim == 1:
+            b = np.tile(b, (N, 1))
+        return b + margin_rows if lower else b - margin_rows
+
+    x_margin = m[1 : N + 1]  # state boxes cover stages 1..N
+    u_margin = (abs_K @ m[0:N].T).T  # input boxes cover stages 0..N-1
+    x_max = tighten(problem.x_max, x_margin, lower=False)
+    x_min = tighten(problem.x_min, x_margin, lower=True)
+    u_max = tighten(problem.u_max, u_margin, lower=False)
+    u_min = tighten(problem.u_min, u_margin, lower=True)
+    for lo, hi, what in ((x_min, x_max, "state"), (u_min, u_max, "input")):
+        if lo is not None and hi is not None and (lo > hi).any():
+            k_bad = int(np.argmax((lo > hi).any(axis=1)))
+            raise ValueError(
+                f"tube outgrows the {what} box at stage {k_bad + 1}: "
+                "shorten the horizon, shrink w_max, or stabilize with K"
+            )
+    import dataclasses
+
+    return dataclasses.replace(
+        problem, x_min=x_min, x_max=x_max, u_min=u_min, u_max=u_max,
+        name=f"{problem.name}_tube",
+    )
+
+
 def scenario_problem_variants(
     problem: LinearMPCProblem,
     A_list: Optional[Sequence[np.ndarray]] = None,

@@ -47,14 +47,15 @@ class LinearMPCProblem:
     Q: np.ndarray  # (n_x, n_x) stage state cost, or (N, n_x, n_x) per stage
     R: np.ndarray  # (n_u, n_u) stage input cost, or (N, n_u, n_u) per stage
     horizon: int  # N, number of prediction steps
-    x_min: Optional[np.ndarray] = None  # (n_x,) or None for unconstrained
+    x_min: Optional[np.ndarray] = None  # (n_x,), or (N, n_x) per-stage
+    # bounds (stages 1..N; e.g. tube-MPC constraint tightening), or None
     x_max: Optional[np.ndarray] = None
     Q_terminal: Optional[np.ndarray] = None  # (n_x, n_x) terminal state
     # weight replacing Q at stage N (e.g. the DARE solution via
     # condense.dare_terminal_weight for LQR-consistent closed loops);
     # None means the stage cost Q is used at every stage (the reference's
     # formulation, gpad.m:76)
-    u_min: Optional[np.ndarray] = None  # (n_u,)
+    u_min: Optional[np.ndarray] = None  # (n_u,) or (N, n_u) per stage (0..N-1)
     u_max: Optional[np.ndarray] = None
     K_u: Optional[np.ndarray] = None  # (n_c, n_u) per-stage coupling, K_u u_k = 0
     du_min: Optional[np.ndarray] = None  # (n_u,) input rate (slew) limits:
