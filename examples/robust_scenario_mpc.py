@@ -77,6 +77,31 @@ def main():
     verdict = "BUSTED the wall" if peak_nom > wall + 1e-2 else "cut it closer"
     print(f"robust braked in time for the weakest actuator; nominal {verdict}")
 
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 4))
+        ax.plot(traj_rob, label="scenario MPC (robust)", lw=2)
+        ax.plot(traj_nom, label="nominal MPC", lw=2, ls="--")
+        ax.axhline(wall, c="crimson", ls=":", label=f"wall ({wall})")
+        ax.axhline(target, c="gray", ls=":", label=f"target ({target})")
+        ax.set_xlabel("closed-loop sample")
+        ax.set_ylabel("position")
+        ax.set_title(
+            "Uncertain actuator (gain 0.6-1.4x): shared-first-move scenario "
+            "MPC vs nominal"
+        )
+        ax.legend(loc="lower right")
+        out = Path(__file__).resolve().parent.parent / "docs" / "figures"
+        out.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out / "robust_scenario.png", dpi=110, bbox_inches="tight")
+        print(f"figure: {out / 'robust_scenario.png'}")
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main()

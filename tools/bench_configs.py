@@ -126,6 +126,20 @@ def main():
           f"{out['reference_shape_30x30_high']['solves_per_sec']:.0f} /s",
           flush=True)
 
+    # robust scenario MPC (tpu_gpad.robust): S=4 actuator-gain realizations
+    # sharing one first move — a bigger-n_z workload class with a deduped
+    # stacked constraint set (bench_one only reads .n_x off the "problem")
+    nom = problems.double_integrator(horizon=12)
+    variants = tpu_gpad.scenario_problem_variants(
+        nom, B_list=[nom.B * s for s in (0.6, 0.85, 1.15, 1.4)])
+    qp_rob = tpu_gpad.scenario_qp([tpu_gpad.condense(p) for p in variants])
+    data_rob = tpu_gpad.dualize(qp_rob, iterations=100, paired="auto")
+    out["scenario_robust_S4_N12"] = bench_one(
+        qp_rob, batch=1024, x_scale=5.0, data=data_rob)
+    print(f"scenario robust S4 N12: "
+          f"{out['scenario_robust_S4_N12']['solves_per_sec']:.0f} /s",
+          flush=True)
+
     # eps-mode iteration counts at the reference shape, +- adaptive restart
     # (reuse the condensed QP and Lipschitz constant computed for data_ref —
     # the spectral bound on the 3660-row dual Hessian costs minutes)
