@@ -92,9 +92,26 @@ def test_tube_outgrowing_box_raises():
         tube_tightened_problem(prob, np.array([0.5, 0.5]))
 
 
+def test_tube_feedback_refuses_rate_limited_problems():
+    """K e_k perturbs the applied input, which the tightening does not
+    propagate into du/K_u rows — raising beats a vacuous guarantee."""
+    import dataclasses
+
+    prob = dataclasses.replace(
+        problems.double_integrator(horizon=6),
+        du_min=np.array([-0.5]), du_max=np.array([0.5]),
+    )
+    K = lqr_gain(prob)
+    with pytest.raises(ValueError, match="du_min/du_max/K_u"):
+        tube_tightened_problem(prob, np.array([0.01, 0.01]), K=K)
+    # open-loop tube (nominal input applied verbatim) stays allowed
+    tight = tube_tightened_problem(prob, np.array([0.01, 0.01]))
+    assert tight.du_max is not None
+
+
 def test_tube_closed_loop_never_violates_original_box():
-    """Worst-ish-case disturbances in the box: the tube controller keeps
-    the TRUE state inside the ORIGINAL constraints; nominal MPC violates."""
+    """Vertex disturbances in the box: the tube controller keeps the TRUE
+    state inside the ORIGINAL constraints at every sample."""
     rng = np.random.default_rng(0)
     prob = problems.double_integrator(horizon=10, x_limit=5.0, u_limit=1.0,
                                       qu_weight=0.05)
@@ -102,8 +119,6 @@ def test_tube_closed_loop_never_violates_original_box():
     K = lqr_gain(prob)
     tight = tube_tightened_problem(prob, w_max, K=K)
     data_t = tpu_gpad.dualize(tpu_gpad.condense(tight), iterations=2000,
-                              paired="auto")
-    data_n = tpu_gpad.dualize(tpu_gpad.condense(prob), iterations=2000,
                               paired="auto")
 
     def run(data):

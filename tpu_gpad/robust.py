@@ -142,16 +142,13 @@ def scenario_plan(z, s: int, n_u: int, horizon: int, n_scenarios: int,
     primal ``z`` of a ``scenario_qp`` solve (leading batch dims pass
     through). ``horizon``/``n_shared`` refer to the ORIGINAL per-scenario
     QP (defaults: ``n_shared = n_u``)."""
-    import numpy as _np
-
     if n_shared is None:
         n_shared = n_u
     tail = n_u * horizon - n_shared
     off = n_shared + s * tail
-    shared = z[..., :n_shared]
-    tail_s = z[..., off : off + tail]
-    flat = _np.concatenate(
-        [_np.asarray(shared), _np.asarray(tail_s)], axis=-1
+    flat = np.concatenate(
+        [np.asarray(z[..., :n_shared]), np.asarray(z[..., off : off + tail])],
+        axis=-1,
     )
     return flat.reshape(flat.shape[:-1] + (horizon, n_u))
 
@@ -198,9 +195,27 @@ def tube_tightened_problem(
     ``Controller`` does) is simpler and inherits the same guarantee
     one step ahead. Robustness beyond the reference's nominal-only
     formulation; complements ``scenario_qp`` (parametric uncertainty)
-    with additive-disturbance uncertainty."""
+    with additive-disturbance uncertainty.
+
+    With a nonzero ``K`` the applied input differs from the nominal plan
+    by ``K e_k``, which would also perturb rate (du) and coupling (K_u)
+    constraints — those rows are NOT tightened here, so the function
+    raises rather than hand back a vacuous guarantee. ``K=None`` applies
+    the nominal input verbatim, so du/K_u constraints hold exactly and
+    remain allowed."""
     if problem.is_ltv:
         raise ValueError("tube tightening needs time-invariant dynamics")
+    if K is not None and (
+        problem.du_min is not None
+        or problem.du_max is not None
+        or problem.K_u is not None
+    ):
+        raise ValueError(
+            "tube feedback K perturbs the applied input by K e_k, which "
+            "this tightening does not propagate into du_min/du_max/K_u "
+            "rows — use K=None (open-loop tube) for rate-limited or "
+            "input-coupled problems"
+        )
     N = problem.horizon
     n_x, n_u = problem.n_x, problem.n_u
     w = np.asarray(w_max, dtype=np.float64)
@@ -237,11 +252,14 @@ def tube_tightened_problem(
     x_min = tighten(problem.x_min, x_margin, lower=True)
     u_max = tighten(problem.u_max, u_margin, lower=False)
     u_min = tighten(problem.u_min, u_margin, lower=True)
-    for lo, hi, what in ((x_min, x_max, "state"), (u_min, u_max, "input")):
+    # state boxes cover stages 1..N, input boxes stages 0..N-1
+    for lo, hi, what, k0 in (
+        (x_min, x_max, "state", 1), (u_min, u_max, "input", 0)
+    ):
         if lo is not None and hi is not None and (lo > hi).any():
             k_bad = int(np.argmax((lo > hi).any(axis=1)))
             raise ValueError(
-                f"tube outgrows the {what} box at stage {k_bad + 1}: "
+                f"tube outgrows the {what} box at stage {k_bad + k0}: "
                 "shorten the horizon, shrink w_max, or stabilize with K"
             )
     import dataclasses

@@ -383,18 +383,14 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if resolve_form(data, config) == "dual":
         # whole-VMEM kernel, or the HBM-streamed tiled kernel for duals
         # whose Hessian/state exceed VMEM (the reference's 30x30 flagship)
-        if not (
-            kernels.dual_fits_vmem(data, diagnostics=config.diagnostics)
-            or kernels.dual_tiled_fits(data)
-        ):
+        if not (kernels.dual_fits_vmem(data) or kernels.dual_tiled_fits(data)):
             return "xla"
     elif not (
-        kernels.fits_vmem(data, diagnostics=config.diagnostics)
-        or (
-            resolve_flat(data, config)
-            and kernels.flat_fits_vmem(data, diagnostics=config.diagnostics)
-        )
+        kernels.fits_vmem(data)
+        or (resolve_flat(data, config) and kernels.flat_fits_vmem(data))
     ):
+        # NOTE: intentionally independent of config.diagnostics — routing
+        # flips would break the bit-identical u/z/y contract of the flag
         return "xla"
     return "pallas"
 
@@ -428,9 +424,7 @@ def resolve_form(data: GPADData, config: SolverConfig) -> str:
         if flat_avail:
             from tpu_gpad.solver import kernels
 
-            if config.engine != "pallas" or kernels.flat_fits_vmem(
-                data, diagnostics=config.diagnostics
-            ):
+            if config.engine != "pallas" or kernels.flat_fits_vmem(data):
                 return "mvp"
         return "dual" if dual_ok else "mvp"
     if config.form == "dual":

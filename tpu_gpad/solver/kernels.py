@@ -95,6 +95,13 @@ DUAL_FIXED_ARRAYS = 26
 DUAL_CHUNK_ARRAYS = 36  # 7 lane-in + 7 lane-out + mom blocks, 8 carries
 PAIRED_ARRAYS = (24, 8)  # (dual-half space, primal space); +4: two double-buffered y0 blocks
 DENSE_ARRAYS = (15, 9)  # +2: the y0 input block is double-buffered
+# diagnostics=False variants: the dropped wp/wm (dual-space) and zhat
+# (primal-space) outputs each free TWO arrays (Mosaic double-buffers every
+# out block). Used by the kernels' OWN tile searches only — the engine-auto
+# guards stay on the full-output coefficients so routing (and therefore the
+# result bits) never depends on the diagnostics flag.
+PAIRED_ARRAYS_NODIAG = (PAIRED_ARRAYS[0] - 4, PAIRED_ARRAYS[1] - 2)
+DENSE_ARRAYS_NODIAG = (DENSE_ARRAYS[0] - 2, DENSE_ARRAYS[1] - 2)
 
 # The HBM-streamed tiled dual kernel keeps ONLY these manually-managed
 # scratch arrays in VMEM (state in/outs are pltpu.ANY refs DMA'd at the
@@ -224,20 +231,22 @@ def fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
     """Can the smallest (128-lane) tile of the dense/paired mvp kernel fit?
 
     Uses the SAME coefficients as the kernels' own tile searches so the
-    engine-auto guard and the kernels cannot drift apart."""
+    engine-auto guard and the kernels cannot drift apart. ``diagnostics``
+    is accepted but IGNORED: routing must not depend on the flag, or
+    flipping it at a VMEM-marginal shape would switch engines and break
+    the documented bit-identical u/z/y contract. (The kernels' own
+    searches may still use the smaller *_NODIAG coefficients — that only
+    ever admits MORE than this guard, never less.)"""
+    del diagnostics
     S_z = _round_up(data.n_z, SUBLANE)
     if data.paired:
         S_h = _round_up(data.m_half, SUBLANE)
         na, nz_coef = PAIRED_ARRAYS
-        if not diagnostics:
-            na, nz_coef = na - 4, nz_coef - 2
         return pick_lane_tile(
             1, S_h, na, nz_coef * S_z, mats=2 * 4 * S_h * S_z
         ) is not None
     S_m = _round_up(data.m, SUBLANE)
     na, nz_coef = DENSE_ARRAYS
-    if not diagnostics:
-        na, nz_coef = na - 2, nz_coef - 2
     return pick_lane_tile(
         1, S_m, na, nz_coef * S_z, mats=2 * 4 * S_m * S_z
     ) is not None
@@ -1230,9 +1239,7 @@ def gpad_pallas_fixed_paired(
     S_h = _round_up(m_h, SUBLANE)
     S_z = _round_up(n_z, SUBLANE)
     mats = 2 * 4 * S_h * S_z
-    na, nz_coef = PAIRED_ARRAYS
-    if not diagnostics:
-        na, nz_coef = na - 4, nz_coef - 2
+    na, nz_coef = PAIRED_ARRAYS if diagnostics else PAIRED_ARRAYS_NODIAG
     B_t = pick_lane_tile(B, S_h, na, nz_coef * S_z, mats=mats)
     if B_t is None:
         raise ValueError(
@@ -1318,10 +1325,17 @@ def gpad_pallas_fixed_paired(
 
 
 FLAT_PAIRED_ARRAYS = (26, 9)  # (dual-half space, primal space) coefficients
+# diagnostics=False: wp/wm (-4, double-buffered) and zhat (-2) dropped;
+# kernel tile search only (see the *_NODIAG note above PAIRED_ARRAYS_NODIAG)
+FLAT_PAIRED_ARRAYS_NODIAG = (FLAT_PAIRED_ARRAYS[0] - 4, FLAT_PAIRED_ARRAYS[1] - 2)
 
 
 def flat_fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
-    """Can the flat paired kernel (identity-block layout) fit a tile?"""
+    """Can the flat paired kernel (identity-block layout) fit a tile?
+
+    ``diagnostics`` accepted but ignored — same routing-stability
+    rationale as ``fits_vmem``."""
+    del diagnostics
     if not (data.paired and data.n_struct is not None):
         return False
     n_s = data.n_struct
@@ -1329,8 +1343,6 @@ def flat_fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
     S_z = _round_up(data.n_z, SUBLANE)
     S_hf = S_s + S_z
     na, nz_coef = FLAT_PAIRED_ARRAYS
-    if not diagnostics:
-        na, nz_coef = na - 4, nz_coef - 2
     mats = 4 * (S_z * S_hf + S_s * S_z)
     return pick_lane_tile(1, S_hf, na, nz_coef * S_z, mats=mats) is not None
 
@@ -1440,9 +1452,9 @@ def gpad_pallas_fixed_paired_flat(
     S_z = _round_up(n_z, SUBLANE)
     S_hf = S_s + S_z
     mm_dtype = jnp.dtype(matmul_dtype)
-    na, nz_coef = FLAT_PAIRED_ARRAYS
-    if not diagnostics:
-        na, nz_coef = na - 4, nz_coef - 2
+    na, nz_coef = (
+        FLAT_PAIRED_ARRAYS if diagnostics else FLAT_PAIRED_ARRAYS_NODIAG
+    )
     mats = 4 * (S_z * S_hf + S_s * S_z)
     B_t = pick_lane_tile(B, S_hf, na, nz_coef * S_z, mats=mats)
     if B_t is None:
@@ -1583,9 +1595,7 @@ def gpad_pallas_fixed(
     # VMEM holds ~13 (S_m, B_t) + ~9 (S_z, B_t) arrays (carries + double-
     # buffered in/out blocks) plus the two constant operands
     mats = 2 * 4 * S_m * S_z
-    na, nz_coef = DENSE_ARRAYS
-    if not diagnostics:
-        na, nz_coef = na - 2, nz_coef - 2
+    na, nz_coef = DENSE_ARRAYS if diagnostics else DENSE_ARRAYS_NODIAG
     B_t = pick_lane_tile(B, S_m, na, nz_coef * S_z, mats=mats)
     if B_t is None:
         raise ValueError(
@@ -1729,15 +1739,13 @@ def solve_batch_pallas(
             # HBM-streamed tiled kernel for oversized duals (same contract)
             fixed = (
                 gpad_pallas_fixed_dual
-                if dual_fits_vmem(data, diagnostics=diag)
+                if dual_fits_vmem(data)
                 else gpad_pallas_fixed_dual_tiled
             )
         elif data.paired:
             # flat (identity-block) variant when detected + it fits:
             # 2*n_z^2 fewer flops/iter than the dense paired product
-            use_flat = _core.resolve_flat(data, config) and flat_fits_vmem(
-                data, diagnostics=diag
-            )
+            use_flat = _core.resolve_flat(data, config) and flat_fits_vmem(data)
             fixed = (
                 gpad_pallas_fixed_paired_flat
                 if use_flat
