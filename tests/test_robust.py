@@ -167,6 +167,48 @@ def test_composes_with_tracking():
     )
 
 
+def test_controller_from_qp_serves_scenario_stack():
+    """Controller.from_qp: warm-started closed-loop serving of the robust
+    QP, matching the direct solve_batch answer at every sample."""
+    probs = _scenario_problems(S=2, horizon=5, seed=11)
+    qps = [tpu_gpad.condense(p) for p in probs]
+    qp_rob = scenario_qp(qps)
+    cfg = SolverConfig(iterations=300)
+    ctrl = tpu_gpad.Controller.from_qp(qp_rob, config=cfg)
+    data = ctrl.data
+    x = np.array([0.3, -0.2, 0.1], dtype=np.float64)
+    y_prev = None
+    for t in range(4):
+        u = ctrl.step(x.astype(np.float32))
+        ref = solve_batch(
+            data, np.asarray([x], dtype=np.float32), config=cfg, y0=y_prev
+        )
+        y_prev = ref.y
+        np.testing.assert_array_equal(u, np.asarray(ref.u[0], np.float32))
+        x = probs[0].A @ x + probs[0].B @ u.astype(np.float64)
+    assert ctrl.last_result is not None
+
+
+def test_controller_from_qp_tracking_and_polish():
+    nominal = problems.double_integrator(horizon=6)
+    variants = scenario_problem_variants(
+        nominal, B_list=[nominal.B * s for s in (0.8, 1.2)]
+    )
+    qp_rob = scenario_qp([tpu_gpad.condense(p, tracking=True) for p in variants])
+    ctrl = tpu_gpad.Controller.from_qp(
+        qp_rob, config=SolverConfig(iterations=400, restart=True, form="dual"),
+        tracking=True, polish=True,
+    )
+    u = ctrl.step(np.zeros(2, np.float32), x_ref=np.array([0.4, 0.0], np.float32))
+    p = np.array([0.0, 0.0, 0.4, 0.0], dtype=np.float64)
+    exact = solve_qp_exact(
+        qp_rob.H, qp_rob.F.T @ p + qp_rob.g, qp_rob.G, qp_rob.b0 + qp_rob.E @ p
+    )
+    np.testing.assert_allclose(u, exact.z[: qp_rob.n_u], atol=1e-6)
+    with pytest.raises(ValueError, match="need `problem`"):
+        tpu_gpad.Controller.from_qp(qp_rob, tracking="preview")
+
+
 def test_validation_errors():
     qps = [tpu_gpad.condense(p) for p in _scenario_problems(S=2)]
     with pytest.raises(ValueError, match="share"):

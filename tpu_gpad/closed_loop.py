@@ -258,6 +258,60 @@ class Controller:
         self._u_prev = None  # last applied move (rate-limited problems)
         self.last_result = None
 
+    @classmethod
+    def from_qp(
+        cls,
+        qp,
+        iterations: int = 100,
+        config: SolverConfig | None = None,
+        warm_start: bool = True,
+        paired: bool | str = "auto",
+        tracking: bool | str = False,
+        input_reference: bool = False,
+        process_disturbance: bool = False,
+        rate: bool = False,
+        problem: LinearMPCProblem | None = None,
+        polish: bool = False,
+    ):
+        """Serve a PREBUILT ``CondensedQP`` — e.g. a ``scenario_qp`` robust
+        stack or any hand-assembled QP of the same parametric class —
+        with the full Controller contract (dual warm starts across
+        samples, batching, optional active-set polish).
+
+        The flags describe how the QP's PARAMETER is laid out (they must
+        match how it was condensed): ``tracking``/``input_reference``/
+        ``process_disturbance`` append [r], [u_ref], [d] exactly as in
+        ``condense``; ``rate`` appends the previous applied move.
+        ``tracking="preview"`` and ``rate=True`` need ``problem`` (the
+        per-scenario nominal) for the stage/rate dimensions."""
+        if config is None:
+            config = SolverConfig(iterations=iterations)
+        if config.iterations is None:
+            import dataclasses
+
+            config = dataclasses.replace(config, iterations=iterations)
+        if problem is None and (tracking == "preview" or process_disturbance):
+            raise ValueError(
+                "tracking='preview' and process_disturbance need `problem` "
+                "for the stage/state dimensions"
+            )
+        self = cls.__new__(cls)
+        self.qp = qp
+        self.tracking = tracking
+        self.preview = tracking == "preview"
+        self.input_reference = input_reference
+        self.process_disturbance = process_disturbance
+        self.rate = rate
+        self.data = dualize(qp, iterations=config.iterations, paired=paired)
+        self.problem = problem
+        self.config = config
+        self.warm_start = warm_start
+        self.polish = polish
+        self._y = None
+        self._u_prev = None
+        self.last_result = None
+        return self
+
     def step(self, x, x_ref=None, u_ref=None, d=None) -> np.ndarray:
         """Solve the MPC QP at state ``x`` and return u* (applied move).
 
@@ -303,7 +357,7 @@ class Controller:
         elif x_ref is not None:
             raise ValueError("x_ref requires a tracking controller")
         if self.input_reference:
-            n_u = self.problem.n_u
+            n_u = self.data.n_u  # == problem.n_u; valid for from_qp too
             if u_ref is None:
                 u_ref = np.zeros(x.shape[:-1] + (n_u,), dtype=np.float32)
             u_ref = np.broadcast_to(
