@@ -344,6 +344,30 @@ def condense(
         zE = np.zeros((Kbar.shape[0], n_x))
         add(Kbar, zc, zE)
         add(-Kbar, zc, zE)
+    # general polytopes (beyond the reference's boxes): one-sided rows, so
+    # find_pairing falls back to the dense dual layout unless the user
+    # also supplies each row's negation
+    if (problem.H_x is None) != (problem.h_x is None):
+        raise ValueError("H_x and h_x must be passed together")
+    if (problem.H_u is None) != (problem.h_u is None):
+        raise ValueError("H_u and h_u must be passed together")
+    if problem.H_x is not None:
+        Hx = np.asarray(problem.H_x, dtype=np.float64)
+        if Hx.ndim != 2 or Hx.shape[1] != n_x:
+            raise ValueError(f"H_x must be (q_x, {n_x}); got {Hx.shape}")
+        hx = _stage_bounds(problem.h_x, N, Hx.shape[0], "h_x")
+        Hbar = np.kron(np.eye(N), Hx)  # (q_x*N, n_x*N)
+        if s_off is not None:
+            hx = hx - Hbar @ s_off
+        # Hbar (T x0 + S z + S_c c) <= hx
+        add(Hbar @ S, hx, -(Hbar @ T),
+            None if S_c is None else -(Hbar @ S_c))
+    if problem.H_u is not None:
+        Hu = np.asarray(problem.H_u, dtype=np.float64)
+        if Hu.ndim != 2 or Hu.shape[1] != n_u:
+            raise ValueError(f"H_u must be (q_u, {n_u}); got {Hu.shape}")
+        hu = _stage_bounds(problem.h_u, N, Hu.shape[0], "h_u")
+        add(np.kron(np.eye(N), Hu), hu, np.zeros((Hu.shape[0] * N, n_x)))
     # input rate (slew) limits: du_min <= u_k - u_{k-1} <= du_max with
     # u_{-1} = the previously applied move, entering as an extra QP
     # parameter (p gains n_u trailing entries; see the u_prev column

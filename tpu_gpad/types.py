@@ -64,6 +64,16 @@ class LinearMPCProblem:
     # becomes part of the QP parameter p = [x0; ...; u_prev] (see condense).
     # Standard production-MPC actuator slew protection; the reference has
     # amplitude boxes only (gpad.m:84-85).
+    H_x: Optional[np.ndarray] = None  # (q_x, n_x) general state polytope:
+    h_x: Optional[np.ndarray] = None  # H_x x_k <= h_x for k = 1..N, with
+    # h_x of shape (q_x,) or per-stage (N, q_x). Beyond the reference's
+    # boxes — e.g. coupled SoC budgets or velocity-dependent limits. Rows
+    # are one-sided, so problems using them condense to the DENSE dual
+    # layout (no [P; -P] pairing) unless each row's negation also appears.
+    H_u: Optional[np.ndarray] = None  # (q_u, n_u) general input polytope:
+    h_u: Optional[np.ndarray] = None  # H_u u_k <= h_u for k = 0..N-1,
+    # h_u of shape (q_u,) or (N, q_u). Generalizes K_u (which emits the
+    # +/- pair for equality couplings).
     c: Optional[np.ndarray] = None  # (n_x,) or (N, n_x) KNOWN per-stage
     # affine dynamics offset: x_{k+1} = A_k x_k + B_k u_k + c_k. Folded
     # into the condensed QP's constants (b0, g) at condense time — this is
