@@ -1,0 +1,251 @@
+"""Device-side (jittable) condensation vs the float64 host pipeline."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tpu_gpad
+from tpu_gpad.condense import prediction_matrices_ltv
+from tpu_gpad.device_condense import (
+    dualize_ltv_device,
+    prediction_matrices_device,
+)
+from tpu_gpad.solver import SolverConfig, solve_batch
+from tpu_gpad.types import LinearMPCProblem
+
+
+def _ltv(N=6, n_x=3, n_u=2, seed=0):
+    rng = np.random.default_rng(seed)
+    A = np.stack([
+        np.eye(n_x) + 0.08 * rng.standard_normal((n_x, n_x)) for _ in range(N)
+    ])
+    B = 0.4 * rng.standard_normal((N, n_x, n_u))
+    c = 0.02 * rng.standard_normal((N, n_x))
+    return A, B, c
+
+
+def _host_data(A, B, c, Q, R, bounds, iterations, preview=False):
+    problem = LinearMPCProblem(
+        A=A, B=B, Q=Q, R=R, horizon=A.shape[0], c=c, **bounds
+    )
+    qp = tpu_gpad.condense(
+        problem, tracking="preview" if preview else True
+    )
+    return tpu_gpad.dualize(qp, iterations=iterations, paired=True)
+
+
+BOUNDS = dict(
+    x_min=np.full(3, -2.0), x_max=np.full(3, 2.0),
+    u_min=np.full(2, -1.0), u_max=np.full(2, 1.0),
+)
+
+
+def test_prediction_matrices_match_host():
+    A, B, _ = _ltv()
+    T_h, S_h = prediction_matrices_ltv(A, B)
+    T_d, S_d = prediction_matrices_device(
+        jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(T_d), T_h, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(S_d), S_h, atol=1e-5)
+
+
+def test_gpaddata_matches_host_layout():
+    A, B, c = _ltv()
+    Q, R = np.eye(3), 0.5 * np.eye(2)
+    host = _host_data(A, B, c, Q, R, BOUNDS, iterations=100)
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c), Q, R,
+        BOUNDS["u_min"], BOUNDS["u_max"], iterations=100,
+        x_min=BOUNDS["x_min"], x_max=BOUNDS["x_max"],
+    )
+    assert dev.paired and dev.n_struct == host.n_struct == 18
+    assert dev.m_half == host.m_half
+    # L-independent operands agree to fp32 accuracy, same row order
+    np.testing.assert_allclose(
+        np.asarray(dev.MG_T), np.asarray(host.MG_T), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.gP_map), np.asarray(host.gP_map), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.gP_const), np.asarray(host.gP_const), atol=2e-4
+    )
+    # L: power method with 1% margin vs exact eigensolve
+    L_h, L_d = float(np.asarray(host.L)), float(np.asarray(dev.L))
+    assert L_h <= L_d <= 1.05 * L_h
+    # L-scaled operands agree after rescaling
+    np.testing.assert_allclose(
+        np.asarray(dev.D) * L_d, np.asarray(host.D) * L_h, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.pD_const) * L_d,
+        np.asarray(host.pD_const) * L_h, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.pD_map) * L_d,
+        np.asarray(host.pD_map) * L_h, atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("preview", [False, True])
+def test_solutions_match_host_pipeline(preview):
+    A, B, c = _ltv(seed=3)
+    Q, R = np.eye(3), 0.5 * np.eye(2)
+    host = _host_data(A, B, c, Q, R, BOUNDS, 2000, preview=preview)
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c), Q, R,
+        BOUNDS["u_min"], BOUNDS["u_max"], iterations=2000,
+        x_min=BOUNDS["x_min"], x_max=BOUNDS["x_max"], preview=preview,
+    )
+    rng = np.random.default_rng(5)
+    x0 = rng.uniform(-0.5, 0.5, size=3)
+    r = (rng.uniform(-0.3, 0.3, size=6 * 3) if preview
+         else rng.uniform(-0.3, 0.3, size=3))
+    p = np.concatenate([x0, r]).astype(np.float32)[None]
+    cfg = SolverConfig(mode="eps", eps_g=1e-6, eps_V=1e-6, iterations=2000,
+                       restart=True)
+    r_h = solve_batch(host, p, config=cfg)
+    r_d = solve_batch(dev, p, config=cfg)
+    assert np.asarray(r_h.converged).all() and np.asarray(r_d.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(r_d.u), np.asarray(r_h.u), atol=2e-3
+    )
+
+
+def test_no_state_box_variant():
+    A, B, c = _ltv(seed=7)
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+        np.eye(3), np.eye(2), np.full(2, -1.0), np.full(2, 1.0),
+        iterations=200,
+    )
+    assert dev.n_struct == 0 and dev.m_half == 12
+    p = np.zeros((1, 6), np.float32)
+    res = solve_batch(dev, p, config=SolverConfig(iterations=200))
+    assert np.isfinite(np.asarray(res.u)).all()
+
+
+def test_jit_and_vmap_composition():
+    """The whole condense+dualize+solve is one jitted, vmappable program."""
+    Q, R = np.eye(3), 0.5 * np.eye(2)
+    cfg = SolverConfig(iterations=150)
+
+    @jax.jit
+    def plan(A, B, c, p):
+        data = dualize_ltv_device(
+            A, B, c, Q, R, BOUNDS["u_min"], BOUNDS["u_max"], iterations=150,
+            x_min=BOUNDS["x_min"], x_max=BOUNDS["x_max"],
+        )
+        return solve_batch(data, p[None], config=cfg).u[0]
+
+    A, B, c = _ltv(seed=9)
+    p = np.concatenate([[0.2, -0.1, 0.3], np.zeros(3)]).astype(np.float32)
+    u_jit = plan(jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32),
+                 jnp.asarray(c, jnp.float32), jnp.asarray(p))
+    host = _host_data(A, B, c, Q, R, BOUNDS, 150)
+    u_host = solve_batch(host, p[None], config=cfg).u[0]
+    np.testing.assert_allclose(np.asarray(u_jit), np.asarray(u_host),
+                               atol=5e-3)
+
+    # vmap over B independent linearizations (the NMPC batch case)
+    As, Bs, cs, ps = [], [], [], []
+    for s in range(3):
+        A, B, c = _ltv(seed=20 + s)
+        As.append(A); Bs.append(B); cs.append(c)
+        ps.append(np.concatenate(
+            [np.full(3, 0.1 * (s + 1)), np.zeros(3)]).astype(np.float32))
+
+    @jax.jit
+    def plan_many(A, B, c, p):
+        return jax.vmap(plan)(A, B, c, p)
+
+    U = plan_many(
+        jnp.asarray(np.stack(As), jnp.float32),
+        jnp.asarray(np.stack(Bs), jnp.float32),
+        jnp.asarray(np.stack(cs), jnp.float32),
+        jnp.asarray(np.stack(ps)),
+    )
+    for s in range(3):
+        u_one = plan(jnp.asarray(As[s], jnp.float32),
+                     jnp.asarray(Bs[s], jnp.float32),
+                     jnp.asarray(cs[s], jnp.float32), jnp.asarray(ps[s]))
+        np.testing.assert_allclose(np.asarray(U[s]), np.asarray(u_one),
+                                   atol=1e-5)
+
+
+def _pendulum_nmpc(device_condense, sqp_iters=2):
+    from tpu_gpad.nonlinear import NMPC, rk4
+
+    def f_cont(x, u):
+        th, om = x
+        return jnp.array([om, 9.81 * jnp.sin(th) - 0.1 * om + u[0]])
+
+    return NMPC(
+        rk4(f_cont, 0.05), n_x=2, n_u=1, horizon=12,
+        Q=np.diag([10.0, 1.0]), R=0.1 * np.eye(1),
+        x_min=np.array([-10.0, -12.0]), x_max=np.array([10.0, 12.0]),
+        u_min=np.array([-11.0]), u_max=np.array([11.0]),
+        iterations=150, sqp_iters=sqp_iters,
+        device_condense=device_condense,
+    )
+
+
+def test_nmpc_device_path_matches_host():
+    """The fused device NMPC pass tracks the host-condensed controller."""
+    from tpu_gpad.nonlinear import simulate_nonlinear
+
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    host = _pendulum_nmpc(False)
+    dev = _pendulum_nmpc(True)
+    x0 = np.array([2.2, 0.0], dtype=np.float32)
+    plant = host.f
+    X_h, U_h = simulate_nonlinear(plant, host, x0, 40, x_ref=ref)
+    X_d, U_d = simulate_nonlinear(plant, dev, x0, 40, x_ref=ref)
+    # both settle at the upright equilibrium
+    assert abs(X_h[-1, 0] - np.pi) < 0.05
+    assert abs(X_d[-1, 0] - np.pi) < 0.05
+    # and the trajectories track each other (fp32 vs f64 condensation)
+    np.testing.assert_allclose(X_d[:10], X_h[:10], atol=5e-2)
+
+
+def test_nmpc_device_batch_matches_single():
+    dev = _pendulum_nmpc(True, sqp_iters=1)
+    X = np.array([[2.0, 0.0], [2.6, -0.5], [3.0, 0.2]], dtype=np.float32)
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    U_b = dev.plan_batch(X, x_ref=ref)
+    dev_single = _pendulum_nmpc(True, sqp_iters=1)
+    for s in range(3):
+        u_s = dev_single.plan(X[s], x_ref=ref)
+        dev_single.reset()
+        np.testing.assert_allclose(U_b[s], u_s, atol=1e-4)
+
+
+def test_nmpc_device_validation():
+    from tpu_gpad.nonlinear import NMPC, rk4
+
+    f = rk4(lambda x, u: jnp.array([x[1], u[0]]), 0.1)
+    with pytest.raises(ValueError, match="input boxes"):
+        NMPC(f, n_x=2, n_u=1, horizon=5, Q=np.eye(2), R=np.eye(1),
+             device_condense=True)
+    with pytest.raises(ValueError, match="boxes only"):
+        NMPC(f, n_x=2, n_u=1, horizon=5, Q=np.eye(2), R=np.eye(1),
+             u_min=np.array([-1.0]), u_max=np.array([1.0]),
+             du_min=np.array([-0.1]), du_max=np.array([0.1]),
+             device_condense=True)
+
+
+def test_validation():
+    A, B, c = _ltv()
+    with pytest.raises(ValueError, match="input boxes"):
+        dualize_ltv_device(jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+                           np.eye(3), np.eye(2), None, None, iterations=50)
+    with pytest.raises(ValueError, match="both x_min and x_max"):
+        dualize_ltv_device(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+            np.eye(3), np.eye(2), np.full(2, -1.0), np.full(2, 1.0),
+            iterations=50, x_min=np.full(3, -1.0),
+        )

@@ -25,6 +25,7 @@ from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
 from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear
+from tpu_gpad.device_condense import dualize_ltv_device
 from tpu_gpad.robust import (
     lqr_gain,
     scenario_plan,
@@ -60,6 +61,7 @@ __all__ = [
     "NMPC",
     "rk4",
     "simulate_nonlinear",
+    "dualize_ltv_device",
     "scenario_qp",
     "scenario_plan",
     "scenario_problem_variants",

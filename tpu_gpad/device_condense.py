@@ -1,0 +1,235 @@
+"""Device-side (jittable) LTV condensation + dualization.
+
+The host ``condense``/``dualize`` pair runs float64 NumPy — right for
+offline problem setup, wrong for the NMPC inner loop, where every SQP
+pass re-condenses the successive linearization (``nonlinear.NMPC``): the
+(A_k, B_k, c_k) stacks live on device (they came out of ``jax.jacfwd``),
+get pulled to host, condensed, and shipped back. This module rebuilds the
+same algebra as pure JAX ops on TRACED inputs, so
+
+    rollout -> linearize -> condense -> dualize -> GPAD solve
+
+fuses into ONE jitted device program per SQP pass (and ONE vmapped
+program for B scenarios) — no host round-trip, no float64 detour.
+
+Scope (the NMPC fast path): tracking or preview cost, input boxes
+(required — they give the paired [P; -P] stack and the flat identity
+block), optional state boxes, per-stage affine offsets ``c``. Rate
+limits, soft constraints, couplings and polytopes stay on the host path.
+
+Numerics: everything is fp32 on TPU. The two linear solves against H use
+Cholesky + one step of iterative refinement, and the Lipschitz constant
+comes from a fixed-iteration power method on the half-stack dual Hessian
+with a 1% safety margin (L only needs to be an UPPER bound on
+lambda_max; a tiny overestimate costs <1% extra iterations, an
+underestimate breaks convergence). Accuracy vs the float64 host path is
+pinned by tests/test_device_condense.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_gpad.schedule import momentum_schedule
+from tpu_gpad.types import GPADData
+
+
+def prediction_matrices_device(A: jax.Array, B: jax.Array):
+    """Jittable ``prediction_matrices_ltv``: stacked (N, n_x, n_x) /
+    (N, n_x, n_u) -> dense T (N*n_x, n_x), S (N*n_x, N*n_u).
+
+    N is static (Python loop unrolled into the trace); the per-block
+    matmuls are tiny, so clarity beats a scan here."""
+    N, n_x, _ = A.shape
+    n_u = B.shape[-1]
+    T_blocks = []
+    S_rows = []
+    phi = jnp.eye(n_x, dtype=A.dtype)
+    # row i uses Phi(i, j) B_{j-1}; build each row by back-accumulation
+    for i in range(1, N + 1):
+        phi = A[i - 1] @ phi
+        T_blocks.append(phi)
+        acc = jnp.eye(n_x, dtype=A.dtype)
+        row = [None] * N
+        for j in range(i, 0, -1):
+            row[j - 1] = acc @ B[j - 1]
+            acc = acc @ A[j - 1]
+        zero = jnp.zeros((n_x, n_u), dtype=A.dtype)
+        S_rows.append(jnp.concatenate(
+            [row[j] if row[j] is not None else zero for j in range(N)], axis=1
+        ))
+    return jnp.concatenate(T_blocks, axis=0), jnp.concatenate(S_rows, axis=0)
+
+
+def _chol_solve_refined(H: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """fp32 ``H^-1 Bmat`` via Cholesky plus one iterative-refinement step
+    (recovers most of the fp32 factorization error for the mildly
+    conditioned H of successive linearizations)."""
+    chol = jnp.linalg.cholesky(H)
+    solve = partial(jax.scipy.linalg.cho_solve, (chol, True))
+    X = solve(Bmat)
+    return X + solve(Bmat - H @ X)
+
+
+def _power_lmax(M: jax.Array, iters: int = 64) -> jax.Array:
+    """lambda_max of a symmetric PSD M by fixed-iteration power method."""
+    v0 = jnp.ones((M.shape[0],), dtype=M.dtype) / np.sqrt(M.shape[0])
+
+    def body(_, v):
+        w = M @ v
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    return jnp.linalg.norm(M @ v)
+
+
+def dualize_ltv_device(
+    A: jax.Array,
+    B: jax.Array,
+    c: jax.Array,
+    Q: np.ndarray,
+    R: np.ndarray,
+    u_min: np.ndarray,
+    u_max: np.ndarray,
+    iterations: int,
+    Q_terminal: Optional[np.ndarray] = None,
+    x_min: Optional[np.ndarray] = None,
+    x_max: Optional[np.ndarray] = None,
+    preview: bool = False,
+    schedule: str = "paper",
+    power_iters: int = 64,
+    name: str = "ltv_device",
+) -> GPADData:
+    """Condense + dualize a tracking LTV MPC problem entirely on device.
+
+    ``A``/``B``/``c`` are traced stacks (N, n_x, n_x) / (N, n_x, n_u) /
+    (N, n_x) — e.g. straight from ``nonlinear.linearize``; the cost and
+    box constants are static NumPy. Returns a ``GPADData`` whose array
+    leaves are traced device values in the PAIRED, FLAT layout (state-box
+    rows first, the input-box identity block last), bit-compatible with
+    everything downstream (``solve_batch``, all engines, warm starts).
+
+    Parameter layout matches ``condense(tracking=True)`` /
+    ``tracking="preview"``: ``p = [x0; r]`` (r of n_x or N*n_x entries).
+
+    Semantics match the host pipeline
+    ``dualize(condense(problem, tracking=...), paired=True)`` with
+    ``lipschitz="spectral_dual"`` — up to fp32 vs float64 arithmetic and
+    the power-method L (>= lambda_max by a 1% margin instead of exact).
+    """
+    N, n_x, _ = A.shape
+    n_u = B.shape[-1]
+    n_z = N * n_u
+    f32 = jnp.float32
+    A = jnp.asarray(A, f32)
+    B = jnp.asarray(B, f32)
+    c = jnp.asarray(c, f32)
+    have_xbox = x_min is not None or x_max is not None
+    if (x_min is None) != (x_max is None):
+        raise ValueError("device path needs both x_min and x_max (or neither)")
+    if u_min is None or u_max is None:
+        raise ValueError("device path needs input boxes (they form the "
+                         "paired stack's identity block)")
+
+    T, S = prediction_matrices_device(A, B)  # (Nn_x, n_x), (Nn_x, n_z)
+
+    # s_off: cumulative affine offset, off_{k} = A_{k-1} off_{k-1} + c_{k-1}
+    def off_body(off, Ac):
+        A_k, c_k = Ac
+        off = A_k @ off + c_k
+        return off, off
+
+    _, offs = jax.lax.scan(off_body, jnp.zeros(n_x, f32), (A, c))
+    s_off = offs.reshape(N * n_x)
+
+    # Qbar S / Qbar T / Qbar s_off via per-block products (Qbar is block
+    # diagonal; stage N uses Q_terminal when given)
+    Qs = np.repeat(np.asarray(Q, np.float32)[None], N, axis=0)
+    if Q_terminal is not None:
+        Qs[-1] = np.asarray(Q_terminal, np.float32)
+    Qs = jnp.asarray(Qs)  # (N, n_x, n_x)
+
+    def qbar(M):  # (N*n_x, k) -> Qbar @ M
+        M3 = M.reshape(N, n_x, -1)
+        return jnp.einsum("kij,kjl->kil", Qs, M3).reshape(N * n_x, -1)
+
+    Rbar = jnp.kron(jnp.eye(N, dtype=f32), jnp.asarray(R, f32))
+    QbarS = qbar(S)
+    H = S.T @ QbarS + Rbar
+    H = 0.5 * (H + H.T)
+    F_x0 = T.T @ QbarS  # (n_x, n_z)
+    if preview:
+        F_r = -QbarS  # (N*n_x, n_z)
+    else:
+        ones_kron = jnp.tile(jnp.eye(n_x, dtype=f32), (N, 1))  # (N n_x, n_x)
+        F_r = -(ones_kron.T @ QbarS)  # (n_x, n_z)
+    F = jnp.concatenate([F_x0, F_r], axis=0)  # (n_p, n_z)
+    g_vec = S.T @ qbar(s_off[:, None])[:, 0]  # S' Qbar s_off
+
+    # paired half stack in FLAT order: state-box rows (struct) first, the
+    # input-box identity block last — exactly dualize's _flat_reorder
+    ref_dim = N * n_x if preview else n_x
+    n_p = n_x + ref_dim
+    I_z = jnp.eye(n_z, dtype=f32)
+    zeros_pz = jnp.zeros((n_z, n_p), f32)
+    u_max_t = jnp.tile(jnp.asarray(u_max, f32), N)
+    u_min_t = jnp.tile(jnp.asarray(u_min, f32), N)
+    if have_xbox:
+        P = jnp.concatenate([S, I_z], axis=0)  # (m_h, n_z)
+        n_struct = N * n_x
+        x_max_t = jnp.tile(jnp.asarray(x_max, f32), N) - s_off
+        x_min_t = jnp.tile(jnp.asarray(x_min, f32), N) - s_off
+        # + rows: S z <= xmax' - T x0 ; I z <= umax
+        b0_plus = jnp.concatenate([x_max_t, u_max_t])
+        b0_minus = jnp.concatenate([-x_min_t, -u_min_t])
+        E_plus = jnp.concatenate(
+            [jnp.concatenate([-T, jnp.zeros((N * n_x, ref_dim), f32)], axis=1),
+             zeros_pz], axis=0)
+        E_minus = jnp.concatenate(
+            [jnp.concatenate([T, jnp.zeros((N * n_x, ref_dim), f32)], axis=1),
+             zeros_pz], axis=0)
+    else:
+        P = I_z
+        n_struct = 0
+        b0_plus, b0_minus = u_max_t, -u_min_t
+        E_plus = E_minus = zeros_pz
+
+    Hinv_Pt = _chol_solve_refined(H, P.T)  # (n_z, m_h)
+    Hd_h = P @ Hinv_Pt  # half-stack dual Hessian P H^-1 P'
+    Hd_h = 0.5 * (Hd_h + Hd_h.T)
+    # full-stack G = [P; -P] doubles lambda_max; 1% power-method margin
+    L = 1.01 * (2.0 * _power_lmax(Hd_h, power_iters))
+
+    MG_T = Hinv_Pt.T  # (m_h, n_z)
+    GL_T = P.T / L
+    D = Hd_h / L
+
+    gP_map = _chol_solve_refined(H, F.T).T  # (n_p, n_z)
+    gP_const = _chol_solve_refined(H, g_vec[:, None])[:, 0]
+    pD_map = jnp.stack([-E_plus.T / L, -E_minus.T / L], axis=1)  # (n_p, 2, m_h)
+    pD_const = jnp.stack([-b0_plus / L, -b0_minus / L], axis=0)  # (2, m_h)
+
+    theta, beta = momentum_schedule(iterations, schedule)
+    return GPADData(
+        MG_T=MG_T,
+        GL_T=GL_T,
+        gP_map=gP_map,
+        gP_const=gP_const,
+        pD_map=pD_map,
+        pD_const=pD_const,
+        D=D,
+        L=L.astype(jnp.float32),
+        theta=jnp.asarray(theta),
+        beta=jnp.asarray(beta),
+        n_u=n_u,
+        n_x=n_p,
+        horizon=N,
+        name=name,
+        paired=True,
+        n_struct=n_struct,
+    )
