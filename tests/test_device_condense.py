@@ -224,6 +224,31 @@ def test_nmpc_device_batch_matches_single():
         np.testing.assert_allclose(U_b[s], u_s, atol=1e-4)
 
 
+def test_simulate_nonlinear_device_matches_host_loop():
+    """The single-call scanned closed loop == the per-sample host loop
+    driving the SAME device-condensed controller."""
+    from tpu_gpad.nonlinear import simulate_nonlinear, simulate_nonlinear_device
+
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    x0 = np.array([2.2, 0.0], dtype=np.float32)
+    dev_loop = _pendulum_nmpc(True, sqp_iters=1)
+    plant = dev_loop.f
+    X_scan, U_scan = simulate_nonlinear_device(plant, dev_loop, x0, 45, x_ref=ref)
+    dev_host = _pendulum_nmpc(True, sqp_iters=1)
+    X_host, U_host = simulate_nonlinear(plant, dev_host, x0, 45, x_ref=ref)
+    np.testing.assert_allclose(X_scan, X_host, atol=1e-4)
+    np.testing.assert_allclose(U_scan, U_host, atol=1e-4)
+    assert abs(X_scan[-1, 0] - np.pi) < 0.1
+
+
+def test_simulate_nonlinear_device_requires_flag():
+    from tpu_gpad.nonlinear import simulate_nonlinear_device
+
+    host = _pendulum_nmpc(False)
+    with pytest.raises(ValueError, match="device_condense"):
+        simulate_nonlinear_device(host.f, host, np.zeros(2), 5)
+
+
 def test_nmpc_device_validation():
     from tpu_gpad.nonlinear import NMPC, rk4
 

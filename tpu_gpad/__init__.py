@@ -24,7 +24,12 @@ from tpu_gpad import problems, io
 from tpu_gpad.solver import solve, solve_batch, solve_to_accuracy
 from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
-from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear
+from tpu_gpad.nonlinear import (
+    NMPC,
+    rk4,
+    simulate_nonlinear,
+    simulate_nonlinear_device,
+)
 from tpu_gpad.device_condense import dualize_ltv_device
 from tpu_gpad.robust import (
     lqr_gain,
@@ -61,6 +66,7 @@ __all__ = [
     "NMPC",
     "rk4",
     "simulate_nonlinear",
+    "simulate_nonlinear_device",
     "dualize_ltv_device",
     "scenario_qp",
     "scenario_plan",
