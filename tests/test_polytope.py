@@ -25,7 +25,6 @@ def test_state_polytope_binds():
     qp = tpu_gpad.condense(prob)
     x0 = np.array([0.0, 2.8])  # moving fast: position + velocity wants > 3
     sol = solve_qp_exact(qp.H, qp.F.T @ x0 + qp.g, qp.G, qp.b0 + qp.E @ x0)
-    X = (qp.G[: 2 * 6] @ sol.z)  # state rows are first: Hbar S z
     # verify via explicit rollout: every predicted stage satisfies the cut
     x = x0.copy()
     for k in range(6):

@@ -159,13 +159,9 @@ def simulate(
     X_ref = None
     R_traj = None
     if preview:
-        R = np.atleast_2d(np.asarray(x_ref, dtype=np.float32))
-        need = n_steps + problem.horizon + 1
-        if R.shape[0] < need:  # hold the final reference row
-            R = np.concatenate(
-                [R, np.repeat(R[-1:], need - R.shape[0], axis=0)], axis=0
-            )
-        R_traj = jnp.asarray(R[:need])
+        R_traj = jnp.asarray(
+            pad_reference(x_ref, n_steps + problem.horizon + 1)
+        )
     elif x_ref is not None:
         X_ref = jnp.broadcast_to(
             jnp.asarray(x_ref, dtype=jnp.float32), X0.shape
@@ -182,6 +178,19 @@ def simulate(
     return _simulate_jit(
         data, A, B, X0, n_steps, config, warm_start, X_ref, U_prev0, R_traj
     )
+
+
+def pad_reference(x_ref, need: int) -> np.ndarray:
+    """Hold-last padding of a reference trajectory to ``need`` rows — the
+    ONE copy of the receding-window padding arithmetic shared by
+    ``simulate``, ``nonlinear.simulate_nonlinear`` and
+    ``nonlinear.simulate_nonlinear_device``."""
+    R = np.atleast_2d(np.asarray(x_ref, dtype=np.float32))
+    if R.shape[0] < need:  # hold the final reference row
+        R = np.concatenate(
+            [R, np.repeat(R[-1:], need - R.shape[0], axis=0)], axis=0
+        )
+    return R[:need]
 
 
 class Controller:
@@ -281,9 +290,11 @@ class Controller:
         The flags describe how the QP's PARAMETER is laid out (they must
         match how it was condensed): ``tracking``/``input_reference``/
         ``process_disturbance`` append [r], [u_ref], [d] exactly as in
-        ``condense``; ``rate`` appends the previous applied move.
-        ``tracking="preview"`` and ``rate=True`` need ``problem`` (the
-        per-scenario nominal) for the stage/rate dimensions."""
+        ``condense``; ``rate`` appends the previous applied move (no
+        ``problem`` needed — dimensions come off the dualized data).
+        ``tracking="preview"`` and ``process_disturbance`` DO need
+        ``problem`` (e.g. the per-scenario nominal) for the stage/state
+        dimensions."""
         if config is None:
             config = SolverConfig(iterations=iterations)
         if config.iterations is None:

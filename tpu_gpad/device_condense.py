@@ -12,10 +12,12 @@ same algebra as pure JAX ops on TRACED inputs, so
 fuses into ONE jitted device program per SQP pass (and ONE vmapped
 program for B scenarios) — no host round-trip, no float64 detour.
 
-Scope (the NMPC fast path): tracking or preview cost, input boxes
-(required — they give the paired [P; -P] stack and the flat identity
-block), optional state boxes, per-stage affine offsets ``c``. Rate
-limits, soft constraints, couplings and polytopes stay on the host path.
+Scope (the NMPC fast path): tracking or preview cost, constant or
+per-stage Q/R weights, input boxes (required — they give the paired
+[P; -P] stack and the flat identity block), optional state boxes
+(constant or per-stage, e.g. tube-tightened), per-stage affine offsets
+``c``. Rate limits, soft constraints, couplings and polytopes stay on
+the host path.
 
 Numerics: everything is fp32 on TPU. The two linear solves against H use
 Cholesky + one step of iterative refinement, and the Lipschitz constant
@@ -76,16 +78,26 @@ def _chol_solve_refined(H: jax.Array, Bmat: jax.Array) -> jax.Array:
     return X + solve(Bmat - H @ X)
 
 
-def _power_lmax(M: jax.Array, iters: int = 64) -> jax.Array:
-    """lambda_max of a symmetric PSD M by fixed-iteration power method."""
-    v0 = jnp.ones((M.shape[0],), dtype=M.dtype) / np.sqrt(M.shape[0])
+def _power_lmax(M: jax.Array, iters: int = 96) -> jax.Array:
+    """lambda_max of a symmetric PSD M: power method + Rayleigh quotient.
+
+    The start vector is a FIXED pseudo-random host constant (per shape),
+    never the all-ones vector: symmetric plants routinely have their
+    dominant dual mode orthogonal to 1 (e.g. identical-cell balancing,
+    whose top mode is mean-free), and a start vector orthogonal to the
+    dominant eigenvector converges to a sub-dominant eigenvalue. The
+    Rayleigh quotient always UNDERestimates lambda_max, hence the
+    explicit safety margin applied by the caller."""
+    m = M.shape[0]
+    v0 = np.random.default_rng(0).standard_normal(m).astype(np.float32)
+    v0 = jnp.asarray(v0 / np.linalg.norm(v0), dtype=M.dtype)
 
     def body(_, v):
         w = M @ v
         return w / jnp.linalg.norm(w)
 
     v = jax.lax.fori_loop(0, iters, body, v0)
-    return jnp.linalg.norm(M @ v)
+    return v @ (M @ v)  # Rayleigh quotient of the converged iterate
 
 
 def dualize_ltv_device(
@@ -148,8 +160,13 @@ def dualize_ltv_device(
     s_off = offs.reshape(N * n_x)
 
     # Qbar S / Qbar T / Qbar s_off via per-block products (Qbar is block
-    # diagonal; stage N uses Q_terminal when given)
-    Qs = np.repeat(np.asarray(Q, np.float32)[None], N, axis=0)
+    # diagonal; stage N uses Q_terminal when given). Q/R accept constant
+    # (n, n) or stacked per-stage (N, n, n) weights, like the host path.
+    Q_np = np.asarray(Q, np.float32)
+    Qs = Q_np.copy() if Q_np.ndim == 3 else np.repeat(Q_np[None], N, axis=0)
+    if Qs.shape != (N, n_x, n_x):
+        raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
+                         f"got {Q_np.shape}")
     if Q_terminal is not None:
         Qs[-1] = np.asarray(Q_terminal, np.float32)
     Qs = jnp.asarray(Qs)  # (N, n_x, n_x)
@@ -158,7 +175,12 @@ def dualize_ltv_device(
         M3 = M.reshape(N, n_x, -1)
         return jnp.einsum("kij,kjl->kil", Qs, M3).reshape(N * n_x, -1)
 
-    Rbar = jnp.kron(jnp.eye(N, dtype=f32), jnp.asarray(R, f32))
+    R_np = np.asarray(R, np.float32)
+    R3 = R_np if R_np.ndim == 3 else np.repeat(R_np[None], N, axis=0)
+    if R3.shape != (N, n_u, n_u):
+        raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
+                         f"got {R_np.shape}")
+    Rbar = jax.scipy.linalg.block_diag(*[jnp.asarray(Rk, f32) for Rk in R3])
     QbarS = qbar(S)
     H = S.T @ QbarS + Rbar
     H = 0.5 * (H + H.T)
@@ -177,13 +199,25 @@ def dualize_ltv_device(
     n_p = n_x + ref_dim
     I_z = jnp.eye(n_z, dtype=f32)
     zeros_pz = jnp.zeros((n_z, n_p), f32)
-    u_max_t = jnp.tile(jnp.asarray(u_max, f32), N)
-    u_min_t = jnp.tile(jnp.asarray(u_min, f32), N)
+
+    def stage_box(v, n, what):  # constant (n,) or per-stage (N, n) bounds
+        arr = np.asarray(v, np.float32)
+        if arr.ndim == 1:
+            arr = np.tile(arr, (N, 1))
+        if arr.shape != (N, n):
+            raise ValueError(
+                f"{what} must be ({n},) or ({N},{n}); got "
+                f"{np.asarray(v).shape}"
+            )
+        return jnp.asarray(arr.ravel())
+
+    u_max_t = stage_box(u_max, n_u, "u_max")
+    u_min_t = stage_box(u_min, n_u, "u_min")
     if have_xbox:
         P = jnp.concatenate([S, I_z], axis=0)  # (m_h, n_z)
         n_struct = N * n_x
-        x_max_t = jnp.tile(jnp.asarray(x_max, f32), N) - s_off
-        x_min_t = jnp.tile(jnp.asarray(x_min, f32), N) - s_off
+        x_max_t = stage_box(x_max, n_x, "x_max") - s_off
+        x_min_t = stage_box(x_min, n_x, "x_min") - s_off
         # + rows: S z <= xmax' - T x0 ; I z <= umax
         b0_plus = jnp.concatenate([x_max_t, u_max_t])
         b0_minus = jnp.concatenate([-x_min_t, -u_min_t])
@@ -202,8 +236,14 @@ def dualize_ltv_device(
     Hinv_Pt = _chol_solve_refined(H, P.T)  # (n_z, m_h)
     Hd_h = P @ Hinv_Pt  # half-stack dual Hessian P H^-1 P'
     Hd_h = 0.5 * (Hd_h + Hd_h.T)
-    # full-stack G = [P; -P] doubles lambda_max; 1% power-method margin
-    L = 1.01 * (2.0 * _power_lmax(Hd_h, power_iters))
+    # full-stack G = [P; -P] doubles lambda_max. The Rayleigh-quotient
+    # estimate lower-bounds lambda_max; the 5% margin covers the residual
+    # power-method gap at small eigengaps (L only needs to be an upper
+    # bound — 5% costs ~2.5% extra iterations), and the certified
+    # max-abs-row-sum bound caps it from above
+    est = 1.05 * (2.0 * _power_lmax(Hd_h, power_iters))
+    cert = 2.0 * jnp.max(jnp.sum(jnp.abs(Hd_h), axis=1))  # ||.||_inf, symmetric
+    L = jnp.minimum(est, cert)
 
     MG_T = Hinv_Pt.T  # (m_h, n_z)
     GL_T = P.T / L

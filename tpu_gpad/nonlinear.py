@@ -307,20 +307,27 @@ class NMPC:
             us = np.concatenate([self._us[1:], self._us[-1:]], axis=0)
         if self.device_condense:
             p = np.concatenate([x, x_ref]).astype(np.float32)
+            y_cold = jnp.zeros((2, self._m_h), jnp.float32)
+            # warm_start semantics mirror the host path: the dual threads
+            # across SQP passes and samples only when enabled; otherwise
+            # every pass cold-starts (y0=None there, zeros here)
             y = (
                 self._y
                 if (self.warm_start and self._y is not None)
-                else jnp.zeros((2, self._m_h), jnp.float32)
+                else y_cold
             )
             us_j = jnp.asarray(us)
             res = None
+            y_new = y
             for _ in range(self.sqp_iters):
-                us_new, y, res = self._dev_pass(
+                us_new, y_new, res = self._dev_pass(
                     jnp.asarray(x), us_j, jnp.asarray(p), y
                 )
+                if self.warm_start:
+                    y = y_new
                 us_j = us_j + self.damping * (us_new - us_j)
             us = np.asarray(us_j, dtype=np.float32)
-            self._y = y
+            self._y = y_new
             self._us = us
             self.last_result = res
             return us
@@ -388,20 +395,24 @@ class NMPC:
             us = np.concatenate([self._us_b[:, 1:], self._us_b[:, -1:]], axis=1)
         if self.device_condense:
             P = np.concatenate([X, x_ref], axis=-1).astype(np.float32)
+            y_cold = jnp.zeros((B, 2, self._m_h), jnp.float32)
             y = (
                 self._y_b
                 if (self.warm_start and self._y_b is not None)
-                else jnp.zeros((B, 2, self._m_h), jnp.float32)
+                else y_cold
             )
             us_j = jnp.asarray(us)
             res = None
+            y_new = y
             for _ in range(self.sqp_iters):
-                us_new, y, res = self._dev_pass_batch(
+                us_new, y_new, res = self._dev_pass_batch(
                     jnp.asarray(X), us_j, jnp.asarray(P), y
                 )
+                if self.warm_start:
+                    y = y_new
                 us_j = us_j + self.damping * (us_new - us_j)
             us = np.asarray(us_j, dtype=np.float32)
-            self._y_b = y
+            self._y_b = y_new
             self._us_b = us
             self.last_result = res
             return us
@@ -514,16 +525,12 @@ def simulate_nonlinear_device(
     N, n_x, n_u = c.horizon, c.n_x, c.n_u
     x0 = jnp.asarray(np.asarray(x0, dtype=np.float32).reshape(n_x))
     if c.preview:
-        traj = (
-            np.zeros((1, n_x), np.float32) if x_ref is None
-            else np.atleast_2d(np.asarray(x_ref, dtype=np.float32))
-        )
-        need = n_steps + N + 1
-        if traj.shape[0] < need:  # hold the final reference row
-            traj = np.concatenate(
-                [traj, np.repeat(traj[-1:], need - traj.shape[0], axis=0)]
-            )
-        traj = jnp.asarray(traj)
+        from tpu_gpad.closed_loop import pad_reference
+
+        traj = jnp.asarray(pad_reference(
+            np.zeros((1, n_x), np.float32) if x_ref is None else x_ref,
+            n_steps + N + 1,
+        ))
 
         def ref_at(t):
             return jax.lax.dynamic_slice_in_dim(traj, t + 1, N).reshape(
@@ -539,7 +546,7 @@ def simulate_nonlinear_device(
             return setpoint
 
     one_pass = c._dev_pass  # nested jit inlines into the scan body
-    sqp_iters, damping = c.sqp_iters, c.damping
+    sqp_iters, damping, warm = c.sqp_iters, c.damping, c.warm_start
 
     @partial(jax.jit, static_argnums=1)
     def run(x0, n_steps):
@@ -550,12 +557,17 @@ def simulate_nonlinear_device(
             x, us, y = carry
             us = jnp.concatenate([us[1:], us[-1:]], axis=0)  # hold-last shift
             p = jnp.concatenate([x, ref_at(t)])
+            # warm_start=False cold-starts the dual every pass, exactly
+            # like the host loop's y0=None (the plan still threads)
+            y_in = y if warm else y0
             for _ in range(sqp_iters):
-                us_new, y, _ = one_pass(x, us, p, y)
+                us_new, y_next, _ = one_pass(x, us, p, y_in)
+                if warm:
+                    y_in = y_next
                 us = us + damping * (us_new - us)
             u = us[0]
             x_next = plant(x, u)
-            return (x_next, us, y), (x_next, u)
+            return (x_next, us, y_next if warm else y), (x_next, u)
 
         _, (X, U) = jax.lax.scan(
             body, (x0, us0, y0), jnp.arange(n_steps)
@@ -588,12 +600,9 @@ def simulate_nonlinear(
     x = np.asarray(x0, dtype=np.float32).reshape(controller.n_x)
     traj = None
     if controller.preview and x_ref is not None:
-        traj = np.atleast_2d(np.asarray(x_ref, dtype=np.float32))
-        need = n_steps + controller.horizon + 1
-        if traj.shape[0] < need:  # hold the final reference row
-            traj = np.concatenate(
-                [traj, np.repeat(traj[-1:], need - traj.shape[0], axis=0)]
-            )
+        from tpu_gpad.closed_loop import pad_reference
+
+        traj = pad_reference(x_ref, n_steps + controller.horizon + 1)
     X, U = [x], []
     for t in range(n_steps):
         ref = traj[t + 1 : t + 1 + controller.horizon] if traj is not None else x_ref
