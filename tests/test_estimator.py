@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 import tpu_gpad
+
+from conftest import backend_tol
 from tpu_gpad import problems
 from tpu_gpad.estimator import (
     KalmanFilter,
@@ -282,8 +284,9 @@ def test_ekf_linear_matches_kf_recursion(rng):
         x_ref = x_pred + K @ (y - C @ x_pred)
         IKH = np.eye(2) - K @ C
         P_ref = IKH @ P_pred @ IKH.T + K @ V @ K.T
-        np.testing.assert_allclose(x_hat, x_ref, atol=1e-4)
-    np.testing.assert_allclose(ekf.P, P_ref, atol=1e-5)
+        np.testing.assert_allclose(
+            x_hat, x_ref, atol=backend_tol(1e-4, 2e-3))
+    np.testing.assert_allclose(ekf.P, P_ref, atol=backend_tol(1e-5, 1e-3))
 
 
 def test_ekf_pendulum_state_reconstruction():

@@ -125,6 +125,9 @@ def test_solve_multi_sharded_matches_unsharded():
     """8 heterogeneous plants shard over the 8-device mesh; results must
     match the single-device vmapped solve exactly (zero-communication DP)."""
     import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device (virtual CPU) mesh")
     from tpu_gpad.parallel import make_mesh, solve_multi_sharded
 
     datas = _plants(n=8)
@@ -141,6 +144,9 @@ def test_solve_multi_sharded_matches_unsharded():
 
 def test_solve_multi_sharded_eps_and_errors():
     import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a 4-device (virtual CPU) mesh")
     from tpu_gpad.parallel import make_mesh, solve_multi_sharded
 
     datas = _plants(n=4, iterations=400)

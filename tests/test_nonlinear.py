@@ -107,10 +107,13 @@ def test_linearize_exact_on_linear_dynamics(rng):
     xs = rng.normal(size=(4, 3)).astype(np.float32)
     us = rng.normal(size=(4, 2)).astype(np.float32)
     As, Bs, cs = linearize(f, xs, us)
+    # TPU: f itself evaluates its matmuls at default (bf16) precision,
+    # so the residual c genuinely captures that model's fp error
+    tol = backend_tol(1e-5, 5e-3)
     for k in range(4):
-        np.testing.assert_allclose(As[k], A, atol=1e-5)
-        np.testing.assert_allclose(Bs[k], B, atol=1e-5)
-    np.testing.assert_allclose(cs, 0.0, atol=1e-5)
+        np.testing.assert_allclose(As[k], A, atol=tol)
+        np.testing.assert_allclose(Bs[k], B, atol=tol)
+    np.testing.assert_allclose(cs, 0.0, atol=tol)
 
 
 def test_linearization_exact_at_nominal(rng):
@@ -185,7 +188,7 @@ def test_nmpc_rate_limits():
     )
     X, U = simulate_nonlinear(f, ctrl, np.array([2.6, 0.0]), 40, x_ref=UPRIGHT)
     dU = np.diff(np.concatenate([[np.zeros(1)], U], axis=0), axis=0)
-    assert np.abs(dU).max() <= 1.0 + 1e-3
+    assert np.abs(dU).max() <= 1.0 + backend_tol(1e-3, 1e-2)
 
 
 def test_nmpc_reset_and_guards():

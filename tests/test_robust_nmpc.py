@@ -1,0 +1,73 @@
+"""Multi-model robust NMPC (nonlinear scenario composition)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_gpad.nonlinear import NMPC, RobustNMPC, rk4
+
+
+def _pendulum_f(g):
+    def f_cont(x, u):
+        th, om = x
+        return jnp.array([om, g * jnp.sin(th) - 0.1 * om + u[0]])
+
+    return rk4(f_cont, 0.05)
+
+
+_KW = dict(
+    n_x=2, n_u=1, horizon=10,
+    Q=np.diag([10.0, 1.0]), R=0.1 * np.eye(1),
+    x_min=np.array([-10.0, -12.0]), x_max=np.array([10.0, 12.0]),
+    u_min=np.array([-11.0]), u_max=np.array([11.0]),
+    iterations=150, sqp_iters=1,
+)
+
+
+def test_identical_models_match_plain_nmpc():
+    f = _pendulum_f(9.81)
+    plain = NMPC(f, **_KW)
+    robust = RobustNMPC([f, f, f], **_KW)
+    x = np.array([2.0, 0.3], dtype=np.float32)
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    u_p = plain.step(x, ref)
+    u_r = robust.step(x, ref)
+    np.testing.assert_allclose(u_r, u_p, atol=2e-3)
+
+
+def test_shared_first_move_across_scenarios():
+    models = [_pendulum_f(g) for g in (8.8, 9.81, 10.8)]
+    robust = RobustNMPC(models, **_KW)
+    x = np.array([2.4, -0.2], dtype=np.float32)
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    robust.step(x, ref)
+    plans = robust.plans
+    assert plans.shape == (3, 10, 1)
+    np.testing.assert_array_equal(plans[0, 0], plans[1, 0])
+    np.testing.assert_array_equal(plans[1, 0], plans[2, 0])
+    # tails diverge per realization
+    assert not np.allclose(plans[0, 1:], plans[2, 1:])
+
+
+def test_closed_loop_on_offnominal_plant_settles():
+    """Plant at the edge of the model set: the robust controller still
+    swings up and settles near upright with warm starts across samples."""
+    models = [_pendulum_f(g) for g in (8.8, 9.81, 10.8)]
+    robust = RobustNMPC(models, **_KW)
+    plant = models[2]  # the strongest-gravity realization
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    x = np.array([2.2, 0.0], dtype=np.float32)
+    for _ in range(45):
+        u = robust.step(x, ref)
+        x = np.asarray(plant(jnp.asarray(x), jnp.asarray(u)), dtype=np.float32)
+    assert abs(x[0] - np.pi) < 0.1
+
+
+def test_validation_and_reset():
+    with pytest.raises(ValueError, match="at least one"):
+        RobustNMPC([], **_KW)
+    robust = RobustNMPC([_pendulum_f(9.81)], **_KW)
+    robust.step(np.array([1.0, 0.0], dtype=np.float32))
+    assert robust.plans is not None
+    robust.reset()
+    assert robust.plans is None and robust._y is None

@@ -26,6 +26,7 @@ from tpu_gpad.solver.qp import polish, polish_batch
 from tpu_gpad.closed_loop import Controller, simulate
 from tpu_gpad.nonlinear import (
     NMPC,
+    RobustNMPC,
     rk4,
     simulate_nonlinear,
     simulate_nonlinear_device,
@@ -64,6 +65,7 @@ __all__ = [
     "Controller",
     "simulate",
     "NMPC",
+    "RobustNMPC",
     "rk4",
     "simulate_nonlinear",
     "simulate_nonlinear_device",

@@ -41,6 +41,23 @@ from tpu_gpad.schedule import momentum_schedule
 from tpu_gpad.types import GPADData
 
 
+def _highest_matmuls(fn):
+    """Trace ``fn`` under fp32-highest matmul precision: on TPU the
+    DEFAULT precision is 1-pass bf16, which would corrupt the condensed
+    operands (H, T, S, the dual Hessian) by ~1e-2 relative — condensation
+    accuracy bounds the solution accuracy, so it always runs 6-pass fp32.
+    The tiny matrices involved make the 6x pass cost irrelevant."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+@_highest_matmuls
 def prediction_matrices_device(A: jax.Array, B: jax.Array):
     """Jittable ``prediction_matrices_ltv``: stacked (N, n_x, n_x) /
     (N, n_x, n_u) -> dense T (N*n_x, n_x), S (N*n_x, N*n_u).
@@ -100,6 +117,7 @@ def _power_lmax(M: jax.Array, iters: int = 96) -> jax.Array:
     return v @ (M @ v)  # Rayleigh quotient of the converged iterate
 
 
+@_highest_matmuls
 def dualize_ltv_device(
     A: jax.Array,
     B: jax.Array,

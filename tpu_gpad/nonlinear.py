@@ -93,7 +93,15 @@ def linearize(f: Callable, xs: jax.Array, us: jax.Array):
     A = jax.vmap(jax.jacfwd(f, argnums=0))(xs, us)
     B = jax.vmap(jax.jacfwd(f, argnums=1))(xs, us)
     fx = jax.vmap(f)(xs, us)
-    c = fx - jnp.einsum("kij,kj->ki", A, xs) - jnp.einsum("kij,kj->ki", B, us)
+    # fp32-highest contractions: the residual c must make the affine model
+    # EXACT at the nominal — TPU's default 1-pass bf16 einsum would bake a
+    # ~1e-2 model error into every linearization
+    hp = jax.lax.Precision.HIGHEST
+    c = (
+        fx
+        - jnp.einsum("kij,kj->ki", A, xs, precision=hp)
+        - jnp.einsum("kij,kj->ki", B, us, precision=hp)
+    )
     return A, B, c
 
 
@@ -490,6 +498,151 @@ class NMPC:
             None if u_prev is None
             else np.asarray(u_prev, dtype=np.float32).reshape(self.n_u)
         )
+
+
+class RobustNMPC:
+    """Multi-model successive-linearization NMPC: one applied move that
+    is optimal against S nonlinear model realizations simultaneously.
+
+    The nonlinear composition of ``tpu_gpad.robust.scenario_qp`` with
+    SL-NMPC: per SQP pass, every model ``f_s`` rolls out and linearizes
+    along ITS OWN tail plan (all tails share the applied move u_0 by
+    construction of the stacked QP), the S affine-LTV QPs stack with the
+    shared-first-move selector, and one GPAD solve returns u_0 plus S
+    scenario tails. Classic min-expected-cost robust NMPC under
+    parametric model uncertainty — e.g. ``models`` built from parameter
+    grid vertices of an uncertain plant.
+
+    Cost/constraints are shared across scenarios (same Q/R/boxes);
+    ``weights`` are the scenario probabilities. ``step(x, x_ref)``
+    returns the applied move; ``plans`` after a step holds the (S, N,
+    n_u) per-scenario tails. Host condensation per pass (S small dense
+    float64 condensations), device solve."""
+
+    def __init__(
+        self,
+        models,
+        n_x: int,
+        n_u: int,
+        horizon: int,
+        Q: np.ndarray,
+        R: np.ndarray,
+        weights=None,
+        Q_terminal: Optional[np.ndarray] = None,
+        x_min: Optional[np.ndarray] = None,
+        x_max: Optional[np.ndarray] = None,
+        u_min: Optional[np.ndarray] = None,
+        u_max: Optional[np.ndarray] = None,
+        soft_state: Optional[float] = None,
+        iterations: int = 200,
+        config: Optional[SolverConfig] = None,
+        sqp_iters: int = 1,
+        damping: float = 1.0,
+        lipschitz: str = "spectral_dual",
+        warm_start: bool = True,
+        name: str = "robust_nmpc",
+    ):
+        if len(models) < 1:
+            raise ValueError("need at least one model realization")
+        if config is None:
+            config = SolverConfig(iterations=iterations, restart=True)
+        if config.iterations is None:
+            import dataclasses
+
+            config = dataclasses.replace(config, iterations=iterations)
+        self.models = list(models)
+        self.S = len(self.models)
+        self.weights = weights
+        self.n_x, self.n_u, self.horizon = n_x, n_u, horizon
+        self.Q = np.asarray(Q, dtype=np.float64)
+        self.R = np.asarray(R, dtype=np.float64)
+        self.Q_terminal = Q_terminal
+        self.bounds = dict(x_min=x_min, x_max=x_max, u_min=u_min, u_max=u_max)
+        self.soft_state = soft_state
+        self.config = config
+        self.sqp_iters = sqp_iters
+        self.damping = damping
+        self.lipschitz = lipschitz
+        self.warm_start = warm_start
+        self.name = name
+        self.plans: np.ndarray | None = None  # (S, N, n_u) scenario tails
+        self._y = None
+        self.last_result = None
+
+    def plan(self, x, x_ref=None) -> np.ndarray:
+        """One robust receding-horizon pass; returns the shared plan view
+        of scenario 0 (its first move IS the applied move)."""
+        from tpu_gpad.condense import condense, dualize
+        from tpu_gpad.robust import scenario_plan, scenario_qp
+
+        x = np.asarray(x, dtype=np.float32).reshape(self.n_x)
+        x_ref = (
+            np.zeros(self.n_x, dtype=np.float32)
+            if x_ref is None
+            else np.asarray(x_ref, dtype=np.float32).reshape(self.n_x)
+        )
+        N, n_u, S = self.horizon, self.n_u, self.S
+        if self.plans is None:
+            Us = np.zeros((S, N, n_u), dtype=np.float32)
+        else:  # shift every scenario tail, hold-last
+            Us = np.concatenate(
+                [self.plans[:, 1:], self.plans[:, -1:]], axis=1
+            )
+        res = None
+        for _ in range(self.sqp_iters):
+            qps = []
+            for s, f_s in enumerate(self.models):
+                us_s = jnp.asarray(Us[s])
+                xs_next = rollout(f_s, jnp.asarray(x), us_s)
+                xs_lin = jnp.concatenate(
+                    [jnp.asarray(x)[None], xs_next[:-1]], axis=0
+                )
+                A, B, c = linearize(f_s, xs_lin, us_s)
+                problem = LinearMPCProblem(
+                    A=np.asarray(A, dtype=np.float64),
+                    B=np.asarray(B, dtype=np.float64),
+                    Q=self.Q,
+                    R=self.R,
+                    horizon=N,
+                    Q_terminal=self.Q_terminal,
+                    c=np.asarray(c, dtype=np.float64),
+                    name=f"{self.name}_s{s}",
+                    **self.bounds,
+                )
+                qps.append(
+                    condense(problem, tracking=True,
+                             soft_state=self.soft_state)
+                )
+            qp_rob = scenario_qp(qps, weights=self.weights)
+            data = dualize(
+                qp_rob, iterations=self.config.iterations, paired="auto",
+                lipschitz=self.lipschitz,
+            )
+            p = np.concatenate([x, x_ref])
+            y0 = self._y if self.warm_start else None
+            if y0 is not None and np.asarray(y0).shape[-1] * 2 != data.m:
+                y0 = None  # dedupe changed the stack between passes
+            res = solve_batch(
+                data, jnp.asarray(p[None], dtype=jnp.float32),
+                config=self.config, y0=y0,
+            )
+            self._y = res.y
+            z = np.asarray(res.z[0], dtype=np.float32)
+            new = np.stack(
+                [scenario_plan(z, s, n_u, N, S) for s in range(S)]
+            )
+            Us = Us + self.damping * (new - Us)
+        self.plans = Us
+        self.last_result = res
+        return Us[0]
+
+    def step(self, x, x_ref=None) -> np.ndarray:
+        """The applied move u_0 (shared across every realization)."""
+        return self.plan(x, x_ref)[0]
+
+    def reset(self) -> None:
+        self.plans = None
+        self._y = None
 
 
 def simulate_nonlinear_device(

@@ -149,6 +149,8 @@ def _step4_product(data: GPADData, zhat, mm, flat: bool):
     if not flat:
         return mm(zhat, data.GL_T)
     ns = data.n_struct
+    if ns == 0:  # box-only stack: the whole product is the identity block
+        return zhat / data.L
     q_s = mm(zhat, data.GL_T[:, :ns])
     q_b = zhat / data.L
     return jnp.concatenate([q_s, q_b], axis=-1)

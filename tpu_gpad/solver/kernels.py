@@ -1338,6 +1338,11 @@ def flat_fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
     del diagnostics
     if not (data.paired and data.n_struct is not None):
         return False
+    if data.n_struct == 0:
+        # box-only stack: the flat kernel's structured operand would be
+        # zero-row (Mosaic rejects empty blocks); the paired/dual kernels
+        # serve these, and the XLA flat path short-circuits to zhat/L
+        return False
     n_s = data.n_struct
     S_s = _round_up(n_s, SUBLANE)
     S_z = _round_up(data.n_z, SUBLANE)
