@@ -209,6 +209,21 @@ def test_controller_from_qp_tracking_and_polish():
         tpu_gpad.Controller.from_qp(qp_rob, tracking="preview")
 
 
+def test_certified_bounds_on_scenario_stack():
+    """The Algorithm-2 iteration certificates work on robust stacks too."""
+    from tpu_gpad.bounds import certify
+
+    nominal = problems.double_integrator(horizon=4)
+    variants = scenario_problem_variants(
+        nominal, B_list=[nominal.B * s for s in (0.8, 1.2)]
+    )
+    qp_rob = scenario_qp([tpu_gpad.condense(p) for p in variants])
+    n, dn, L = certify(
+        qp_rob, np.full(2, -1.0), np.full(2, 1.0), eps_g=1e-3, eps_V=1e-3
+    )
+    assert n > 0 and np.isfinite(dn.delta) and L > 0
+
+
 def test_validation_errors():
     qps = [tpu_gpad.condense(p) for p in _scenario_problems(S=2)]
     with pytest.raises(ValueError, match="share"):

@@ -140,6 +140,21 @@ def test_tube_closed_loop_never_violates_original_box():
     assert worst_tube <= 5.0 + 1e-6
 
 
+def test_per_stage_bounds_compose_with_soft_state():
+    """Per-stage state boxes soften like constant ones (same row counts)."""
+    import dataclasses
+
+    base = problems.double_integrator(horizon=4)
+    xb = np.tile(base.x_max, (4, 1))
+    xb[2] = 0.5
+    prob = dataclasses.replace(base, x_max=xb, x_min=-xb)
+    qp = tpu_gpad.condense(prob, soft_state=100.0)
+    data = tpu_gpad.dualize(qp, iterations=100)
+    # infeasible-for-hard-boxes state: the soft problem still solves
+    res = tpu_gpad.solve(data, np.array([20.0, 0.0], np.float32))
+    assert np.isfinite(np.asarray(res.u)).all()
+
+
 def test_tube_composes_with_condense_and_engines():
     prob = problems.double_integrator(horizon=6)
     tight = tube_tightened_problem(prob, np.array([0.02, 0.02]),
