@@ -122,6 +122,57 @@ void gpad_solve_fixed_paired(const float* MG_T, const float* GL_T,
   std::memcpy(y_out, y, sizeof(float) * 2 * m_h);
 }
 
+// Flat paired solve: the structure-exploiting variant (the reference's
+// flat kernels, seq_functions.cpp:5-43 / kernel_functions.cu:74-109, done
+// for THIS framework's flat layout). Half-stack rows are ordered
+// [struct (n_s) | input-box (n_z)] with the box rows EXACTLY the identity
+// (GPADData.n_struct): step 4's box rows cost w +- zhat/L + p_D with no
+// matmul, and only the (n_z x n_s) structured block multiplies.
+// GLs_T is GL_T's structured columns, (n_z x n_s) row-major.
+// scratch layout identical to gpad_solve_fixed_paired (m_h = n_s + n_z).
+void gpad_solve_fixed_paired_flat(const float* MG_T, const float* GLs_T,
+                                  const float* g_P, const float* p_D,
+                                  const float* theta, const float* beta,
+                                  float inv_L, int64_t n_s, int64_t n_z,
+                                  int64_t iterations, float* z_out,
+                                  float* y_out, float* scratch) {
+  const int64_t m_h = n_s + n_z;
+  float* y = scratch;              // (2, m_h)
+  float* y_prev = scratch + 2 * m_h;
+  float* w = scratch + 4 * m_h;    // (2, m_h)
+  float* zhat = scratch + 6 * m_h; // (n_z)
+  float* wd = scratch + 6 * m_h + n_z;  // (m_h)
+  std::memset(y, 0, sizeof(float) * 2 * m_h);
+  std::memset(y_prev, 0, sizeof(float) * 2 * m_h);
+  std::memset(z_out, 0, sizeof(float) * n_z);
+  for (int64_t k = 0; k < iterations; ++k) {
+    gpad_step1(y, y_prev, beta[k], w, 2 * m_h);
+    for (int64_t i = 0; i < m_h; ++i) wd[i] = w[i] - w[m_h + i];
+    gpad_step2(MG_T, wd, g_P, zhat, m_h, n_z, -1.0f);
+    gpad_step3(z_out, zhat, theta[k], n_z);
+    std::memcpy(y_prev, y, sizeof(float) * 2 * m_h);
+    // structured rows: the only matmul of step 4
+    for (int64_t i = 0; i < n_s; ++i) {
+      float q = 0.0f;
+      for (int64_t j = 0; j < n_z; ++j) q += zhat[j] * GLs_T[j * n_s + i];
+      const float vp = w[i] + q + p_D[i];
+      const float vm = w[m_h + i] - q + p_D[m_h + i];
+      y[i] = 0.5f * (vp + std::abs(vp));
+      y[m_h + i] = 0.5f * (vm + std::abs(vm));
+    }
+    // identity-block rows: q is just zhat / L (no flops beyond the add)
+    for (int64_t j = 0; j < n_z; ++j) {
+      const int64_t i = n_s + j;
+      const float q = zhat[j] * inv_L;
+      const float vp = w[i] + q + p_D[i];
+      const float vm = w[m_h + i] - q + p_D[m_h + i];
+      y[i] = 0.5f * (vp + std::abs(vp));
+      y[m_h + i] = 0.5f * (vm + std::abs(vm));
+    }
+  }
+  std::memcpy(y_out, y, sizeof(float) * 2 * m_h);
+}
+
 // Batched dense solve: B independent scenarios sharing MG_T/GL_T with
 // per-scenario g_P (B x n_z) and p_D (B x m). The multi-scenario CPU
 // baseline for throughput comparisons.

@@ -76,6 +76,28 @@ def test_paired_solve_matches_dense(dual_constants):
     np.testing.assert_allclose(z_p, ref.z, atol=3e-5)
 
 
+def test_paired_flat_solve_matches_paired(dual_constants):
+    """The structure-exploiting flat solve (the reference's flat-variant
+    role, seq_functions.cpp:5-43) is exact algebra on the paired solve."""
+    qp, M_G, g_P, G_L, p_D, L = dual_constants
+    data = dualize(qp, iterations=100, paired=True)
+    assert data.n_struct is not None and data.n_struct > 0
+    theta, beta = momentum_schedule(100)
+    x0 = problems.battery_default_x0(3, seed=2).astype(np.float32)
+    pD2 = np.tensordot(x0, np.asarray(data.pD_map), 1) + np.asarray(data.pD_const)
+    z_f, y_f = native.solve_fixed_paired_flat(
+        np.asarray(data.MG_T),
+        np.asarray(data.GL_T)[:, : data.n_struct],
+        g_P, pD2, theta, beta, float(np.asarray(data.L)), 100,
+    )
+    z_p, y_p = native.solve_fixed_paired(
+        np.asarray(data.MG_T), np.asarray(data.GL_T),
+        g_P, pD2, theta, beta, 100,
+    )
+    np.testing.assert_allclose(z_f, z_p, atol=2e-6)
+    np.testing.assert_allclose(y_f, y_p, atol=2e-6)
+
+
 def test_batch_solve(dual_constants, rng):
     qp, M_G, g_P, G_L, p_D, L = dual_constants
     theta, beta = momentum_schedule(50)

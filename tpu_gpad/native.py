@@ -63,6 +63,9 @@ def _lib() -> ctypes.CDLL:
     lib.gpad_step4.argtypes = [fp, fp, fp, fp, fp, i64, i64]
     lib.gpad_solve_fixed.argtypes = [fp] * 6 + [i64, i64, i64, f32] + [fp] * 3
     lib.gpad_solve_fixed_paired.argtypes = [fp] * 6 + [i64, i64, i64] + [fp] * 3
+    lib.gpad_solve_fixed_paired_flat.argtypes = (
+        [fp] * 6 + [f32, i64, i64, i64] + [fp] * 3
+    )
     lib.gpad_solve_fixed_batch.argtypes = (
         [fp] * 6 + [i64, i64, i64, i64, f32] + [fp] * 3
     )
@@ -140,6 +143,28 @@ def solve_fixed_paired(MG_T, GL_T, g_P, p_D2, theta, beta, iterations):
     _lib().gpad_solve_fixed_paired(
         _ptr(MG_T), _ptr(GL_T), _ptr(g_P), _ptr(p_D2), _ptr(theta), _ptr(beta),
         m_h, n_z, int(iterations), _ptr(z), _ptr(y), _ptr(scratch),
+    )
+    return z, y
+
+
+def solve_fixed_paired_flat(MG_T, GLs_T, g_P, p_D2, theta, beta, L, iterations):
+    """Flat paired solve (identity-block layout, GPADData.n_struct): the
+    native analogue of the reference's flat variants. ``GLs_T`` is GL_T's
+    structured columns (n_z, n_struct); the box rows use 1/L directly.
+    Returns (z, y(2, m_h)) with m_h = n_struct + n_z."""
+    MG_T, GLs_T = _f32(MG_T), _f32(GLs_T)
+    g_P, p_D2, theta, beta = _f32(g_P), _f32(p_D2), _f32(theta), _f32(beta)
+    m_h, n_z = MG_T.shape
+    n_s = GLs_T.shape[1]
+    if m_h != n_s + n_z:
+        raise ValueError(f"m_h {m_h} != n_struct {n_s} + n_z {n_z}")
+    z = np.empty(n_z, dtype=np.float32)
+    y = np.empty((2, m_h), dtype=np.float32)
+    scratch = np.empty(7 * m_h + n_z, dtype=np.float32)
+    _lib().gpad_solve_fixed_paired_flat(
+        _ptr(MG_T), _ptr(GLs_T), _ptr(g_P), _ptr(p_D2), _ptr(theta),
+        _ptr(beta), float(1.0 / L), n_s, n_z, int(iterations), _ptr(z),
+        _ptr(y), _ptr(scratch),
     )
     return z, y
 
