@@ -209,6 +209,30 @@ def test_controller_from_qp_tracking_and_polish():
         tpu_gpad.Controller.from_qp(qp_rob, tracking="preview")
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scenario_qp_random_problems_match_exact(seed):
+    """Property fuzz: random stable plants, random B perturbations — the
+    GPAD solve of the stack hits the exact active-set optimum."""
+    nominal = problems.random_lti(n_x=3, n_u=2, horizon=5, seed=seed)
+    rng = np.random.default_rng(100 + seed)
+    variants = scenario_problem_variants(
+        nominal,
+        B_list=[nominal.B * (1 + 0.25 * rng.uniform(-1, 1)) for _ in range(3)],
+    )
+    qp_rob = scenario_qp([tpu_gpad.condense(p) for p in variants],
+                         weights=rng.uniform(0.5, 2.0, 3))
+    data = tpu_gpad.dualize(qp_rob, iterations=3000, paired="auto")
+    x0 = rng.uniform(-0.2, 0.2, size=3).astype(np.float32)
+    res = tpu_gpad.solve_to_accuracy(data, x0, tol=1e-7, max_iterations=3000)
+    assert np.asarray(res.converged).all()
+    exact = solve_qp_exact(
+        qp_rob.H, qp_rob.F.T @ x0.astype(np.float64) + qp_rob.g,
+        qp_rob.G, qp_rob.b0 + qp_rob.E @ x0.astype(np.float64),
+    )
+    pol = tpu_gpad.polish(qp_rob, x0.astype(np.float64), np.asarray(res.z[0]))
+    np.testing.assert_allclose(pol.z, exact.z, atol=1e-8)
+
+
 def test_certified_bounds_on_scenario_stack():
     """The Algorithm-2 iteration certificates work on robust stacks too."""
     from tpu_gpad.bounds import certify
