@@ -277,6 +277,63 @@ def test_simulate_nonlinear_device_requires_flag():
         simulate_nonlinear_device(host.f, host, np.zeros(2), 5)
 
 
+def test_rate_limited_solutions_match_host():
+    """Slew rows on the device path: converged solutions match the host
+    pipeline (parameter gains trailing u_prev)."""
+    A, B, c = _ltv(seed=13)
+    Q, R = np.eye(3), 0.5 * np.eye(2)
+    du = dict(du_min=np.full(2, -0.3), du_max=np.full(2, 0.3))
+    host = _host_data(A, B, c, Q, R, {**BOUNDS, **du}, 2000)
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c), Q, R,
+        BOUNDS["u_min"], BOUNDS["u_max"], iterations=2000,
+        x_min=BOUNDS["x_min"], x_max=BOUNDS["x_max"],
+        du_min=du["du_min"], du_max=du["du_max"],
+    )
+    assert dev.m_half == host.m_half and dev.n_x == host.n_x
+    rng = np.random.default_rng(6)
+    x0 = rng.uniform(-0.4, 0.4, size=3)
+    r = rng.uniform(-0.2, 0.2, size=3)
+    u_prev = rng.uniform(-0.5, 0.5, size=2)
+    p = np.concatenate([x0, r, u_prev]).astype(np.float32)[None]
+    cfg = SolverConfig(mode="eps", eps_g=1e-6, eps_V=1e-6, iterations=2000,
+                       restart=True)
+    r_h = solve_batch(host, p, config=cfg)
+    r_d = solve_batch(dev, p, config=cfg)
+    assert np.asarray(r_h.converged).all() and np.asarray(r_d.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(r_d.u), np.asarray(r_h.u), atol=backend_tol(2e-3, 5e-3)
+    )
+    # the slew constraint binds on the first move from this u_prev
+    u0 = np.asarray(r_d.u[0], dtype=np.float64)
+    assert (np.abs(u0 - u_prev) <= 0.3 + 1e-4).all()
+
+
+def test_nmpc_device_rate_limits_closed_loop():
+    """Slew limits hold through the fused device NMPC (host-loop parity)."""
+    from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear_device
+
+    def f_cont(x, u):
+        th, om = x
+        return jnp.array([om, 9.81 * jnp.sin(th) - 0.1 * om + u[0]])
+
+    ctrl = NMPC(
+        rk4(f_cont, 0.05), n_x=2, n_u=1, horizon=12,
+        Q=np.diag([10.0, 1.0]), R=0.1 * np.eye(1),
+        x_min=np.array([-10.0, -12.0]), x_max=np.array([10.0, 12.0]),
+        u_min=np.array([-11.0]), u_max=np.array([11.0]),
+        du_min=np.array([-2.0]), du_max=np.array([2.0]),
+        iterations=200, sqp_iters=1, device_condense=True,
+    )
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    X, U = simulate_nonlinear_device(
+        ctrl.f, ctrl, np.array([2.4, 0.0], np.float32), 35, x_ref=ref
+    )
+    dU = np.diff(np.concatenate([[np.zeros(1)], U], axis=0), axis=0)
+    assert np.abs(dU).max() <= 2.0 + backend_tol(1e-3, 1e-2)
+    assert abs(X[-1, 0] - np.pi) < 0.15
+
+
 def test_nmpc_device_validation():
     from tpu_gpad.nonlinear import NMPC, rk4
 
@@ -284,10 +341,10 @@ def test_nmpc_device_validation():
     with pytest.raises(ValueError, match="input boxes"):
         NMPC(f, n_x=2, n_u=1, horizon=5, Q=np.eye(2), R=np.eye(1),
              device_condense=True)
-    with pytest.raises(ValueError, match="boxes only"):
+    with pytest.raises(ValueError, match="boxes and rate"):
         NMPC(f, n_x=2, n_u=1, horizon=5, Q=np.eye(2), R=np.eye(1),
              u_min=np.array([-1.0]), u_max=np.array([1.0]),
-             du_min=np.array([-0.1]), du_max=np.array([0.1]),
+             H_x=np.array([[1.0, 1.0]]), h_x=np.array([1.0]),
              device_condense=True)
 
 

@@ -15,9 +15,9 @@ program for B scenarios) — no host round-trip, no float64 detour.
 Scope (the NMPC fast path): tracking or preview cost, constant or
 per-stage Q/R weights, input boxes (required — they give the paired
 [P; -P] stack and the flat identity block), optional state boxes
-(constant or per-stage, e.g. tube-tightened), per-stage affine offsets
-``c``. Rate limits, soft constraints, couplings and polytopes stay on
-the host path.
+(constant or per-stage, e.g. tube-tightened), input rate (slew) limits
+with ``u_prev`` as a trailing parameter, per-stage affine offsets ``c``.
+Soft constraints, couplings and polytopes stay on the host path.
 
 Numerics: everything is fp32 on TPU. The two linear solves against H use
 Cholesky + one step of iterative refinement, and the Lipschitz constant
@@ -130,6 +130,8 @@ def dualize_ltv_device(
     Q_terminal: Optional[np.ndarray] = None,
     x_min: Optional[np.ndarray] = None,
     x_max: Optional[np.ndarray] = None,
+    du_min: Optional[np.ndarray] = None,
+    du_max: Optional[np.ndarray] = None,
     preview: bool = False,
     schedule: str = "paper",
     power_iters: int = 64,
@@ -145,7 +147,9 @@ def dualize_ltv_device(
     everything downstream (``solve_batch``, all engines, warm starts).
 
     Parameter layout matches ``condense(tracking=True)`` /
-    ``tracking="preview"``: ``p = [x0; r]`` (r of n_x or N*n_x entries).
+    ``tracking="preview"``: ``p = [x0; r]`` (r of n_x or N*n_x entries),
+    plus ``u_prev`` (n_u trailing entries) when slew limits
+    ``du_min``/``du_max`` are given.
 
     Semantics match the host pipeline
     ``dualize(condense(problem, tracking=...), paired=True)`` with
@@ -211,10 +215,15 @@ def dualize_ltv_device(
     F = jnp.concatenate([F_x0, F_r], axis=0)  # (n_p, n_z)
     g_vec = S.T @ qbar(s_off[:, None])[:, 0]  # S' Qbar s_off
 
-    # paired half stack in FLAT order: state-box rows (struct) first, the
-    # input-box identity block last — exactly dualize's _flat_reorder
+    # paired half stack in FLAT order: structured rows first (state boxes,
+    # then rate rows), the input-box identity block last — a valid
+    # dualize-flat layout constructed directly
+    have_rate = du_min is not None or du_max is not None
+    if (du_min is None) != (du_max is None):
+        raise ValueError("device path needs both du_min and du_max "
+                         "(or neither)")
     ref_dim = N * n_x if preview else n_x
-    n_p = n_x + ref_dim
+    n_p = n_x + ref_dim + (n_u if have_rate else 0)
     I_z = jnp.eye(n_z, dtype=f32)
     zeros_pz = jnp.zeros((n_z, n_p), f32)
 
@@ -231,25 +240,53 @@ def dualize_ltv_device(
 
     u_max_t = stage_box(u_max, n_u, "u_max")
     u_min_t = stage_box(u_min, n_u, "u_min")
+    P_rows, b0p_rows, b0m_rows, Ep_rows, Em_rows = [], [], [], [], []
     if have_xbox:
-        P = jnp.concatenate([S, I_z], axis=0)  # (m_h, n_z)
-        n_struct = N * n_x
         x_max_t = stage_box(x_max, n_x, "x_max") - s_off
         x_min_t = stage_box(x_min, n_x, "x_min") - s_off
-        # + rows: S z <= xmax' - T x0 ; I z <= umax
-        b0_plus = jnp.concatenate([x_max_t, u_max_t])
-        b0_minus = jnp.concatenate([-x_min_t, -u_min_t])
-        E_plus = jnp.concatenate(
-            [jnp.concatenate([-T, jnp.zeros((N * n_x, ref_dim), f32)], axis=1),
-             zeros_pz], axis=0)
-        E_minus = jnp.concatenate(
-            [jnp.concatenate([T, jnp.zeros((N * n_x, ref_dim), f32)], axis=1),
-             zeros_pz], axis=0)
-    else:
-        P = I_z
-        n_struct = 0
-        b0_plus, b0_minus = u_max_t, -u_min_t
-        E_plus = E_minus = zeros_pz
+        zeros_rest = jnp.zeros((N * n_x, n_p - n_x), f32)
+        P_rows.append(S)  # + rows: S z <= xmax' - T x0
+        b0p_rows.append(x_max_t)
+        b0m_rows.append(-x_min_t)
+        Ep_rows.append(jnp.concatenate([-T, zeros_rest], axis=1))
+        Em_rows.append(jnp.concatenate([T, zeros_rest], axis=1))
+    if have_rate:
+        # slew rows: du_min <= u_k - u_{k-1} <= du_max with u_{-1} = the
+        # previously APPLIED move, a trailing parameter (condense's rate
+        # layout). Dz is the block difference map; only the first n_u rows
+        # see u_prev (+I on the + side, -I on the -).
+        du_max_a = np.asarray(du_max, np.float32)
+        du_min_a = np.asarray(du_min, np.float32)
+        if du_max_a.shape != (n_u,) or du_min_a.shape != (n_u,):
+            raise ValueError(f"du bounds must be ({n_u},) on the device path")
+        Dz = np.eye(n_z, dtype=np.float32)
+        for k in range(1, N):
+            Dz[k * n_u : (k + 1) * n_u, (k - 1) * n_u : k * n_u] = -np.eye(n_u)
+        u_prev_cols = np.zeros((n_z, n_u), np.float32)
+        u_prev_cols[:n_u] = np.eye(n_u)
+        E_rate_p = np.zeros((n_z, n_p), np.float32)
+        E_rate_p[:, n_x + ref_dim :] = u_prev_cols
+        P_rows.append(jnp.asarray(Dz))
+        b0p_rows.append(jnp.asarray(np.tile(du_max_a, N)))
+        b0m_rows.append(jnp.asarray(-np.tile(du_min_a, N)))
+        Ep_rows.append(jnp.asarray(E_rate_p))
+        Em_rows.append(jnp.asarray(-E_rate_p))
+    # the input-box identity block, always last (the flat contract)
+    P_rows.append(I_z)
+    b0p_rows.append(u_max_t)
+    b0m_rows.append(-u_min_t)
+    Ep_rows.append(zeros_pz)
+    Em_rows.append(zeros_pz)
+
+    P = jnp.concatenate(P_rows, axis=0)  # (m_h, n_z)
+    n_struct = int(P.shape[0] - n_z)
+    b0_plus = jnp.concatenate(b0p_rows)
+    b0_minus = jnp.concatenate(b0m_rows)
+    E_plus = jnp.concatenate(Ep_rows, axis=0)
+    E_minus = jnp.concatenate(Em_rows, axis=0)
+    if have_rate:
+        # the cost never sees u_prev: zero parameter rows in F
+        F = jnp.concatenate([F, jnp.zeros((n_u, n_z), f32)], axis=0)
 
     Hinv_Pt = _chol_solve_refined(H, P.T)  # (n_z, m_h)
     Hd_h = P @ Hinv_Pt  # half-stack dual Hessian P H^-1 P'

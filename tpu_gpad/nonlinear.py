@@ -203,13 +203,11 @@ class NMPC:
             # into ONE jitted device program per SQP pass (see
             # tpu_gpad.device_condense); unsupported features fall back
             # loudly rather than silently taking the host path
-            if soft_state is not None or self.rate or H_x is not None or (
-                H_u is not None
-            ):
+            if soft_state is not None or H_x is not None or H_u is not None:
                 raise ValueError(
-                    "device_condense=True supports boxes only (no "
-                    "soft_state/rate limits/polytopes yet) — drop the flag "
-                    "for the host condensation path"
+                    "device_condense=True supports boxes and rate limits "
+                    "(no soft_state/polytopes yet) — drop the flag for the "
+                    "host condensation path"
                 )
             if u_min is None or u_max is None:
                 raise ValueError("device_condense=True needs input boxes")
@@ -221,8 +219,10 @@ class NMPC:
                 raise ValueError(
                     "device_condense=True supports fixed-iteration mode"
                 )
-            self._m_h = (n_x * horizon if x_min is not None else 0) + (
-                n_u * horizon
+            self._m_h = (
+                (n_x * horizon if x_min is not None else 0)
+                + (n_u * horizon if self.rate else 0)
+                + n_u * horizon
             )
             self._dev_pass, self._dev_pass_batch = self._make_device_pass()
 
@@ -247,7 +247,8 @@ class NMPC:
             data = dualize_ltv_device(
                 A, B, c, Q, R, b["u_min"], b["u_max"],
                 iterations=cfg.iterations, Q_terminal=Q_T,
-                x_min=b["x_min"], x_max=b["x_max"], preview=preview,
+                x_min=b["x_min"], x_max=b["x_max"],
+                du_min=b["du_min"], du_max=b["du_max"], preview=preview,
                 name=self.name,
             )
             res = solve_batch(data, p[None], config=cfg, y0=y0[None])
@@ -315,6 +316,13 @@ class NMPC:
             us = np.concatenate([self._us[1:], self._us[-1:]], axis=0)
         if self.device_condense:
             p = np.concatenate([x, x_ref]).astype(np.float32)
+            if self.rate:
+                u_prev = (
+                    np.zeros(self.n_u, dtype=np.float32)
+                    if self._u_prev is None
+                    else self._u_prev
+                )
+                p = np.concatenate([p, u_prev])
             y_cold = jnp.zeros((2, self._m_h), jnp.float32)
             # warm_start semantics mirror the host path: the dual threads
             # across SQP passes and samples only when enabled; otherwise
@@ -338,6 +346,8 @@ class NMPC:
             self._y = y_new
             self._us = us
             self.last_result = res
+            if self.rate:
+                self._u_prev = us[0]
             return us
         res = None
         for _ in range(self.sqp_iters):
@@ -403,6 +413,13 @@ class NMPC:
             us = np.concatenate([self._us_b[:, 1:], self._us_b[:, -1:]], axis=1)
         if self.device_condense:
             P = np.concatenate([X, x_ref], axis=-1).astype(np.float32)
+            if self.rate:
+                u_prev = (
+                    np.zeros((B, self.n_u), dtype=np.float32)
+                    if self._u_prev_b is None
+                    else self._u_prev_b
+                )
+                P = np.concatenate([P, u_prev], axis=-1)
             y_cold = jnp.zeros((B, 2, self._m_h), jnp.float32)
             y = (
                 self._y_b
@@ -423,6 +440,8 @@ class NMPC:
             self._y_b = y_new
             self._us_b = us
             self.last_result = res
+            if self.rate:
+                self._u_prev_b = us[:, 0]
             return us
         res = None
         for _ in range(self.sqp_iters):
@@ -700,16 +719,20 @@ def simulate_nonlinear_device(
 
     one_pass = c._dev_pass  # nested jit inlines into the scan body
     sqp_iters, damping, warm = c.sqp_iters, c.damping, c.warm_start
+    rate = c.rate
 
     @partial(jax.jit, static_argnums=1)
     def run(x0, n_steps):
         us0 = jnp.zeros((N, n_u), jnp.float32)
         y0 = jnp.zeros((2, c._m_h), jnp.float32)
+        u_prev0 = jnp.zeros((n_u,), jnp.float32)
 
         def body(carry, t):
-            x, us, y = carry
+            x, us, y, u_prev = carry
             us = jnp.concatenate([us[1:], us[-1:]], axis=0)  # hold-last shift
             p = jnp.concatenate([x, ref_at(t)])
+            if rate:  # slew limits reference the previously APPLIED move
+                p = jnp.concatenate([p, u_prev])
             # warm_start=False cold-starts the dual every pass, exactly
             # like the host loop's y0=None (the plan still threads)
             y_in = y if warm else y0
@@ -720,10 +743,10 @@ def simulate_nonlinear_device(
                 us = us + damping * (us_new - us)
             u = us[0]
             x_next = plant(x, u)
-            return (x_next, us, y_next if warm else y), (x_next, u)
+            return (x_next, us, y_next if warm else y, u), (x_next, u)
 
         _, (X, U) = jax.lax.scan(
-            body, (x0, us0, y0), jnp.arange(n_steps)
+            body, (x0, us0, y0, u_prev0), jnp.arange(n_steps)
         )
         return X, U
 
