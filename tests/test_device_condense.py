@@ -334,6 +334,37 @@ def test_nmpc_device_rate_limits_closed_loop():
     assert abs(X[-1, 0] - np.pi) < 0.15
 
 
+def test_scan_loop_seeds_u_prev_from_reset():
+    """simulate_nonlinear_device must honor reset(u_prev=...) for the
+    first slew constraint, like the host loop."""
+    from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear_device
+
+    def f_cont(x, u):
+        th, om = x
+        return jnp.array([om, 9.81 * jnp.sin(th) - 0.1 * om + u[0]])
+
+    def make():
+        return NMPC(
+            rk4(f_cont, 0.05), n_x=2, n_u=1, horizon=10,
+            Q=np.diag([10.0, 1.0]), R=0.1 * np.eye(1),
+            u_min=np.array([-11.0]), u_max=np.array([11.0]),
+            du_min=np.array([-1.0]), du_max=np.array([1.0]),
+            iterations=150, sqp_iters=1, device_condense=True,
+        )
+
+    x0 = np.array([2.4, 0.0], np.float32)
+    ref = np.array([np.pi, 0.0], np.float32)
+    c1 = make()
+    c1.reset(u_prev=np.array([5.0]))
+    _, U1 = simulate_nonlinear_device(c1.f, c1, x0, 3, x_ref=ref)
+    # first move is slew-limited against the actuator's REAL position
+    assert abs(U1[0, 0] - 5.0) <= 1.0 + 1e-3
+    c0 = make()
+    _, U0 = simulate_nonlinear_device(c0.f, c0, x0, 3, x_ref=ref)
+    assert abs(U0[0, 0]) <= 1.0 + 1e-3
+    assert abs(U1[0, 0] - U0[0, 0]) > 0.5  # the seed actually mattered
+
+
 def test_nmpc_device_validation():
     from tpu_gpad.nonlinear import NMPC, rk4
 

@@ -63,6 +63,23 @@ def test_closed_loop_on_offnominal_plant_settles():
     assert abs(x[0] - np.pi) < 0.1
 
 
+def test_damping_preserves_shared_first_move():
+    """damping < 1 must not let the stored scenario first moves diverge
+    (the non-anticipativity contract across samples)."""
+    models = [_pendulum_f(g) for g in (8.8, 9.81, 10.8)]
+    kw = dict(_KW)
+    robust = RobustNMPC(models, damping=0.5, **kw)
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    x = np.array([2.3, 0.1], dtype=np.float32)
+    for _ in range(3):
+        u = robust.step(x, ref)
+        x = np.asarray(models[1](jnp.asarray(x), jnp.asarray(u)),
+                       dtype=np.float32)
+        firsts = robust.plans[:, 0]
+        np.testing.assert_array_equal(firsts[0], firsts[1])
+        np.testing.assert_array_equal(firsts[1], firsts[2])
+
+
 def test_validation_and_reset():
     with pytest.raises(ValueError, match="at least one"):
         RobustNMPC([], **_KW)

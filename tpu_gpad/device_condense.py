@@ -142,9 +142,10 @@ def dualize_ltv_device(
     ``A``/``B``/``c`` are traced stacks (N, n_x, n_x) / (N, n_x, n_u) /
     (N, n_x) — e.g. straight from ``nonlinear.linearize``; the cost and
     box constants are static NumPy. Returns a ``GPADData`` whose array
-    leaves are traced device values in the PAIRED, FLAT layout (state-box
-    rows first, the input-box identity block last), bit-compatible with
-    everything downstream (``solve_batch``, all engines, warm starts).
+    leaves are traced device values in the PAIRED, FLAT layout — rows are
+    [state-box | rate (when du bounds given) | input-box identity], with
+    the identity block last — bit-compatible with everything downstream
+    (``solve_batch``, all engines, warm starts).
 
     Parameter layout matches ``condense(tracking=True)`` /
     ``tracking="preview"``: ``p = [x0; r]`` (r of n_x or N*n_x entries),

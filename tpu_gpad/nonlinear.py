@@ -215,6 +215,11 @@ class NMPC:
                 raise ValueError(
                     "device_condense=True needs both state bounds or neither"
                 )
+            if (du_min is None) != (du_max is None):
+                raise ValueError(
+                    "device_condense=True needs both rate bounds or neither "
+                    "(the host path supports one-sided du)"
+                )
             if config.mode != "fixed":
                 raise ValueError(
                     "device_condense=True supports fixed-iteration mode"
@@ -607,6 +612,13 @@ class RobustNMPC:
             Us = np.concatenate(
                 [self.plans[:, 1:], self.plans[:, -1:]], axis=1
             )
+            # non-anticipativity of the STORED plans: after the shift the
+            # first slots hold per-scenario second moves, which differ —
+            # re-share them (their mean) so the damped update below keeps
+            # every scenario's first move identical (the solved new[:, 0]
+            # is shared by construction, but u0 + d*(new - u0) is only
+            # shared if u0 is)
+            Us[:, 0] = Us[:, 0].mean(axis=0)
         res = None
         for _ in range(self.sqp_iters):
             qps = []
@@ -721,11 +733,19 @@ def simulate_nonlinear_device(
     sqp_iters, damping, warm = c.sqp_iters, c.damping, c.warm_start
     rate = c.rate
 
+    # the actuator's current position (controller.reset(u_prev=...)) seeds
+    # the first slew constraint, exactly like the host loop
+    u_prev_start = jnp.asarray(
+        np.zeros(n_u, np.float32)
+        if c._u_prev is None
+        else np.asarray(c._u_prev, np.float32).reshape(n_u)
+    )
+
     @partial(jax.jit, static_argnums=1)
     def run(x0, n_steps):
         us0 = jnp.zeros((N, n_u), jnp.float32)
         y0 = jnp.zeros((2, c._m_h), jnp.float32)
-        u_prev0 = jnp.zeros((n_u,), jnp.float32)
+        u_prev0 = u_prev_start
 
         def body(carry, t):
             x, us, y, u_prev = carry
