@@ -63,6 +63,21 @@ def test_closed_loop_on_offnominal_plant_settles():
     assert abs(x[0] - np.pi) < 0.1
 
 
+def test_robust_preview_tracking():
+    """Per-stage reference windows through the scenario stack."""
+    models = [_pendulum_f(g) for g in (9.0, 10.5)]
+    kw = dict(_KW)
+    robust = RobustNMPC(models, preview=True, **kw)
+    # ramp reference toward upright over the horizon
+    window = np.stack(
+        [np.array([th, 0.0]) for th in np.linspace(2.3, np.pi, 10)]
+    ).astype(np.float32)
+    u = robust.step(np.array([2.2, 0.0], np.float32), window)
+    assert u.shape == (1,) and np.isfinite(u).all()
+    plans = robust.plans
+    np.testing.assert_array_equal(plans[0, 0], plans[1, 0])
+
+
 def test_damping_preserves_shared_first_move():
     """damping < 1 must not let the stored scenario first moves diverge
     (the non-anticipativity contract across samples)."""

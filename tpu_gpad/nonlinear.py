@@ -564,6 +564,7 @@ class RobustNMPC:
         damping: float = 1.0,
         lipschitz: str = "spectral_dual",
         warm_start: bool = True,
+        preview: bool = False,
         name: str = "robust_nmpc",
     ):
         if len(models) < 1:
@@ -588,6 +589,7 @@ class RobustNMPC:
         self.damping = damping
         self.lipschitz = lipschitz
         self.warm_start = warm_start
+        self.preview = preview  # per-stage references: x_ref is (N, n_x)
         self.name = name
         self.plans: np.ndarray | None = None  # (S, N, n_u) scenario tails
         self._y = None
@@ -600,10 +602,11 @@ class RobustNMPC:
         from tpu_gpad.robust import scenario_plan, scenario_qp
 
         x = np.asarray(x, dtype=np.float32).reshape(self.n_x)
+        ref_width = self.horizon * self.n_x if self.preview else self.n_x
         x_ref = (
-            np.zeros(self.n_x, dtype=np.float32)
+            np.zeros(ref_width, dtype=np.float32)
             if x_ref is None
-            else np.asarray(x_ref, dtype=np.float32).reshape(self.n_x)
+            else np.asarray(x_ref, dtype=np.float32).reshape(ref_width)
         )
         N, n_u, S = self.horizon, self.n_u, self.S
         if self.plans is None:
@@ -641,8 +644,11 @@ class RobustNMPC:
                     **self.bounds,
                 )
                 qps.append(
-                    condense(problem, tracking=True,
-                             soft_state=self.soft_state)
+                    condense(
+                        problem,
+                        tracking="preview" if self.preview else True,
+                        soft_state=self.soft_state,
+                    )
                 )
             qp_rob = scenario_qp(qps, weights=self.weights)
             data = dualize(
