@@ -309,6 +309,43 @@ def test_rate_limited_solutions_match_host():
     assert (np.abs(u0 - u_prev) <= 0.3 + 1e-4).all()
 
 
+def test_coupling_solutions_match_host():
+    """K_u input-coupling rows (the battery charge-conservation class) on
+    the device path: the BATTERY problem itself, expressed as tiled LTV
+    stacks, matches the host pipeline and respects sum(u) = 0."""
+    from tpu_gpad import problems
+
+    prob = problems.battery(n_cells=3, horizon=5)
+    N = prob.horizon
+    A = np.repeat(prob.A[None], N, axis=0)
+    B = np.repeat(prob.B[None], N, axis=0)
+    c = np.zeros((N, prob.n_x))
+    host = _host_data(
+        A, B, c, prob.Q, prob.R,
+        dict(x_min=prob.x_min, x_max=prob.x_max,
+             u_min=prob.u_min, u_max=prob.u_max, K_u=prob.K_u),
+        2000,
+    )
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c), prob.Q, prob.R,
+        prob.u_min, prob.u_max, iterations=2000,
+        x_min=prob.x_min, x_max=prob.x_max, K_u=prob.K_u,
+    )
+    assert dev.m_half == host.m_half
+    x0 = np.array([0.3, -0.25, 0.05])
+    p = np.concatenate([x0, np.zeros(3)]).astype(np.float32)[None]
+    cfg = SolverConfig(mode="eps", eps_g=1e-6, eps_V=1e-6, iterations=2000,
+                       restart=True)
+    r_h = solve_batch(host, p, config=cfg)
+    r_d = solve_batch(dev, p, config=cfg)
+    assert np.asarray(r_h.converged).all() and np.asarray(r_d.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(r_d.u), np.asarray(r_h.u), atol=backend_tol(2e-3, 5e-3)
+    )
+    z = np.asarray(r_d.z[0]).reshape(N, prob.n_u)
+    np.testing.assert_allclose(z.sum(axis=1), 0.0, atol=1e-4)
+
+
 def test_nmpc_device_rate_limits_closed_loop():
     """Slew limits hold through the fused device NMPC (host-loop parity)."""
     from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear_device

@@ -16,8 +16,9 @@ Scope (the NMPC fast path): tracking or preview cost, constant or
 per-stage Q/R weights, input boxes (required — they give the paired
 [P; -P] stack and the flat identity block), optional state boxes
 (constant or per-stage, e.g. tube-tightened), input rate (slew) limits
-with ``u_prev`` as a trailing parameter, per-stage affine offsets ``c``.
-Soft constraints, couplings and polytopes stay on the host path.
+with ``u_prev`` as a trailing parameter, per-stage input couplings
+``K_u u_k = 0``, per-stage affine offsets ``c``. Soft constraints and
+polytopes stay on the host path.
 
 Numerics: everything is fp32 on TPU. The two linear solves against H use
 Cholesky + one step of iterative refinement, and the Lipschitz constant
@@ -132,6 +133,7 @@ def dualize_ltv_device(
     x_max: Optional[np.ndarray] = None,
     du_min: Optional[np.ndarray] = None,
     du_max: Optional[np.ndarray] = None,
+    K_u: Optional[np.ndarray] = None,
     preview: bool = False,
     schedule: str = "paper",
     power_iters: int = 64,
@@ -143,9 +145,11 @@ def dualize_ltv_device(
     (N, n_x) — e.g. straight from ``nonlinear.linearize``; the cost and
     box constants are static NumPy. Returns a ``GPADData`` whose array
     leaves are traced device values in the PAIRED, FLAT layout — rows are
-    [state-box | rate (when du bounds given) | input-box identity], with
-    the identity block last — bit-compatible with everything downstream
-    (``solve_batch``, all engines, warm starts).
+    [state-box | K_u coupling | rate (when du bounds given) | input-box
+    identity], with the identity block last — bit-compatible with
+    everything downstream (``solve_batch``, all engines, warm starts).
+    ``K_u`` adds the per-stage input coupling ``K_u u_k = 0`` as the
+    +/- pair (the battery charge-conservation class, ``gpad.m:44``).
 
     Parameter layout matches ``condense(tracking=True)`` /
     ``tracking="preview"``: ``p = [x0; r]`` (r of n_x or N*n_x entries),
@@ -251,6 +255,21 @@ def dualize_ltv_device(
         b0m_rows.append(-x_min_t)
         Ep_rows.append(jnp.concatenate([-T, zeros_rest], axis=1))
         Em_rows.append(jnp.concatenate([T, zeros_rest], axis=1))
+    if K_u is not None:
+        # per-stage input coupling K_u u_k = 0 as the +/- pair (the battery
+        # charge-conservation class, gpad.m:44,84-85): structured rows with
+        # zero RHS and no parameter dependence
+        K_arr = np.asarray(K_u, np.float32)
+        if K_arr.ndim != 2 or K_arr.shape[1] != n_u:
+            raise ValueError(f"K_u must be (n_c, {n_u}); got {K_arr.shape}")
+        Kbar = np.kron(np.eye(N, dtype=np.float32), K_arr)
+        P_rows.append(jnp.asarray(Kbar))
+        zero_c = jnp.zeros(Kbar.shape[0], f32)
+        b0p_rows.append(zero_c)
+        b0m_rows.append(zero_c)
+        zero_E = jnp.zeros((Kbar.shape[0], n_p), f32)
+        Ep_rows.append(zero_E)
+        Em_rows.append(zero_E)
     if have_rate:
         # slew rows: du_min <= u_k - u_{k-1} <= du_max with u_{-1} = the
         # previously APPLIED move, a trailing parameter (condense's rate
