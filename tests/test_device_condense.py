@@ -182,6 +182,42 @@ def test_jit_and_vmap_composition():
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "N,n_x,n_u,seed", [(4, 2, 1, 11), (8, 3, 2, 12), (5, 4, 3, 13)]
+)
+def test_device_vs_host_shape_fuzz(N, n_x, n_u, seed):
+    """Device condensation vs the float64 host pipeline across random
+    shapes: converged eps-restart solutions must agree."""
+    rng = np.random.default_rng(seed)
+    A = np.stack([
+        np.eye(n_x) + 0.1 * rng.standard_normal((n_x, n_x)) for _ in range(N)
+    ])
+    B = 0.5 * rng.standard_normal((N, n_x, n_u))
+    c = 0.02 * rng.standard_normal((N, n_x))
+    bounds = dict(
+        x_min=np.full(n_x, -3.0), x_max=np.full(n_x, 3.0),
+        u_min=np.full(n_u, -1.0), u_max=np.full(n_u, 1.0),
+    )
+    Q, R = np.eye(n_x), 0.3 * np.eye(n_u)
+    host = _host_data(A, B, c, Q, R, bounds, 3000)
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c), Q, R,
+        bounds["u_min"], bounds["u_max"], iterations=3000,
+        x_min=bounds["x_min"], x_max=bounds["x_max"],
+    )
+    p = np.concatenate([
+        rng.uniform(-0.5, 0.5, n_x), rng.uniform(-0.3, 0.3, n_x)
+    ]).astype(np.float32)[None]
+    cfg = SolverConfig(mode="eps", eps_g=1e-6, eps_V=1e-6, iterations=3000,
+                       restart=True)
+    r_h = solve_batch(host, p, config=cfg)
+    r_d = solve_batch(dev, p, config=cfg)
+    assert np.asarray(r_h.converged).all() and np.asarray(r_d.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(r_d.u), np.asarray(r_h.u), atol=backend_tol(2e-3, 5e-3)
+    )
+
+
 def test_power_lmax_dominant_mode_orthogonal_to_ones():
     """Symmetric plants put the top dual mode orthogonal to 1; the power
     method must not lock onto a sub-dominant eigenvalue (an all-ones
