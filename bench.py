@@ -10,45 +10,115 @@ headline comparison (GPU vs sequential CPU, README.md:7-10).
 
 Timing uses the slope method (tpu_gpad.utils.timing): the tunneled TPU has a
 ~30 ms host RPC floor and an async dispatch that returns before compute
-finishes, so naive per-call walltime is meaningless. Detailed sub-benchmarks
-go to BENCH_DETAIL.json; pass --quick for smoke runs.
+finishes, so naive per-call walltime is meaningless. The headline stat is
+additionally measured INTERLEAVED against a fixed dense-matmul anchor
+(alternating windows) so round-over-round comparisons are drift-free:
+absolute rates through the tunnel swing ±10% within a session, but the
+solve/anchor ratio cancels it. Detailed sub-benchmarks go to
+BENCH_DETAIL.json; pass --quick for smoke runs.
+
+Failure contract (the round-2 lesson, VERDICT.md item 1): the TPU tunnel can
+be DOWN for an hour+ ("Unable to initialize backend 'axon'"). The backend is
+probed in a subprocess under a timeout with retry/backoff BEFORE any solve;
+on hard failure the script still prints one parseable JSON line with
+``"value": null`` and an ``"error"`` field and exits 0 — never a bare
+traceback as the only output (that is the reference's timing record role,
+``main.cu:188-190``, done robustly).
 """
 
 import argparse
 import json
+import subprocess
 import sys
 import time
+import traceback
 
-import numpy as np
+
+HEADLINE_METRIC = "mpc_solves_per_sec_per_chip"
+
+# Exception text that means "the tunnel/backend died", i.e. retryable.
+_BACKEND_ERR_MARKERS = (
+    "UNAVAILABLE", "unavailable", "axon", "DEADLINE", "backend",
+    "RPC", "socket closed", "connection",
+)
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--quick", action="store_true")
-    parser.add_argument("--batch", type=int, default=4096)
-    parser.add_argument("--iterations", type=int, default=100)
-    parser.add_argument("--engine", default="pallas", choices=["xla", "pallas"])
-    parser.add_argument(
-        "--time-budget", type=float, default=420.0,
-        help="skip remaining OPTIONAL sections once this many seconds have "
-             "elapsed (tunnel compiles are 30s-10min; the headline metric "
-             "always completes)",
-    )
-    args = parser.parse_args()
-    t_start = time.perf_counter()
+def probe_backend(budget_s: float, probe_timeout: float = 120.0) -> dict:
+    """Probe jax.devices() in a SUBPROCESS under a timeout, retrying with
+    backoff until ``budget_s`` is spent. A subprocess keeps a hung/poisoned
+    backend init out of this process, so a later retry can still succeed.
 
+    Returns {"ok": bool, "platform": str|None, "attempts": n, "last_error"}.
+    """
+    deadline = time.monotonic() + budget_s
+    interval = 20.0
+    attempts = 0
+    last_err = ""
+    while True:
+        attempts += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform, len(d))"],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                platform = out.stdout.split()[0]
+                return {"ok": True, "platform": platform,
+                        "attempts": attempts, "last_error": None}
+            last_err = (out.stderr or out.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last_err = f"probe timed out after {probe_timeout:.0f}s"
+        except Exception as ex:  # pragma: no cover - host-dependent
+            last_err = f"{type(ex).__name__}: {ex}"[:400]
+        now = time.monotonic()
+        if now + interval > deadline:
+            return {"ok": False, "platform": None,
+                    "attempts": attempts, "last_error": last_err}
+        print(f"[bench] backend probe attempt {attempts} failed "
+              f"({last_err.splitlines()[-1] if last_err else '?'}); "
+              f"retrying in {interval:.0f}s", file=sys.stderr)
+        time.sleep(interval)
+        interval = min(interval * 2, 120.0)
+
+
+def emit(value, unit, vs_baseline=None, error=None, extra=None) -> int:
+    """Print the one-line JSON contract and return an exit code (always 0:
+    a structured failure line is a successful bench run of a broken day)."""
+    line = {
+        "metric": HEADLINE_METRIC,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+    }
+    if error is not None:
+        line["error"] = error
+    if extra:
+        line.update(extra)
+    print(json.dumps(line))
+    return 0
+
+
+def _write_detail(detail: dict) -> None:
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+
+
+def run(args, t_start: float) -> int:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     import tpu_gpad
     from tpu_gpad import problems
     from tpu_gpad.solver import solve_batch, SolverConfig
-    from tpu_gpad.solver.core import resolve_flat, resolve_form
+    from tpu_gpad.solver.core import resolve_engine, resolve_flat, resolve_form
     from tpu_gpad.solver.reference import gpad_solve_qp
     from tpu_gpad.utils import (
         device_time_per_call,
         device_time_percentiles,
         device_time_stats,
+        interleaved_ab,
         matmul_peak_tflops,
         solve_flops,
         wall_times,
@@ -65,32 +135,61 @@ def main():
     X0 = jnp.asarray(rng.uniform(-0.5, 0.5, size=(batch, n_cells)).astype(np.float32))
     cfg = SolverConfig(iterations=iters, engine=args.engine)
 
+    def routing(d, c):
+        """Resolved (engine, form, flat) — every BENCH_DETAIL rate row
+        carries these so the number is traceable to a code path."""
+        form = resolve_form(d, c)
+        return {
+            "engine": resolve_engine(d, c),
+            "form": form,
+            "flat": bool(form == "mvp" and resolve_flat(d, c)),
+            "precision": c.precision,
+            "matmul_dtype": c.matmul_dtype,
+        }
+
     detail = {
         "device": str(jax.devices()[0]),
-        "engine": args.engine,
+        "engine_requested": args.engine,
         "problem": data.name,
         "n_z": data.n_z,
         "m": data.m,
         "batch": batch,
         "iterations": iters,
+        "headline_routing": routing(data, cfg),
     }
 
-    # --- headline: batched throughput, fp32, device time via slope method.
-    # Median-of-n + IQR so round-over-round comparisons can tell tunnel
-    # drift (~5% between single readings) from a real regression. ---
+    # --- headline: batched throughput, fp32, device time via slope method,
+    # INTERLEAVED with a fixed dense-matmul anchor. The absolute rate is
+    # reported from the same windows; the solve/anchor ratio is the
+    # drift-free round-over-round regression signal (tunnel drift moves
+    # both sides together and cancels in the ratio). ---
+    anchor_n = 1024 if args.quick else 2048
+    a = jnp.ones((anchor_n, anchor_n), dtype=jnp.float32)
+    b_mat = jnp.ones((anchor_n, anchor_n), dtype=jnp.float32)
+    anchor_mm = jax.jit(lambda a, b: jnp.matmul(
+        a, b, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32))
+    rounds = 3 if args.quick else 8
     k_large = 8 if args.quick else 22
-    n_rep = 3 if args.quick else 5
-    stats = device_time_stats(
-        lambda: solve_batch(data, X0, config=cfg).u, n=n_rep, k_large=k_large
+    ab = interleaved_ab(
+        lambda: solve_batch(data, X0, config=cfg).u,
+        lambda: anchor_mm(a, b_mat),
+        rounds=rounds, k_large=k_large,
     )
-    t_call = stats["median_s"]
+    t_call = ab["t_a_median_s"]
+    t_anchor = ab["t_b_median_s"]
     solves_per_sec = batch / t_call
+    anchor_tflops = 2 * anchor_n**3 / t_anchor / 1e12
     detail["throughput_fp32_solves_per_sec"] = solves_per_sec
-    detail["throughput_fp32_stats"] = {
+    detail["throughput_fp32_interleaved"] = {
         "median_solves_per_sec": solves_per_sec,
-        "iqr_solves_per_sec": batch * stats["iqr_s"] / max(t_call, 1e-12) ** 2,
-        "n": stats["n"],
-        "samples_solves_per_sec": [batch / s for s in stats["samples_s"]],
+        # solve-batches completed per anchor-matmul time: the drift-free stat
+        "solves_per_anchor_median": ab["ratio_b_over_a_median"] * batch,
+        "solves_per_anchor_iqr": ab["ratio_b_over_a_iqr"] * batch,
+        "per_round_ratio_b_over_a": ab["ratios"],
+        "anchor": f"matmul {anchor_n}x{anchor_n} fp32 highest",
+        "anchor_tflops": anchor_tflops,
+        "rounds": ab["rounds"],
     }
     detail["batch_device_ms"] = t_call * 1e3
 
@@ -103,6 +202,7 @@ def main():
     detail["achieved_tflops"] = flops / t_call / 1e12
     detail["matmul_peak_tflops_measured"] = peak_tflops
     detail["pct_peak"] = 100.0 * detail["achieved_tflops"] / peak_tflops
+    _write_detail(detail)  # partial detail survives a later-section crash
 
     # --- correctness spot check vs oracle ---
     from tpu_gpad.problems.battery import default_x0
@@ -150,49 +250,45 @@ def main():
             fn()
         except Exception as ex:  # pragma: no cover - depends on the device
             detail[f"{name}_error"] = f"{type(ex).__name__}: {ex}"[:300]
+        _write_detail(detail)
+
+    def _rate(name, d, c, fn, batch_n, k=None):
+        """Record a throughput row WITH its routing metadata."""
+        t = device_time_per_call(fn, k_large=k or k_large)
+        detail[name + "_solves_per_sec"] = batch_n / t
+        detail[name + "_routing"] = routing(d, c)
+        return t
 
     def _fast_modes():
         # the precision ladder (docs/DESIGN.md section 8): "high" = 3-pass
         # bf16x3 fp32 (2x the MXU rate of "highest", u* within a few e-3);
         # "default" = 1-pass bf16 (~1e-2); bf16 operands the loosest
         cfg_high = SolverConfig(iterations=iters, engine=args.engine, precision="high")
-        t_high = device_time_per_call(
-            lambda: solve_batch(data, X0, config=cfg_high).u, k_large=k_large
-        )
-        detail["throughput_high_precision_solves_per_sec"] = batch / t_high
+        _rate("throughput_high_precision", data, cfg_high,
+              lambda: solve_batch(data, X0, config=cfg_high).u, batch)
         cfg_fast = SolverConfig(iterations=iters, engine=args.engine, precision="default")
-        t_fast = device_time_per_call(
-            lambda: solve_batch(data, X0, config=cfg_fast).u, k_large=k_large
-        )
-        detail["throughput_fast_precision_solves_per_sec"] = batch / t_fast
+        _rate("throughput_fast_precision", data, cfg_fast,
+              lambda: solve_batch(data, X0, config=cfg_fast).u, batch)
         cfg_bf16 = SolverConfig(iterations=iters, engine=args.engine, matmul_dtype="bfloat16")
-        t_bf16 = device_time_per_call(
-            lambda: solve_batch(data, X0, config=cfg_bf16).u, k_large=k_large
-        )
-        detail["throughput_bf16_solves_per_sec"] = batch / t_bf16
+        _rate("throughput_bf16", data, cfg_bf16,
+              lambda: solve_batch(data, X0, config=cfg_bf16).u, batch)
 
     def _serving_mode():
         # diagnostics=False: residual-free serving — the kernels drop their
         # w/zhat diagnostic outputs (u/z/y bit-identical, residual/gap NaN)
         cfg_srv = SolverConfig(iterations=iters, engine=args.engine,
                                diagnostics=False)
-        t_srv = device_time_per_call(
-            lambda: solve_batch(data, X0, config=cfg_srv).u, k_large=k_large
-        )
-        detail["throughput_serving_solves_per_sec"] = batch / t_srv
+        _rate("throughput_serving", data, cfg_srv,
+              lambda: solve_batch(data, X0, config=cfg_srv).u, batch)
         cfg_srv_f = SolverConfig(iterations=iters, engine=args.engine,
                                  precision="default", diagnostics=False)
-        t_srv_f = device_time_per_call(
-            lambda: solve_batch(data, X0, config=cfg_srv_f).u, k_large=k_large
-        )
-        detail["throughput_serving_fast_solves_per_sec"] = batch / t_srv_f
+        _rate("throughput_serving_fast", data, cfg_srv_f,
+              lambda: solve_batch(data, X0, config=cfg_srv_f).u, batch)
 
     def _xla_engine():
         cfg_xla = SolverConfig(iterations=iters, engine="xla")
-        t_xla = device_time_per_call(
-            lambda: solve_batch(data, X0, config=cfg_xla).u, k_large=k_large
-        )
-        detail["throughput_xla_engine_solves_per_sec"] = batch / t_xla
+        _rate("throughput_xla_engine", data, cfg_xla,
+              lambda: solve_batch(data, X0, config=cfg_xla).u, batch)
 
     def _eps_restart():
         # adaptive restart: eps-mode throughput at a real accuracy target
@@ -205,10 +301,8 @@ def main():
             np.max(np.asarray(res_re.iterations)))
         detail["eps1e5_restart_all_converged"] = bool(
             np.all(np.asarray(res_re.converged)))
-        t_re = device_time_per_call(
-            lambda: solve_batch(data_eps, X0, config=cfg_re).u, k_large=8
-        )
-        detail["eps1e5_restart_solves_per_sec"] = batch / t_re
+        _rate("eps1e5_restart", data_eps, cfg_re,
+              lambda: solve_batch(data_eps, X0, config=cfg_re).u, batch, k=8)
 
     def _long_horizon():
         # long horizon N=50 (BASELINE config 2). At this size the dual
@@ -216,11 +310,12 @@ def main():
         qp50 = tpu_gpad.condense(problems.battery(n_cells=n_cells, horizon=50))
         data50 = tpu_gpad.dualize(qp50, iterations=max(iters, 100), paired="auto")
         X0_50 = X0[:1024]
-        t50 = device_time_per_call(
-            lambda: solve_batch(data50, X0_50, config=cfg).u, k_large=10
-        )
-        detail["long_horizon_N50_solves_per_sec"] = X0_50.shape[0] / t50
-        f50 = solve_flops(data50, iters, resolve_form(data50, cfg))
+        t50 = _rate("long_horizon_N50", data50, cfg,
+                    lambda: solve_batch(data50, X0_50, config=cfg).u,
+                    X0_50.shape[0], k=10)
+        form50 = resolve_form(data50, cfg)
+        flat50 = form50 == "mvp" and resolve_flat(data50, cfg)
+        f50 = solve_flops(data50, iters, form50, flat=flat50)
         detail["long_horizon_N50_achieved_tflops"] = (
             f50 * X0_50.shape[0] / t50 / 1e12
         )
@@ -229,20 +324,14 @@ def main():
         )
         cfg50h = SolverConfig(iterations=iters, engine=args.engine,
                               precision="high")
-        t50h = device_time_per_call(
-            lambda: solve_batch(data50, X0_50, config=cfg50h).u, k_large=10
-        )
-        detail["long_horizon_N50_high_precision_solves_per_sec"] = (
-            X0_50.shape[0] / t50h
-        )
+        _rate("long_horizon_N50_high_precision", data50, cfg50h,
+              lambda: solve_batch(data50, X0_50, config=cfg50h).u,
+              X0_50.shape[0], k=10)
         cfg50f = SolverConfig(iterations=iters, engine=args.engine,
                               precision="default")
-        t50f = device_time_per_call(
-            lambda: solve_batch(data50, X0_50, config=cfg50f).u, k_large=10
-        )
-        detail["long_horizon_N50_fast_precision_solves_per_sec"] = (
-            X0_50.shape[0] / t50f
-        )
+        _rate("long_horizon_N50_fast_precision", data50, cfg50f,
+              lambda: solve_batch(data50, X0_50, config=cfg50f).u,
+              X0_50.shape[0], k=10)
 
     optional("fast_modes", _fast_modes)
     optional("serving_mode", _serving_mode)
@@ -251,15 +340,68 @@ def main():
         optional("eps_restart", _eps_restart)
         optional("long_horizon", _long_horizon)
 
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(detail, f, indent=2)
-    print(json.dumps({
-        "metric": "mpc_solves_per_sec_per_chip",
-        "value": round(solves_per_sec, 1),
-        "unit": "solves/s (battery n=3 N=10, %d iters, fp32, batch %d, %s)"
-                % (iters, batch, args.engine),
-        "vs_baseline": round(solves_per_sec / cpu_solves_per_sec, 1),
-    }))
+    _write_detail(detail)
+    return emit(
+        round(solves_per_sec, 1),
+        "solves/s (battery n=3 N=10, %d iters, fp32, batch %d, %s)"
+        % (iters, batch, args.engine),
+        vs_baseline=round(solves_per_sec / cpu_solves_per_sec, 1),
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--iterations", type=int, default=100)
+    parser.add_argument("--engine", default="pallas", choices=["xla", "pallas"])
+    parser.add_argument(
+        "--time-budget", type=float, default=420.0,
+        help="skip remaining OPTIONAL sections once this many seconds have "
+             "elapsed (tunnel compiles are 30s-10min; the headline metric "
+             "always completes)",
+    )
+    parser.add_argument(
+        "--probe-budget", type=float, default=480.0,
+        help="seconds to spend probing/retrying a dead backend before "
+             "emitting the structured tpu_unavailable line",
+    )
+    parser.add_argument(
+        "--no-probe", action="store_true",
+        help="skip the subprocess backend probe (CI/CPU smoke runs)",
+    )
+    args = parser.parse_args()
+    t_start = time.perf_counter()
+    unit = ("solves/s (battery n=3 N=10, %d iters, fp32, batch %d, %s)"
+            % (args.iterations, 256 if args.quick else args.batch, args.engine))
+
+    probe = {"ok": True, "platform": "unprobed", "attempts": 0}
+    if not args.no_probe:
+        probe = probe_backend(args.probe_budget)
+        if not probe["ok"]:
+            _write_detail({"error": "tpu_unavailable", "probe": probe})
+            return emit(None, unit, error="tpu_unavailable",
+                        extra={"probe_attempts": probe["attempts"],
+                               "probe_last_error": probe["last_error"]})
+
+    attempts = 2
+    for attempt in range(attempts):
+        try:
+            return run(args, t_start)
+        except Exception as ex:
+            traceback.print_exc()
+            msg = f"{type(ex).__name__}: {ex}"
+            retryable = any(m in msg for m in _BACKEND_ERR_MARKERS)
+            if retryable and attempt + 1 < attempts:
+                print("[bench] backend error mid-run; re-probing and "
+                      "retrying once", file=sys.stderr)
+                reprobe = probe_backend(min(args.probe_budget, 300.0))
+                if reprobe["ok"]:
+                    continue
+                return emit(None, unit, error="tpu_unavailable",
+                            extra={"mid_run_error": msg[:300]})
+            _write_detail({"error": msg[:1000]})
+            return emit(None, unit, error=msg[:300])
 
 
 if __name__ == "__main__":

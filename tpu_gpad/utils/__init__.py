@@ -2,6 +2,7 @@ from tpu_gpad.utils.timing import (
     device_time_per_call,
     device_time_percentiles,
     device_time_stats,
+    interleaved_ab,
     matmul_peak_tflops,
     wall_times,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "device_time_per_call",
     "device_time_percentiles",
     "device_time_stats",
+    "interleaved_ab",
     "matmul_peak_tflops",
     "solve_flops",
     "wall_times",

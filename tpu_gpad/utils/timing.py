@@ -102,6 +102,58 @@ def device_time_percentiles(
     }
 
 
+def _sized_k_large(fn, k_small: int, k_large: int, min_window_s: float) -> int:
+    t_probe = _run_chain(fn, k_large) / k_large
+    if t_probe * (k_large - k_small) < min_window_s:
+        k_large = k_small + max(int(min_window_s / max(t_probe, 1e-7)), 20)
+        k_large = min(k_large, 20000)
+    return k_large
+
+
+def interleaved_ab(
+    fn_a,
+    fn_b,
+    rounds: int = 8,
+    k_small: int = 2,
+    k_large: int = 22,
+    min_window_s: float = 0.15,
+) -> dict:
+    """Drift-cancelling A/B comparison: alternate slope-method windows.
+
+    Absolute device rates through the tunnel drift ±10% (and occasionally
+    2×) within a session, so sequential readings of A then B fabricate
+    wins. Alternating A/B windows and reporting per-round ratios cancels
+    the drift — both sides see the same chip/tunnel state each round.
+
+    Returns ``{"ratio_b_over_a_median", "ratio_b_over_a_iqr", "ratios",
+    "t_a_median_s", "t_b_median_s", "rounds"}``. ratio > 1 means A is
+    faster (B takes longer). Both fns must return a jax array that forces
+    the computation (e.g. ``res.u``, never a SolveResult)."""
+    _run_chain(fn_a, 2)
+    _run_chain(fn_b, 2)
+    ka = _sized_k_large(fn_a, k_small, k_large, min_window_s)
+    kb = _sized_k_large(fn_b, k_small, k_large, min_window_s)
+    t_as, t_bs, ratios = [], [], []
+    for _ in range(rounds):
+        ta = max((_run_chain(fn_a, ka) - _run_chain(fn_a, k_small))
+                 / (ka - k_small), 1e-9)
+        tb = max((_run_chain(fn_b, kb) - _run_chain(fn_b, k_small))
+                 / (kb - k_small), 1e-9)
+        t_as.append(ta)
+        t_bs.append(tb)
+        ratios.append(tb / ta)
+    r = np.asarray(ratios)
+    q1, q3 = np.percentile(r, [25, 75])
+    return {
+        "ratio_b_over_a_median": float(np.median(r)),
+        "ratio_b_over_a_iqr": float(q3 - q1),
+        "ratios": [float(x) for x in r],
+        "t_a_median_s": float(np.median(t_as)),
+        "t_b_median_s": float(np.median(t_bs)),
+        "rounds": int(rounds),
+    }
+
+
 def matmul_peak_tflops(
     dtype: str = "float32",
     precision: str = "highest",
