@@ -130,3 +130,58 @@ def test_uneven_batch_raises(setup):
     mesh = make_mesh(n_data=8)
     with pytest.raises(ValueError, match="not divisible"):
         solve_batch_sharded(data, X0[:30], SolverConfig(iterations=10), mesh=mesh)
+
+
+def test_tp_nondivisible_m_dense(setup):
+    """m=56 over a 3-way model axis: 56 % 3 != 0 — inert-row padding makes
+    TP accept any dual dimension (round-2 VERDICT item 7 / SURVEY section 7
+    'odd shapes'). u, y and residuals must match the single-device solve."""
+    data, X0 = setup
+    mesh = make_mesh(n_data=2, n_model=3)
+    ref = solve_batch(data, X0, config=SolverConfig(iterations=100))
+    out = solve_batch_sharded(
+        data, X0, SolverConfig(iterations=100), mesh=mesh, model_axis="model"
+    )
+    assert out.y.shape == ref.y.shape  # padding sliced back off
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.y), np.asarray(ref.y), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.residual), np.asarray(ref.residual), atol=1e-4
+    )
+
+
+def test_tp_nondivisible_m_paired(setup_paired):
+    """Paired layout: m_half=28 over a 3-way model axis (28 % 3 == 1)."""
+    data, X0 = setup_paired
+    mesh = make_mesh(n_data=2, n_model=3)
+    ref = solve_batch(data, X0, config=SolverConfig(iterations=100))
+    out = solve_batch_sharded(
+        data, X0, SolverConfig(iterations=100), mesh=mesh, model_axis="model"
+    )
+    assert out.y.shape == ref.y.shape
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.y), np.asarray(ref.y), atol=1e-4)
+
+
+def test_pad_dual_rows_is_inert(setup_paired):
+    """pad_dual_rows on a single device: identical u/z/residual/gap to the
+    unpadded solve, and the padded dual rows stay exactly zero."""
+    from tpu_gpad.parallel import pad_dual_rows
+
+    data, X0 = setup_paired
+    padded = pad_dual_rows(data, 5)
+    assert padded.m_half == data.m_half + 5
+    cfg = SolverConfig(iterations=100)
+    ref = solve_batch(data, X0, config=cfg)
+    out = solve_batch(padded, X0, config=cfg)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.y[..., : data.m_half]), np.asarray(ref.y), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(out.y[..., data.m_half:]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out.residual), np.asarray(ref.residual), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.gap), np.asarray(ref.gap), rtol=1e-5, atol=1e-6
+    )

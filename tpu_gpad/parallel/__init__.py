@@ -8,6 +8,7 @@ comm layer to build."""
 from tpu_gpad.parallel.distrib import (
     make_mesh,
     data_specs,
+    pad_dual_rows,
     solve_batch_sharded,
     solve_multi_sharded,
     shard_batch,
@@ -16,6 +17,7 @@ from tpu_gpad.parallel.distrib import (
 __all__ = [
     "make_mesh",
     "data_specs",
+    "pad_dual_rows",
     "solve_batch_sharded",
     "solve_multi_sharded",
     "shard_batch",

@@ -94,6 +94,49 @@ def shard_batch(mesh: Mesh, X0: jax.Array, data_axis: str = "data") -> jax.Array
     return jax.device_put(X0, jax.sharding.NamedSharding(mesh, P(data_axis, None)))
 
 
+# Inert-row p_D constant: projected dual of a padded row is
+# relu(w + q - _PAD_BIG) == 0 for any reachable w/q, so padded duals stay
+# exactly zero from the zero initialization. Finite (not -inf) so the
+# residual/gap recovery (L * (q + p_D), w * gz) stays NaN-free.
+_PAD_BIG = 1e20
+
+
+def pad_dual_rows(data: GPADData, pad: int) -> GPADData:
+    """Append ``pad`` inert dual rows so the dual dimension m divides a
+    model (tensor-parallel) mesh axis — the "odd shapes" recipe of
+    SURVEY.md section 7.
+
+    A padded row is a vacuous constraint ``0' z <= _PAD_BIG * L``: its
+    MG_T row / GL_T column (and D row+column) are zero, so it contributes
+    nothing to any matmul, and its p_D constant is ``-_PAD_BIG`` so its
+    projected dual is exactly 0 at every iteration (both signs in the
+    paired layout). Restart dot-products, residual maxima and the gap sum
+    are all unchanged by identically-zero rows. ``n_struct`` is cleared:
+    padding lands after the identity block, breaking the "rows
+    [n_struct:] == I" contract (TP never uses the flat path anyway)."""
+    import dataclasses
+
+    if pad <= 0:
+        return data
+    f32 = jnp.float32
+
+    def pad_last(a, value=0.0):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, widths, constant_values=value)
+
+    MG_T = jnp.pad(data.MG_T, [(0, pad), (0, 0)])  # (m(_h)+pad, n_z)
+    GL_T = pad_last(data.GL_T)  # (n_z, m(_h)+pad)
+    pD_map = pad_last(data.pD_map)
+    pD_const = pad_last(data.pD_const, value=jnp.asarray(-_PAD_BIG, f32))
+    D = None
+    if data.D is not None:
+        D = jnp.pad(data.D, [(0, pad), (0, pad)])
+    return dataclasses.replace(
+        data, MG_T=MG_T, GL_T=GL_T, pD_map=pD_map, pD_const=pD_const, D=D,
+        n_struct=None,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "mesh", "data_axis", "model_axis")
 )
@@ -109,9 +152,11 @@ def solve_batch_sharded(
     """Mesh-sharded batched solve via shard_map.
 
     ``X0`` (B, n_x) shards along ``data_axis`` (B must divide evenly);
-    optionally the dual dimension shards along ``model_axis`` (m must divide
-    evenly). In eps mode the loop exits only when every scenario on every
-    device has converged (psum'd predicate)."""
+    optionally the dual dimension shards along ``model_axis``. A dual
+    dimension that does not divide the model axis is padded with inert
+    rows (``pad_dual_rows``) and the returned dual ``y`` is sliced back to
+    the true m — any m is accepted. In eps mode the loop exits only when
+    every scenario on every device has converged (psum'd predicate)."""
     import dataclasses
 
     n_data = mesh.shape[data_axis] if data_axis else 1
@@ -119,10 +164,9 @@ def solve_batch_sharded(
     if X0.shape[0] % n_data:
         raise ValueError(f"batch {X0.shape[0]} not divisible by data axis {n_data}")
     m_dim = data.m_half if data.paired else data.m
-    if m_dim % n_model:
-        raise ValueError(
-            f"dual dim {m_dim} not divisible by model axis {n_model}"
-        )
+    dual_pad = (-m_dim) % n_model
+    if dual_pad:
+        data = pad_dual_rows(data, dual_pad)
 
     inner_cfg = dataclasses.replace(
         config,
@@ -140,7 +184,10 @@ def solve_batch_sharded(
         out_specs=result_specs(data_axis, model_axis, paired=data.paired),
         check_vma=False,
     )
-    return shmapped(data, X0)
+    out = shmapped(data, X0)
+    if dual_pad:
+        out = dataclasses.replace(out, y=out.y[..., :m_dim])
+    return out
 
 
 def _stacked_data_specs(like: GPADData, plant_axis: str) -> GPADData:
