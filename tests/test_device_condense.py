@@ -237,8 +237,24 @@ def test_power_lmax_dominant_mode_orthogonal_to_ones():
     vecs = np.concatenate([v_top[:, None], rest_q[:, : n - 1]], axis=1)
     vals = np.concatenate([[1.0], 0.9 * rng.uniform(0.1, 1.0, n - 1)])
     M = (vecs * vals) @ vecs.T
-    est = float(_power_lmax(jnp.asarray(M, jnp.float32)))
-    assert est > 0.97  # locked onto the dominant mode, not a 0.9-scaled one
+    est, resid = _power_lmax(jnp.asarray(M, jnp.float32))
+    assert float(est) > 0.97  # locked onto the dominant mode, not 0.9-scaled
+    assert float(resid) < 0.02  # converged: the caller may trust the estimate
+
+
+def test_power_lmax_residual_flags_nonconvergence():
+    """With a tiny eigengap and too few iterations, the Rayleigh estimate
+    underestimates lambda_max — the residual must flag it so dualize falls
+    back to the certified inf-norm bound (ADVICE round 2)."""
+    from tpu_gpad.device_condense import _power_lmax
+
+    n = 32
+    rng = np.random.default_rng(5)
+    Qm, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    vals = np.concatenate([[1.0, 0.999], rng.uniform(0.1, 0.9, n - 2)])
+    M = (Qm * vals) @ Qm.T
+    _, resid_short = _power_lmax(jnp.asarray(M, jnp.float32), iters=2)
+    assert float(resid_short) > 0.02  # not converged -> certified fallback
 
 
 def _pendulum_nmpc(device_condense, sqp_iters=2):

@@ -6,6 +6,7 @@ boxes only)."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 import tpu_gpad
 from tpu_gpad import problems
@@ -96,6 +97,26 @@ def test_controller_reset_seeds_u_prev():
     # next move must stay within du of the seeded actuator position
     # (exact optimum is the lower rate edge 0.4)
     assert np.abs(u - 0.5).max() <= 0.1 + 5e-3, u
+
+
+def test_controller_rate_batch_change_raises():
+    """Silently zeroing u_prev on a batch-size change would let the next
+    move violate the physical slew limit with no signal (round-2 ADVICE);
+    an ambiguous change must raise, a single stored move must broadcast."""
+    problem = _rate_problem(horizon=8, du=0.25)
+    ctrl = tpu_gpad.Controller(
+        problem, config=SolverConfig(iterations=200, restart=True)
+    )
+    X2 = np.array([[1.0, 0.0], [0.5, 0.2]], dtype=np.float32)
+    ctrl.step(X2)  # stored u_prev now has batch 2
+    with pytest.raises(ValueError, match="batch size changed"):
+        ctrl.step(np.array([1.0, 0.0], dtype=np.float32))
+    # a single stored move broadcasts to a larger batch (same actuator)
+    ctrl.reset()
+    u1 = ctrl.step(np.array([3.0, 0.0], dtype=np.float32))
+    X3 = np.array([[3.0, 0.0], [3.0, 0.0], [3.0, 0.0]], dtype=np.float32)
+    u3 = ctrl.step(X3)
+    assert np.abs(u3 - u1).max() <= 0.25 + 5e-3  # limited vs the real move
 
 
 def test_simulate_rate_batch():

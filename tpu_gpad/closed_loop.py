@@ -390,10 +390,29 @@ class Controller:
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
         if self.rate:
             u_prev = self._u_prev
-            if u_prev is None or u_prev.shape[0] != x.shape[0]:
+            if u_prev is None:
                 u_prev = jnp.zeros(
                     (x.shape[0], self.data.n_u), dtype=jnp.float32
                 )
+            elif u_prev.shape[0] != x.shape[0]:
+                # unlike a dropped warm start (benign), resetting u_prev
+                # changes the CONSTRAINT semantics: the next move would be
+                # slew-limited against an assumed at-rest actuator and the
+                # physical rate limit could be violated without any signal.
+                # A single stored move broadcasts safely (same actuator
+                # state for every scenario); anything else must be stated
+                # explicitly via reset(u_prev=...).
+                if u_prev.shape[0] == 1:
+                    u_prev = jnp.broadcast_to(
+                        u_prev, (x.shape[0], self.data.n_u)
+                    )
+                else:
+                    raise ValueError(
+                        f"rate-limited controller: batch size changed "
+                        f"{u_prev.shape[0]} -> {x.shape[0]} mid-run; the "
+                        f"stored previous move is ambiguous. Call "
+                        f"reset(u_prev=...) with the actuator state first."
+                    )
             x = jnp.concatenate([x, u_prev], axis=-1)
         y0 = self._y if self.warm_start else None
         if y0 is not None and y0.shape[0] != x.shape[0]:

@@ -115,7 +115,13 @@ def _power_lmax(M: jax.Array, iters: int = 96) -> jax.Array:
         return w / jnp.linalg.norm(w)
 
     v = jax.lax.fori_loop(0, iters, body, v0)
-    return v @ (M @ v)  # Rayleigh quotient of the converged iterate
+    Mv = M @ v
+    lam = v @ Mv  # Rayleigh quotient of the converged iterate
+    # relative eigen-residual ||Mv - lam v|| / lam: ~0 when the iterate has
+    # converged to the dominant eigenvector; O(1) when a small eigengap
+    # left it short (in which case lam may badly underestimate lambda_max)
+    resid = jnp.linalg.norm(Mv - lam * v) / jnp.maximum(lam, 1e-30)
+    return lam, resid
 
 
 @_highest_matmuls
@@ -312,13 +318,18 @@ def dualize_ltv_device(
     Hd_h = P @ Hinv_Pt  # half-stack dual Hessian P H^-1 P'
     Hd_h = 0.5 * (Hd_h + Hd_h.T)
     # full-stack G = [P; -P] doubles lambda_max. The Rayleigh-quotient
-    # estimate lower-bounds lambda_max; the 5% margin covers the residual
-    # power-method gap at small eigengaps (L only needs to be an upper
-    # bound — 5% costs ~2.5% extra iterations), and the certified
-    # max-abs-row-sum bound caps it from above
-    est = 1.05 * (2.0 * _power_lmax(Hd_h, power_iters))
+    # estimate lower-bounds lambda_max, so it is only trusted when the
+    # power iterate has actually converged (eigen-residual small); a small
+    # eigengap can leave the iterate short after the fixed budget, and an
+    # underestimated L breaks the GPAD convergence guarantee. On poor
+    # convergence fall back to the CERTIFIED max-abs-row-sum bound
+    # (||.||_inf >= lambda_max for symmetric PSD) — conservative (more
+    # iterations to a given accuracy) but never invalid. The 5% margin on
+    # the converged estimate costs ~2.5% extra iterations.
+    lam, lam_resid = _power_lmax(Hd_h, power_iters)
+    est = 1.05 * (2.0 * lam)
     cert = 2.0 * jnp.max(jnp.sum(jnp.abs(Hd_h), axis=1))  # ||.||_inf, symmetric
-    L = jnp.minimum(est, cert)
+    L = jnp.where(lam_resid < 0.02, jnp.minimum(est, cert), cert)
 
     MG_T = Hinv_Pt.T  # (m_h, n_z)
     GL_T = P.T / L
