@@ -138,6 +138,58 @@ def dual_tiled_fits(data: GPADData) -> bool:
     )
 
 
+# The HBM-streamed flat (mvp-form) kernel's VMEM-resident scratch:
+# 8 dual-height (S_hf, B_t) arrays (y+/y- ping-pong, w+/w-, c+/c-) and
+# 3 primal-height (S_z, B_t) arrays (g_P, z, zhat accumulator). The two
+# streamed operand blocks (MGf column chunk, GLs row chunk) are Mosaic
+# double-buffered on top.
+FLAT_TILED_DUAL_ARRAYS = 8
+FLAT_TILED_PRIMAL_ARRAYS = 3
+
+
+def pick_flat_tiled_tiles(
+    m_half: int, n_z: int, n_struct: int, tile: int | None = None
+):
+    """(B_t, T, S_s, S_z, S_hf) for the HBM-streamed flat kernel, or None.
+
+    ``T`` is both the streamed chunk width (MGf columns / GLs rows) and the
+    alignment of the structural region ``S_s = round_up(n_struct, T)``; the
+    padded dual height is ``S_hf = round_up(S_s + S_z, T)`` laid out
+    [struct | box | tail-pad]. Larger ``B_t`` raises the streams'
+    arithmetic intensity (B_t/2 flops per streamed byte) but multiplies
+    the 8 dual-height scratch arrays, so the flagship lands on
+    (B_t=128, T=128). ``tile`` forces T (tests use tiny values to exercise
+    multi-chunk grids on small problems)."""
+    S_z = _round_up(n_z, SUBLANE)
+    for B_t in (256, LANE):
+        for T in ((tile,) if tile else (256, LANE)):
+            T = max(T, SUBLANE)
+            S_s = _round_up(max(n_struct, 1), T)
+            S_hf = _round_up(S_s + S_z, T)
+            scratch = 4 * (
+                FLAT_TILED_DUAL_ARRAYS * S_hf
+                + FLAT_TILED_PRIMAL_ARRAYS * S_z
+            ) * B_t
+            dbuf = 2 * 4 * S_z * T * 2  # two streamed operands, dbuffed
+            if scratch + dbuf <= _VMEM_BUDGET:
+                return B_t, T, S_s, S_z, S_hf
+    return None
+
+
+def flat_tiled_fits(data: GPADData) -> bool:
+    """Can the HBM-streamed flat (mvp-form) kernel run this problem?
+
+    Needs the paired flat layout with a non-empty structural block (same
+    zero-row caveat as ``flat_fits_vmem``)."""
+    return (
+        data.paired
+        and data.n_struct is not None
+        and data.n_struct > 0
+        and pick_flat_tiled_tiles(data.m_half, data.n_z, data.n_struct)
+        is not None
+    )
+
+
 def _prep_operand(M: jax.Array, mm_dtype, precision: str):
     """Prepare a constant matmul operand for a kernel.
 
@@ -1569,6 +1621,342 @@ def gpad_pallas_fixed_paired_flat(
     return z[:n_z, :B].T, y, w, zhat[:n_z, :B].T
 
 
+def _gpad_kernel_flat_tiled(
+    # scalar prefetch
+    theta_ref,
+    beta_ref,
+    # ANY (HBM) inputs: per-scenario constants + warm-start dual
+    cp_hbm,  # (S_hf, B_p) p_D plus rows, flat [struct | box | pad] layout
+    cm_hbm,
+    gP_hbm,  # (S_z, B_p)
+    ypi_hbm,  # (S_hf, B_p) warm-start duals (zeros when cold)
+    ymi_hbm,
+    # VMEM-blocked streamed operands
+    MGf_ref,  # (S_z, T) column chunk of [MG_s' | H^-1 | 0]
+    GLs_ref,  # (T, S_z) row chunk of (P_s / L) — structural rows only
+    invL_ref,  # (1, 1) SMEM: 1/L for the identity-block rows
+    # ANY (HBM) outputs
+    z_hbm,
+    yp_hbm,
+    ym_hbm,
+    wp_hbm,
+    wm_hbm,
+    zh_hbm,
+    # scratch (the ONLY VMEM-resident state)
+    ypb,  # (2, S_hf, B_t) ping-pong: slot it%2 = y at the top of iteration it
+    ymb,
+    wpb,  # (S_hf, B_t) current-iteration extrapolated duals
+    wmb,
+    cpb,  # (S_hf, B_t) p_D constants
+    cmb,
+    gPb,  # (S_z, B_t)
+    zb,  # (S_z, B_t) primal convex combination
+    zhb,  # (S_z, B_t) step-2 accumulator, finalized to zhat at the A->B edge
+    sem,  # (8,) DMA semaphores
+    *,
+    n_it: int,
+    B_t: int,
+    R_A: int,
+    S_s: int,
+    S_z: int,
+    mm_dtype,
+    precision,
+):
+    """``n_it`` flat mvp-form iterations with BOTH operands streamed from HBM.
+
+    The whole-VMEM flat kernel (``_gpad_kernel_paired_flat``) declines
+    problems whose operands + ~26 double-buffered state blocks exceed VMEM —
+    notably the reference's flagship 30x30 shape, where the flat mvp form
+    does ~25% fewer flops per iteration than the dual form the tiled dual
+    kernel runs (2*n_z*(m_h + n_struct) vs 2*m_h^2;
+    ``kernel_functions.cu:74-109`` is the CUDA flat analogue). State lives
+    in VMEM scratch (ANY-ref edges DMA'd once per batch tile); per
+    iteration the grid's third axis first streams the step-2 operand
+    ``MGf = [MG_s' | H^-1]`` one (S_z, T) column chunk at a time
+    (accumulating ``zhat``), then the step-4 structural operand
+    ``GLs = P_s / L`` one (T, S_z) row chunk at a time (projecting dual
+    rows); the box rows ride the last chunk for free (``zhat / L``). At
+    B_t lanes the combined stream's intensity is B_t/2 flops/byte —
+    compute-bound for fp32-highest on v5e from B_t=128 up. Grid:
+    (batch_tiles, n_it, R_A + R_B). No restart (mvp form carries no
+    momentum recursion in the kernels); fixed mode only.
+    """
+    i, it, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    R = pl.num_programs(2)
+    T = GLs_ref.shape[-2]
+    cur = jax.lax.rem(it, 2)
+    prv = jax.lax.rem(it + 1, 2)
+    off = i * B_t
+
+    @pl.when(jnp.logical_and(it == 0, r == 0))
+    def _load_tile():
+        lane = pl.ds(off, B_t)
+        copies = (
+            (cp_hbm.at[:, lane], cpb, 0),
+            (cm_hbm.at[:, lane], cmb, 1),
+            (gP_hbm.at[:, lane], gPb, 2),
+            (ypi_hbm.at[:, lane], ypb.at[0], 3),
+            (ymi_hbm.at[:, lane], ymb.at[0], 4),
+            (ypi_hbm.at[:, lane], ypb.at[1], 5),
+            (ymi_hbm.at[:, lane], ymb.at[1], 6),
+        )
+        dmas = [
+            pltpu.make_async_copy(src, dst, sem.at[k]) for src, dst, k in copies
+        ]
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+        zb[:] = gPb[:] * 0.0
+
+    @pl.when(r < R_A)
+    def _phase_a():
+        # step 1 for this column chunk of dual rows (recomputed from the
+        # ping-pong slots — w is stored so phase B and the diagnostics
+        # outputs reuse it) + the step-2 partial product
+        beta_k = beta_ref[it]
+        cols = pl.ds(r * T, T)
+        ypc = ypb[cur, cols]
+        ymc = ymb[cur, cols]
+        wp = ypc + beta_k * (ypc - ypb[prv, cols])
+        wm = ymc + beta_k * (ymc - ymb[prv, cols])
+        wpb[cols] = wp
+        wmb[cols] = wm
+        part = _kdot(_load_op(MGf_ref, mm_dtype), wp - wm, precision)
+
+        @pl.when(r == 0)
+        def _init_acc():
+            zhb[:] = part
+
+        @pl.when(r > 0)
+        def _accum():
+            zhb[:] = zhb[:] + part
+
+    @pl.when(r == R_A)
+    def _finalize_zhat():
+        # steps 2 (constant term) and 3 once per iteration
+        theta_k = theta_ref[it]
+        zh = -zhb[:] - gPb[:]
+        zhb[:] = zh
+        zb[:] = (1.0 - theta_k) * zb[:] + theta_k * zh
+
+    @pl.when(r >= R_A)
+    def _phase_b():
+        # step 4 for this row chunk of STRUCTURAL dual rows
+        rows = pl.ds((r - R_A) * T, T)
+        q = _kdot(_load_op(GLs_ref, mm_dtype), zhb[:], precision)
+        ypb[prv, rows] = jnp.maximum(wpb[rows] + q + cpb[rows], 0.0)
+        ymb[prv, rows] = jnp.maximum(wmb[rows] - q + cmb[rows], 0.0)
+
+        @pl.when(r == R - 1)
+        def _box_rows():
+            # identity-block rows: q = zhat / L, no MXU work (the flat cut)
+            box = pl.ds(S_s, S_z)
+            qb = zhb[:] * invL_ref[0, 0]
+            ypb[prv, box] = jnp.maximum(wpb[box] + qb + cpb[box], 0.0)
+            ymb[prv, box] = jnp.maximum(wmb[box] - qb + cmb[box], 0.0)
+
+    @pl.when(jnp.logical_and(it == n_it - 1, r == R - 1))
+    def _store_tile():
+        lane = pl.ds(off, B_t)
+        copies = (
+            (zb, z_hbm.at[:, lane], 0),
+            (ypb.at[prv], yp_hbm.at[:, lane], 1),
+            (ymb.at[prv], ym_hbm.at[:, lane], 2),
+            (wpb, wp_hbm.at[:, lane], 3),
+            (wmb, wm_hbm.at[:, lane], 4),
+            (zhb, zh_hbm.at[:, lane], 5),
+        )
+        dmas = [
+            pltpu.make_async_copy(src, dst, sem.at[k]) for src, dst, k in copies
+        ]
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "matmul_dtype", "precision", "interpret", "diagnostics",
+        "tile",
+    ),
+)
+def gpad_pallas_fixed_flat_tiled(
+    data: GPADData,
+    g_P: jax.Array,
+    p_D: jax.Array,
+    y0: jax.Array | None = None,
+    *,
+    iterations: int,
+    matmul_dtype: str = "float32",
+    precision: str = "highest",
+    interpret: bool = False,
+    diagnostics: bool = True,
+    tile: int | None = None,
+):
+    """Whole-solve entry for the HBM-streamed flat (mvp-form) kernel.
+
+    Same contract as ``gpad_pallas_fixed_paired_flat`` ((z, y, w, zhat) in
+    batch-major convention); used when the whole-VMEM flat kernel's budget
+    guard declines the problem (``flat_fits_vmem`` False) but
+    ``flat_tiled_fits`` holds — the reference's flagship 30x30 shape being
+    the motivating case (VERDICT round 2 item 3). ``tile`` overrides the
+    streamed chunk width (tests use small values to exercise multi-chunk
+    grids on tiny problems)."""
+    if data.n_struct is None or data.n_struct == 0:
+        raise ValueError(
+            "flat tiled kernel needs paired data with a non-empty "
+            "identity-block structural region (GPADData.n_struct)"
+        )
+    B = g_P.shape[0]
+    m_h, n_z, n_s = data.m_half, data.n_z, data.n_struct
+    picked = pick_flat_tiled_tiles(m_h, n_z, n_s, tile=tile)
+    if picked is None:
+        raise ValueError(
+            f"problem (m_half={m_h}, n_z={n_z}) exceeds even the flat "
+            "tiled kernel's VMEM budget; use engine='xla'"
+        )
+    B_t, T, S_s, S_z, S_hf = picked
+    B_p = _round_up(B, B_t)
+    R_A = S_hf // T
+    R_B = S_s // T
+    mm_dtype = jnp.dtype(matmul_dtype)
+
+    def to_flat(x2):  # (B, m_h) -> (S_hf, B_p) in flat padded layout
+        return jnp.concatenate(
+            [
+                _pad2(x2[:, :n_s].T, S_s, B_p),
+                _pad2(x2[:, n_s:].T, S_hf - S_s, B_p),
+            ],
+            axis=0,
+        )
+
+    # step-2 operand [MG_s' | H^-1 | 0] — box columns are MG_T's identity
+    # rows (== H^-1), tail-pad columns zero (inert: their dual rows stay 0)
+    MGf = _prep_operand(
+        jnp.concatenate(
+            [
+                _pad2(data.MG_T[:n_s].T, S_z, S_s),
+                _pad2(data.MG_T[n_s:].T, S_z, S_hf - S_s),
+            ],
+            axis=1,
+        ),
+        mm_dtype,
+        precision,
+    )
+    GLs = _prep_operand(
+        _pad2(data.GL_T[:, :n_s].T, S_s, S_z), mm_dtype, precision
+    )
+    invL = (1.0 / data.L).astype(jnp.float32).reshape(1, 1)
+    gPT = _pad2(g_P.T, S_z, B_p)
+    cpT = to_flat(p_D[:, 0, :])
+    cmT = to_flat(p_D[:, 1, :])
+    if y0 is None:
+        ypT = jnp.zeros((S_hf, B_p), dtype=jnp.float32)
+        ymT = ypT
+    else:
+        y0b = _norm_y0(y0, B, m_h)
+        ypT = to_flat(y0b[:, 0, :])
+        ymT = to_flat(y0b[:, 1, :])
+    theta = data.theta[:iterations]
+    beta = data.beta[:iterations]
+
+    kernel = functools.partial(
+        _gpad_kernel_flat_tiled,
+        n_it=iterations,
+        B_t=B_t,
+        R_A=R_A,
+        S_s=S_s,
+        S_z=S_z,
+        mm_dtype=mm_dtype,
+        precision=_kernel_precision(mm_dtype, precision),
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if MGf.ndim == 3:  # stacked bf16 (hi, lo) pair of the 3-pass fp32 path
+        mgf_spec = pl.BlockSpec(
+            (2, S_z, T),
+            lambda i, it, r, th, be: (0, 0, jnp.minimum(r, R_A - 1)),
+            memory_space=pltpu.VMEM,
+        )
+        gls_spec = pl.BlockSpec(
+            (2, T, S_z),
+            lambda i, it, r, th, be: (0, jnp.maximum(r - R_A, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        mgf_spec = pl.BlockSpec(
+            (S_z, T),
+            lambda i, it, r, th, be: (0, jnp.minimum(r, R_A - 1)),
+            memory_space=pltpu.VMEM,
+        )
+        gls_spec = pl.BlockSpec(
+            (T, S_z),
+            lambda i, it, r, th, be: (jnp.maximum(r - R_A, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B_p // B_t, iterations, R_A + R_B),
+        in_specs=[any_spec] * 5
+        + [
+            mgf_spec,
+            gls_spec,
+            pl.BlockSpec(
+                (1, 1), lambda i, it, r, th, be: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[any_spec] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, S_hf, B_t), jnp.float32),  # y+ ping-pong
+            pltpu.VMEM((2, S_hf, B_t), jnp.float32),  # y- ping-pong
+            pltpu.VMEM((S_hf, B_t), jnp.float32),  # w+
+            pltpu.VMEM((S_hf, B_t), jnp.float32),  # w-
+            pltpu.VMEM((S_hf, B_t), jnp.float32),  # c+ (p_D plus)
+            pltpu.VMEM((S_hf, B_t), jnp.float32),  # c- (p_D minus)
+            pltpu.VMEM((S_z, B_t), jnp.float32),  # g_P
+            pltpu.VMEM((S_z, B_t), jnp.float32),  # z
+            pltpu.VMEM((S_z, B_t), jnp.float32),  # zhat accumulator
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((S_z, B_p), jnp.float32)]
+            + [jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32)] * 4
+            + [jax.ShapeDtypeStruct((S_z, B_p), jnp.float32)]
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * S_z * S_hf + 2 * S_s * S_z) * iterations * B_p,
+            # both operands stream once per iteration per batch tile
+            bytes_accessed=4 * (S_z * S_hf + S_s * S_z) * iterations
+            * (B_p // B_t)
+            + 4 * 11 * S_hf * B_p,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(theta, beta, cpT, cmT, gPT, ypT, ymT, MGf, GLs, invL)
+    z, yp, ym, wp, wm, zhat = outs
+
+    def from_flat(xf):  # (S_hf, B_p) -> (B, m_h) in data row order
+        return jnp.concatenate(
+            [xf[:n_s, :B], xf[S_s : S_s + n_z, :B]], axis=0
+        ).T
+
+    y = jnp.stack([from_flat(yp), from_flat(ym)], axis=1)
+    if not diagnostics:
+        # the streamed kernel's state already lives at HBM edges, so the
+        # w/zhat writes are one DMA per tile — only the host-side residual
+        # recovery is skipped by the flag
+        return z[:n_z, :B].T, y, None, None
+    w = jnp.stack([from_flat(wp), from_flat(wm)], axis=1)
+    return z[:n_z, :B].T, y, w, zhat[:n_z, :B].T
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1749,13 +2137,19 @@ def solve_batch_pallas(
             )
         elif data.paired:
             # flat (identity-block) variant when detected + it fits:
-            # 2*n_z^2 fewer flops/iter than the dense paired product
-            use_flat = _core.resolve_flat(data, config) and flat_fits_vmem(data)
-            fixed = (
-                gpad_pallas_fixed_paired_flat
-                if use_flat
-                else gpad_pallas_fixed_paired
-            )
+            # 2*n_z^2 fewer flops/iter than the dense paired product.
+            # VMEM-oversized flat stacks stream both operands from HBM
+            # (gpad_pallas_fixed_flat_tiled) instead of demoting to the
+            # dense paired kernel (which cannot fit them either).
+            if _core.resolve_flat(data, config):
+                if flat_fits_vmem(data):
+                    fixed = gpad_pallas_fixed_paired_flat
+                elif flat_tiled_fits(data):
+                    fixed = gpad_pallas_fixed_flat_tiled
+                else:
+                    fixed = gpad_pallas_fixed_paired
+            else:
+                fixed = gpad_pallas_fixed_paired
         else:
             fixed = gpad_pallas_fixed
         if config.restart and form != "dual":
