@@ -103,3 +103,47 @@ def test_validation_and_reset():
     assert robust.plans is not None
     robust.reset()
     assert robust.plans is None and robust._y is None
+
+
+def test_device_condense_matches_host():
+    """RobustNMPC(device_condense=True): one fused device program per SQP
+    pass reproduces the host-condensed result (fp32 vs float64 tolerance);
+    round-2 VERDICT item 4."""
+    models = [_pendulum_f(g) for g in (8.8, 9.81, 10.8)]
+    host = RobustNMPC(models, **_KW)
+    dev = RobustNMPC(models, device_condense=True, **_KW)
+    x = np.array([2.3, -0.1], dtype=np.float32)
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    u_h = host.step(x, ref)
+    u_d = dev.step(x, ref)
+    np.testing.assert_allclose(u_d, u_h, atol=3e-3)
+    # shared first move is preserved by the device path too
+    firsts = dev.plans[:, 0]
+    np.testing.assert_array_equal(firsts[0], firsts[1])
+    np.testing.assert_array_equal(firsts[1], firsts[2])
+
+
+def test_device_condense_closed_loop_and_warm_start():
+    """Closed loop on the strongest-gravity plant: the device-condensed
+    robust controller settles near upright (warm starts threaded through
+    the fused pass across samples)."""
+    models = [_pendulum_f(g) for g in (8.8, 9.81, 10.8)]
+    robust = RobustNMPC(models, device_condense=True, **_KW)
+    plant = models[2]
+    ref = np.array([np.pi, 0.0], dtype=np.float32)
+    x = np.array([2.2, 0.0], dtype=np.float32)
+    for _ in range(45):
+        u = robust.step(x, ref)
+        x = np.asarray(plant(jnp.asarray(x), jnp.asarray(u)), dtype=np.float32)
+    assert abs(x[0] - np.pi) < 0.1
+
+
+def test_device_condense_validation():
+    kw = dict(_KW)
+    with pytest.raises(ValueError, match="hard boxes only"):
+        RobustNMPC([_pendulum_f(9.81)], device_condense=True,
+                   soft_state=1e3, **kw)
+    kw_nobox = dict(kw)
+    kw_nobox.pop("u_min"), kw_nobox.pop("u_max")
+    with pytest.raises(ValueError, match="input boxes"):
+        RobustNMPC([_pendulum_f(9.81)], device_condense=True, **kw_nobox)

@@ -17,8 +17,11 @@ per-stage Q/R weights, input boxes (required — they give the paired
 [P; -P] stack and the flat identity block), optional state boxes
 (constant or per-stage, e.g. tube-tightened), input rate (slew) limits
 with ``u_prev`` as a trailing parameter, per-stage input couplings
-``K_u u_k = 0``, per-stage affine offsets ``c``. Soft constraints and
-polytopes stay on the host path.
+``K_u u_k = 0``, per-stage affine offsets ``c``. MULTI-SCENARIO robust
+stacks (shared-first-move selector over per-scenario models) get the
+same treatment via ``dualize_scenario_device`` — the device twin of
+``robust.scenario_qp`` powering ``RobustNMPC(device_condense=True)``.
+Soft constraints and polytopes stay on the host path.
 
 Numerics: everything is fp32 on TPU. The two linear solves against H use
 Cholesky + one step of iterative refinement, and the Lipschitz constant
@@ -122,6 +125,19 @@ def _power_lmax(M: jax.Array, iters: int = 96) -> jax.Array:
     # left it short (in which case lam may badly underestimate lambda_max)
     resid = jnp.linalg.norm(Mv - lam * v) / jnp.maximum(lam, 1e-30)
     return lam, resid
+
+
+def _stage_box(v, N: int, n: int, what: str) -> jax.Array:
+    """Validate constant (n,) or per-stage (N, n) box bounds and ravel to
+    the stage-major (N*n,) layout the paired stacks use."""
+    arr = np.asarray(v, np.float32)
+    if arr.ndim == 1:
+        arr = np.tile(arr, (N, 1))
+    if arr.shape != (N, n):
+        raise ValueError(
+            f"{what} must be ({n},) or ({N},{n}); got {np.asarray(v).shape}"
+        )
+    return jnp.asarray(arr.ravel())
 
 
 @_highest_matmuls
@@ -238,16 +254,8 @@ def dualize_ltv_device(
     I_z = jnp.eye(n_z, dtype=f32)
     zeros_pz = jnp.zeros((n_z, n_p), f32)
 
-    def stage_box(v, n, what):  # constant (n,) or per-stage (N, n) bounds
-        arr = np.asarray(v, np.float32)
-        if arr.ndim == 1:
-            arr = np.tile(arr, (N, 1))
-        if arr.shape != (N, n):
-            raise ValueError(
-                f"{what} must be ({n},) or ({N},{n}); got "
-                f"{np.asarray(v).shape}"
-            )
-        return jnp.asarray(arr.ravel())
+    def stage_box(v, n, what):
+        return _stage_box(v, N, n, what)
 
     u_max_t = stage_box(u_max, n_u, "u_max")
     u_min_t = stage_box(u_min, n_u, "u_min")
@@ -305,7 +313,6 @@ def dualize_ltv_device(
     Em_rows.append(zeros_pz)
 
     P = jnp.concatenate(P_rows, axis=0)  # (m_h, n_z)
-    n_struct = int(P.shape[0] - n_z)
     b0_plus = jnp.concatenate(b0p_rows)
     b0_minus = jnp.concatenate(b0m_rows)
     E_plus = jnp.concatenate(Ep_rows, axis=0)
@@ -314,7 +321,27 @@ def dualize_ltv_device(
         # the cost never sees u_prev: zero parameter rows in F
         F = jnp.concatenate([F, jnp.zeros((n_u, n_z), f32)], axis=0)
 
-    Hinv_Pt = _chol_solve_refined(H, P.T)  # (n_z, m_h)
+    return _finish_dualize(
+        P, b0_plus, b0_minus, E_plus, E_minus, H, F, g_vec,
+        n_u=n_u, n_p=n_p, horizon=N, iterations=iterations,
+        schedule=schedule, power_iters=power_iters, name=name,
+    )
+
+
+def _finish_dualize(
+    P, b0_plus, b0_minus, E_plus, E_minus, H, F, g_vec, *,
+    n_u: int, n_p: int, horizon: int, iterations: int,
+    schedule: str, power_iters: int, name: str,
+) -> GPADData:
+    """Dualize a paired flat half stack (shared by the LTV and scenario
+    device paths): dual Hessian, safe Lipschitz bound, GPAD operands.
+
+    ``P`` is the (m_h, n_zt) half stack with the identity block LAST
+    (n_struct = m_h - n_zt rows of structure before it)."""
+    n_zt = P.shape[1]
+    n_struct = int(P.shape[0] - n_zt)
+
+    Hinv_Pt = _chol_solve_refined(H, P.T)  # (n_zt, m_h)
     Hd_h = P @ Hinv_Pt  # half-stack dual Hessian P H^-1 P'
     Hd_h = 0.5 * (Hd_h + Hd_h.T)
     # full-stack G = [P; -P] doubles lambda_max. The Rayleigh-quotient
@@ -331,11 +358,11 @@ def dualize_ltv_device(
     cert = 2.0 * jnp.max(jnp.sum(jnp.abs(Hd_h), axis=1))  # ||.||_inf, symmetric
     L = jnp.where(lam_resid < 0.02, jnp.minimum(est, cert), cert)
 
-    MG_T = Hinv_Pt.T  # (m_h, n_z)
+    MG_T = Hinv_Pt.T  # (m_h, n_zt)
     GL_T = P.T / L
     D = Hd_h / L
 
-    gP_map = _chol_solve_refined(H, F.T).T  # (n_p, n_z)
+    gP_map = _chol_solve_refined(H, F.T).T  # (n_p, n_zt)
     gP_const = _chol_solve_refined(H, g_vec[:, None])[:, 0]
     pD_map = jnp.stack([-E_plus.T / L, -E_minus.T / L], axis=1)  # (n_p, 2, m_h)
     pD_const = jnp.stack([-b0_plus / L, -b0_minus / L], axis=0)  # (2, m_h)
@@ -354,8 +381,192 @@ def dualize_ltv_device(
         beta=jnp.asarray(beta),
         n_u=n_u,
         n_x=n_p,
-        horizon=N,
+        horizon=horizon,
         name=name,
         paired=True,
         n_struct=n_struct,
+    )
+
+
+@_highest_matmuls
+def dualize_scenario_device(
+    A: jax.Array,
+    B: jax.Array,
+    c: jax.Array,
+    Q: np.ndarray,
+    R: np.ndarray,
+    u_min: np.ndarray,
+    u_max: np.ndarray,
+    iterations: int,
+    weights=None,
+    Q_terminal: Optional[np.ndarray] = None,
+    x_min: Optional[np.ndarray] = None,
+    x_max: Optional[np.ndarray] = None,
+    preview: bool = False,
+    schedule: str = "paper",
+    power_iters: int = 64,
+    name: str = "scenario_device",
+) -> GPADData:
+    """Condense + dualize a MULTI-SCENARIO (robust) LTV stack on device.
+
+    The device twin of ``robust.scenario_qp`` composed with ``condense``/
+    ``dualize`` (round-2 VERDICT item 4): ``A``/``B``/``c`` are traced
+    per-scenario stacks of shape (S, N, n_x, n_x) / (S, N, n_x, n_u) /
+    (S, N, n_x) — e.g. one successive linearization per model realization —
+    and the result is the shared-first-move scenario QP's GPADData, built
+    without any host round-trip so ``RobustNMPC(device_condense=True)``
+    runs each SQP pass as one fused device program (the same per-solve
+    recondensation cost the nominal path eliminated; cf. the reference
+    recomputing its dual constants per solve, ``acceldualgrad.m:20-23``).
+
+    Decision layout (robust.scenario_qp's non-anticipativity selector with
+    ``n_shared = n_u``): ``z~ = [u_0; v^1; ...; v^S]`` with per-scenario
+    tails ``v^s`` of ``(N-1) n_u`` entries. Cost/boxes are SHARED across
+    scenarios (per-stage (N, n)-shaped boxes accepted — e.g. tube-tightened
+    stacks); ``weights`` are the scenario probabilities (default uniform).
+    Unlike the host path no row dedupe is needed: the identity block over
+    z~ covers every decision variable exactly once by construction, so the
+    stack is born flat (struct rows = S per-scenario state boxes, identity
+    block last). Parameter layout: ``p = [x0; r]`` like
+    ``condense(tracking=...)``. ``SolveResult.u`` is the shared first move.
+    """
+    S, N, n_x, _ = A.shape
+    n_u = B.shape[-1]
+    n_z = N * n_u
+    tail = n_z - n_u
+    n_tilde = n_u + S * tail
+    f32 = jnp.float32
+    A = jnp.asarray(A, f32)
+    B = jnp.asarray(B, f32)
+    c = jnp.asarray(c, f32)
+    if u_min is None or u_max is None:
+        raise ValueError("device path needs input boxes (they form the "
+                         "paired stack's identity block)")
+    if (x_min is None) != (x_max is None):
+        raise ValueError("device path needs both x_min and x_max (or neither)")
+    have_xbox = x_min is not None
+    if weights is None:
+        w = np.full(S, 1.0 / S, dtype=np.float32)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (S,) or (w <= 0).any():
+            raise ValueError("weights must be S positive floats")
+        w = (w / w.sum()).astype(np.float32)
+
+    # per-scenario prediction operators + cumulative affine offsets
+    Ts, Ss = jax.vmap(prediction_matrices_device)(A, B)  # (S,Nn_x,n_x/n_z)
+
+    def offsets(A_s, c_s):
+        def body(off, Ac):
+            A_k, c_k = Ac
+            off = A_k @ off + c_k
+            return off, off
+
+        _, offs = jax.lax.scan(body, jnp.zeros(n_x, f32), (A_s, c_s))
+        return offs.reshape(N * n_x)
+
+    s_offs = jax.vmap(offsets)(A, c)  # (S, N*n_x)
+
+    # shared stage weights (Qbar block diagonal, terminal override) + Rbar
+    Q_np = np.asarray(Q, np.float32)
+    Qs = Q_np.copy() if Q_np.ndim == 3 else np.repeat(Q_np[None], N, axis=0)
+    if Qs.shape != (N, n_x, n_x):
+        raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
+                         f"got {Q_np.shape}")
+    if Q_terminal is not None:
+        Qs[-1] = np.asarray(Q_terminal, np.float32)
+    Qs = jnp.asarray(Qs)
+
+    def qbar(M):  # (N*n_x, k) -> Qbar @ M
+        M3 = M.reshape(N, n_x, -1)
+        return jnp.einsum("kij,kjl->kil", Qs, M3).reshape(N * n_x, -1)
+
+    R_np = np.asarray(R, np.float32)
+    R3 = R_np if R_np.ndim == 3 else np.repeat(R_np[None], N, axis=0)
+    if R3.shape != (N, n_u, n_u):
+        raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
+                         f"got {R_np.shape}")
+    Rbar = jax.scipy.linalg.block_diag(*[jnp.asarray(Rk, f32) for Rk in R3])
+
+    ref_dim = N * n_x if preview else n_x
+    n_p = n_x + ref_dim
+    ones_kron = jnp.tile(jnp.eye(n_x, dtype=f32), (N, 1))  # (N n_x, n_x)
+
+    # stacked cost via the selector block structure: z~'s shared block
+    # accumulates every scenario's u_0 coupling; each tail block is w_s
+    # times that scenario's own blocks (robust.scenario_qp:97-108 on host)
+    H = jnp.zeros((n_tilde, n_tilde), f32)
+    F = jnp.zeros((n_p, n_tilde), f32)
+    g_vec = jnp.zeros(n_tilde, f32)
+    for s in range(S):
+        QbarS = qbar(Ss[s])  # (N n_x, n_z)
+        H_s = Ss[s].T @ QbarS + Rbar
+        F_x0 = Ts[s].T @ QbarS  # (n_x, n_z)
+        F_r = -QbarS if preview else -(ones_kron.T @ QbarS)
+        F_s = jnp.concatenate([F_x0, F_r], axis=0)  # (n_p, n_z)
+        g_s = Ss[s].T @ qbar(s_offs[s][:, None])[:, 0]
+        off = n_u + s * tail
+        sl = slice(off, off + tail)
+        H = H.at[:n_u, :n_u].add(w[s] * H_s[:n_u, :n_u])
+        H = H.at[:n_u, sl].set(w[s] * H_s[:n_u, n_u:])
+        H = H.at[sl, :n_u].set(w[s] * H_s[n_u:, :n_u])
+        H = H.at[sl, sl].set(w[s] * H_s[n_u:, n_u:])
+        F = F.at[:, :n_u].add(w[s] * F_s[:, :n_u])
+        F = F.at[:, sl].set(w[s] * F_s[:, n_u:])
+        g_vec = g_vec.at[:n_u].add(w[s] * g_s[:n_u])
+        g_vec = g_vec.at[sl].set(w[s] * g_s[n_u:])
+    H = 0.5 * (H + H.T)
+
+    # paired flat half stack: per-scenario state-box rows (structural),
+    # then the z~ identity block LAST (born flat — no dedupe needed: each
+    # decision variable has exactly one box row)
+    P_rows, b0p_rows, b0m_rows, Ep_rows, Em_rows = [], [], [], [], []
+    if have_xbox:
+        x_max_t = _stage_box(x_max, N, n_x, "x_max")
+        x_min_t = _stage_box(x_min, N, n_x, "x_min")
+        zeros_ref = jnp.zeros((N * n_x, ref_dim), f32)
+        for s in range(S):
+            off = n_u + s * tail
+            row = jnp.zeros((N * n_x, n_tilde), f32)
+            row = row.at[:, :n_u].set(Ss[s][:, :n_u])
+            row = row.at[:, off : off + tail].set(Ss[s][:, n_u:])
+            P_rows.append(row)
+            b0p_rows.append(x_max_t - s_offs[s])
+            b0m_rows.append(-(x_min_t - s_offs[s]))
+            Ep_rows.append(jnp.concatenate([-Ts[s], zeros_ref], axis=1))
+            Em_rows.append(jnp.concatenate([Ts[s], zeros_ref], axis=1))
+    u_max_t = _stage_box(u_max, N, n_u, "u_max")
+    u_min_t = _stage_box(u_min, N, n_u, "u_min")
+    # identity-block bounds on z~: stage-0 bounds once (the shared move),
+    # stage 1..N-1 bounds repeated per scenario tail
+    b0p_id = jnp.concatenate(
+        [u_max_t[:n_u]] + [u_max_t[n_u:]] * S
+    )
+    b0m_id = jnp.concatenate(
+        [-u_min_t[:n_u]] + [-u_min_t[n_u:]] * S
+    )
+    P_rows.append(jnp.eye(n_tilde, dtype=f32))
+    b0p_rows.append(b0p_id)
+    b0m_rows.append(b0m_id)
+    zeros_id = jnp.zeros((n_tilde, n_p), f32)
+    Ep_rows.append(zeros_id)
+    Em_rows.append(zeros_id)
+
+    horizon = n_tilde // n_u if n_tilde % n_u == 0 else N
+    return _finish_dualize(
+        jnp.concatenate(P_rows, axis=0),
+        jnp.concatenate(b0p_rows),
+        jnp.concatenate(b0m_rows),
+        jnp.concatenate(Ep_rows, axis=0),
+        jnp.concatenate(Em_rows, axis=0),
+        H,
+        F,
+        g_vec,
+        n_u=n_u,
+        n_p=n_p,
+        horizon=horizon,
+        iterations=iterations,
+        schedule=schedule,
+        power_iters=power_iters,
+        name=name,
     )

@@ -541,7 +541,13 @@ class RobustNMPC:
     ``weights`` are the scenario probabilities. ``step(x, x_ref)``
     returns the applied move; ``plans`` after a step holds the (S, N,
     n_u) per-scenario tails. Host condensation per pass (S small dense
-    float64 condensations), device solve."""
+    float64 condensations) by default; ``device_condense=True`` fuses the
+    S rollouts/linearizations, the shared-first-move scenario stack
+    (``device_condense.dualize_scenario_device``) and the GPAD solve into
+    ONE jitted device program per SQP pass — the same host-round-trip
+    elimination plain ``NMPC`` got, now for the robust flagship (round-2
+    VERDICT item 4). Requires input boxes, hard constraints only
+    (no soft_state) and fixed-iteration mode."""
 
     def __init__(
         self,
@@ -565,6 +571,7 @@ class RobustNMPC:
         lipschitz: str = "spectral_dual",
         warm_start: bool = True,
         preview: bool = False,
+        device_condense: bool = False,
         name: str = "robust_nmpc",
     ):
         if len(models) < 1:
@@ -594,6 +601,73 @@ class RobustNMPC:
         self.plans: np.ndarray | None = None  # (S, N, n_u) scenario tails
         self._y = None
         self.last_result = None
+        self.device_condense = device_condense
+        self._dev_pass = None
+        if device_condense:
+            # one fused device program per SQP pass (scenario twin of
+            # NMPC(device_condense=True)); unsupported features fall back
+            # loudly rather than silently taking the host path
+            if soft_state is not None:
+                raise ValueError(
+                    "device_condense=True supports hard boxes only (no "
+                    "soft_state yet) — drop the flag for host condensation"
+                )
+            if u_min is None or u_max is None:
+                raise ValueError("device_condense=True needs input boxes")
+            if (x_min is None) != (x_max is None):
+                raise ValueError(
+                    "device_condense=True needs both state bounds or neither"
+                )
+            if config.mode != "fixed":
+                raise ValueError(
+                    "device_condense=True supports fixed-iteration mode"
+                )
+            n_tilde = n_u * (1 + self.S * (horizon - 1))
+            self._m_h = (
+                (self.S * n_x * horizon if x_min is not None else 0) + n_tilde
+            )
+            self._dev_pass = self._make_device_pass()
+
+    def _make_device_pass(self):
+        """One robust SQP pass as a single jitted device program:
+        S rollouts + linearizations -> device scenario condensation
+        (``dualize_scenario_device``) -> one GPAD solve, with the dual
+        warm start threaded through."""
+        from tpu_gpad.device_condense import dualize_scenario_device
+
+        models, cfg = self.models, self.config
+        Q, R, Q_T = self.Q, self.R, self.Q_terminal
+        b, preview, w = self.bounds, self.preview, self.weights
+        N, n_u, S = self.horizon, self.n_u, self.S
+        tail = n_u * (N - 1)
+
+        def one_pass(x, Us, p, y0):  # Us: (S, N, n_u)
+            As, Bs, cs = [], [], []
+            for s, f_s in enumerate(models):
+                xs_next = rollout(f_s, x, Us[s])
+                xs_lin = jnp.concatenate([x[None], xs_next[:-1]], axis=0)
+                A_s, B_s, c_s = linearize(f_s, xs_lin, Us[s])
+                As.append(A_s)
+                Bs.append(B_s)
+                cs.append(c_s)
+            data = dualize_scenario_device(
+                jnp.stack(As), jnp.stack(Bs), jnp.stack(cs), Q, R,
+                b["u_min"], b["u_max"], iterations=cfg.iterations,
+                weights=w, Q_terminal=Q_T,
+                x_min=b["x_min"], x_max=b["x_max"], preview=preview,
+                name=self.name,
+            )
+            res = solve_batch(data, p[None], config=cfg, y0=y0[None])
+            z = res.z[0]
+            plans = [
+                jnp.concatenate(
+                    [z[:n_u], z[n_u + s * tail : n_u + (s + 1) * tail]]
+                ).reshape(N, n_u)
+                for s in range(S)
+            ]
+            return jnp.stack(plans), res.y[0], res
+
+        return jax.jit(one_pass)
 
     def plan(self, x, x_ref=None) -> np.ndarray:
         """One robust receding-horizon pass; returns the shared plan view
@@ -622,6 +696,29 @@ class RobustNMPC:
             # is shared by construction, but u0 + d*(new - u0) is only
             # shared if u0 is)
             Us[:, 0] = Us[:, 0].mean(axis=0)
+        if self.device_condense:
+            p = np.concatenate([x, x_ref]).astype(np.float32)
+            y_cold = jnp.zeros((2, self._m_h), jnp.float32)
+            y = (
+                self._y
+                if (self.warm_start and self._y is not None)
+                else y_cold
+            )
+            Us_j = jnp.asarray(Us)
+            res = None
+            y_new = y
+            for _ in range(self.sqp_iters):
+                new, y_new, res = self._dev_pass(
+                    jnp.asarray(x), Us_j, jnp.asarray(p), y
+                )
+                if self.warm_start:
+                    y = y_new
+                Us_j = Us_j + self.damping * (new - Us_j)
+            Us = np.asarray(Us_j, dtype=np.float32)
+            self.plans = Us
+            self._y = y_new
+            self.last_result = res
+            return Us[0]
         res = None
         for _ in range(self.sqp_iters):
             qps = []
