@@ -461,11 +461,13 @@ def test_nmpc_device_validation():
     with pytest.raises(ValueError, match="input boxes"):
         NMPC(f, n_x=2, n_u=1, horizon=5, Q=np.eye(2), R=np.eye(1),
              device_condense=True)
-    with pytest.raises(ValueError, match="boxes and rate"):
+    # soft_state without a state box is rejected at first pass build
+    with pytest.raises(ValueError, match="no state box"):
         NMPC(f, n_x=2, n_u=1, horizon=5, Q=np.eye(2), R=np.eye(1),
              u_min=np.array([-1.0]), u_max=np.array([1.0]),
-             H_x=np.array([[1.0, 1.0]]), h_x=np.array([1.0]),
-             device_condense=True)
+             soft_state=10.0, device_condense=True)._dev_pass(
+                 jnp.zeros(2), jnp.zeros((5, 1)), jnp.zeros(2),
+                 jnp.zeros((2, 5)))
 
 
 def test_validation():
@@ -479,3 +481,261 @@ def test_validation():
             np.eye(3), np.eye(2), np.full(2, -1.0), np.full(2, 1.0),
             iterations=50, x_min=np.full(3, -1.0),
         )
+
+
+# --- soft state boxes (slack-free dual damping) + general polytopes -----
+
+
+def test_soft_state_matches_host_slack_formulation():
+    """Device soft = dual damping (GPADData.soft_damp, no slack variables)
+    must reach the SAME optimum as the host slack formulation
+    (condense soft_state=rho appends 2 N n_x slacks)."""
+    A, B, c = _ltv(seed=11)
+    Q, R = np.eye(3), 0.5 * np.eye(2)
+    rho = 50.0
+    # tight box so the soft rows actually activate
+    bounds = dict(
+        x_min=np.full(3, -0.15), x_max=np.full(3, 0.15),
+        u_min=np.full(2, -1.0), u_max=np.full(2, 1.0),
+    )
+    problem = LinearMPCProblem(A=A, B=B, Q=Q, R=R, horizon=6, c=c, **bounds)
+    qp_h = tpu_gpad.condense(problem, tracking=True, soft_state=rho)
+    host = tpu_gpad.dualize(qp_h, iterations=2000, paired="auto")
+    assert not host.paired  # slack rows are one-sided on the host path
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c), Q, R,
+        bounds["u_min"], bounds["u_max"], iterations=2000,
+        x_min=bounds["x_min"], x_max=bounds["x_max"], soft_state=rho,
+    )
+    assert dev.soft_damp is not None
+    # damp lives on the 18 state-box rows only; L gained +1/rho
+    damp = np.asarray(dev.soft_damp)
+    assert (damp[:18] > 0).all() and (damp[18:] == 0).all()
+    p = np.concatenate(
+        [[0.4, -0.3, 0.2], np.zeros(3)]
+    ).astype(np.float32)[None]
+    cfg = SolverConfig(iterations=2000, restart=True)
+    r_h = solve_batch(host, p, config=cfg)
+    r_d = solve_batch(dev, p, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(r_d.u), np.asarray(r_h.u), atol=backend_tol(1e-4, 1e-3)
+    )
+    # non-vacuous: the soft rows are active (positive dual <=> slack used)
+    y = np.asarray(r_d.y[0])
+    assert y[:, :18].max() > 1e-3
+
+
+def test_soft_state_eps_mode_converges():
+    """The regularized eps test (violation measured against the recovered
+    slack, gap against the damped gradient) terminates on soft data."""
+    A, B, c = _ltv(seed=11)
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+        np.eye(3), 0.5 * np.eye(2),
+        np.full(2, -1.0), np.full(2, 1.0), iterations=3000,
+        x_min=np.full(3, -0.15), x_max=np.full(3, 0.15), soft_state=50.0,
+    )
+    p = np.concatenate(
+        [[0.4, -0.3, 0.2], np.zeros(3)]
+    ).astype(np.float32)[None]
+    cfg = SolverConfig(mode="eps", eps_g=1e-5, eps_V=1e-5, iterations=3000,
+                       restart=True)
+    res = solve_batch(dev, p, config=cfg)
+    assert np.asarray(res.converged).all()
+    assert int(np.asarray(res.iterations)[0]) < 3000
+    # the reported residual is the SOFT violation (vs recovered slack)
+    assert float(np.asarray(res.residual)[0]) <= 1e-4
+
+
+def test_soft_routes_off_pallas():
+    """Forced pallas raises on soft data; auto must keep working."""
+    from tpu_gpad.solver.core import resolve_engine
+
+    A, B, c = _ltv(seed=11)
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+        np.eye(3), 0.5 * np.eye(2),
+        np.full(2, -1.0), np.full(2, 1.0), iterations=100,
+        x_min=np.full(3, -0.2), x_max=np.full(3, 0.2), soft_state=10.0,
+    )
+    with pytest.raises(ValueError, match="soft"):
+        resolve_engine(dev, SolverConfig(iterations=100, engine="pallas"))
+    assert resolve_engine(dev, SolverConfig(iterations=100)) == "xla"
+
+
+def test_polytopes_match_host_dense_path():
+    """One-sided H_x/H_u rows: paired-with-inert-minus-side on device vs
+    the host's dense (unpaired) fallback layout."""
+    A, B, c = _ltv(seed=13)
+    Q, R = np.eye(3), 0.5 * np.eye(2)
+    H_x = np.array([[1.0, 1.0, 0.0]])
+    h_x = np.array([0.08])  # tight: actually active at this x0
+    H_u = np.array([[1.0, -1.0]])
+    h_u = np.array([0.6])
+    bounds = dict(
+        x_min=np.full(3, -2.0), x_max=np.full(3, 2.0),
+        u_min=np.full(2, -1.0), u_max=np.full(2, 1.0),
+    )
+    problem = LinearMPCProblem(
+        A=A, B=B, Q=Q, R=R, horizon=6, c=c,
+        H_x=H_x, h_x=h_x, H_u=H_u, h_u=h_u, **bounds
+    )
+    qp_h = tpu_gpad.condense(problem, tracking=True)
+    host = tpu_gpad.dualize(qp_h, iterations=2000, paired="auto")
+    assert not host.paired  # one-sided rows defeat pairing on host
+    dev = dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c), Q, R,
+        bounds["u_min"], bounds["u_max"], iterations=2000,
+        x_min=bounds["x_min"], x_max=bounds["x_max"],
+        H_x=H_x, h_x=h_x, H_u=H_u, h_u=h_u,
+    )
+    # flat contract intact: polytope rows are structure, identity last
+    assert dev.paired and dev.n_struct == 18 + 6 + 6
+    p = np.concatenate(
+        [[0.4, -0.3, 0.2], np.zeros(3)]
+    ).astype(np.float32)[None]
+    cfg = SolverConfig(iterations=2000, restart=True)
+    r_h = solve_batch(host, p, config=cfg)
+    r_d = solve_batch(dev, p, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(r_d.u), np.asarray(r_h.u), atol=backend_tol(1e-4, 1e-3)
+    )
+    y = np.asarray(r_d.y[0])
+    # non-vacuous: at least one polytope row is active...
+    assert y[0, 18:30].max() > 1e-3
+    # ...and every inert minus side stayed exactly 0
+    assert np.abs(y[1, 18:30]).max() == 0.0
+
+
+def test_nmpc_device_soft_and_polytopes_match_host():
+    from tpu_gpad.nonlinear import NMPC, rk4, simulate_nonlinear
+    from tpu_gpad.problems.pendulum import UPRIGHT, pendulum_dynamics
+
+    f = rk4(pendulum_dynamics(), dt=0.05)
+    x0 = np.array([2.4, 0.0], np.float32)
+    for extra in (
+        dict(x_min=np.array([-6.0, -5.5]), x_max=np.array([6.0, 5.5]),
+             soft_state=30.0),
+        dict(x_min=np.array([-6.0, -5.5]), x_max=np.array([6.0, 5.5]),
+             H_x=np.array([[1.0, 0.4]]), h_x=np.array([4.0]),
+             H_u=np.array([[1.0]]), h_u=np.array([10.0])),
+    ):
+        kw = dict(n_x=2, n_u=1, horizon=8, Q=np.diag([10.0, 1.0]),
+                  R=np.diag([0.1]), u_min=np.array([-11.0]),
+                  u_max=np.array([11.0]), iterations=120, sqp_iters=1,
+                  **extra)
+        X_h, _ = simulate_nonlinear(
+            f, NMPC(f, **kw), x0, n_steps=12, x_ref=UPRIGHT)
+        X_d, _ = simulate_nonlinear(
+            f, NMPC(f, device_condense=True, **kw), x0, n_steps=12,
+            x_ref=UPRIGHT)
+        np.testing.assert_allclose(X_d, X_h, atol=backend_tol(5e-3, 2e-2))
+
+
+def test_scenario_device_soft_matches_host():
+    """Weighted scenario stack: scenario s's effective penalty is
+    w_s * rho (scenario_qp scales H_s by w_s) — the device damping must
+    match that, not the raw rho."""
+    from tpu_gpad.device_condense import dualize_scenario_device
+    from tpu_gpad.robust import scenario_qp
+
+    rng = np.random.default_rng(3)
+    S, N, n_x, n_u = 3, 6, 2, 1
+    As = np.stack([
+        np.stack([np.eye(n_x) + 0.1 * rng.standard_normal((n_x, n_x))
+                  for _ in range(N)]) for _ in range(S)
+    ])
+    Bs = 0.5 * rng.standard_normal((S, N, n_x, n_u))
+    cs = 0.03 * rng.standard_normal((S, N, n_x))
+    Q, R = np.eye(n_x), 0.2 * np.eye(n_u)
+    x_min, x_max = np.full(n_x, -0.2), np.full(n_x, 0.2)
+    u_min, u_max = np.full(n_u, -1.5), np.full(n_u, 1.5)
+    rho, weights = 40.0, (0.25, 0.5, 0.25)
+    qps = [
+        tpu_gpad.condense(
+            LinearMPCProblem(A=As[s], B=Bs[s], Q=Q, R=R, horizon=N,
+                             x_min=x_min, x_max=x_max, u_min=u_min,
+                             u_max=u_max, c=cs[s]),
+            tracking=True, soft_state=rho,
+        )
+        for s in range(S)
+    ]
+    host = tpu_gpad.dualize(
+        scenario_qp(qps, weights=weights), iterations=2000, paired="auto"
+    )
+    dev = dualize_scenario_device(
+        jnp.asarray(As, jnp.float32), jnp.asarray(Bs, jnp.float32),
+        jnp.asarray(cs, jnp.float32), Q, R, u_min, u_max,
+        iterations=2000, weights=weights, x_min=x_min, x_max=x_max,
+        soft_state=rho,
+    )
+    # per-scenario damping scales with 1/w_s
+    damp = np.asarray(dev.soft_damp)
+    blk = N * n_x
+    np.testing.assert_allclose(
+        damp[:blk] * 0.25, damp[blk:2 * blk] * 0.5, rtol=1e-5
+    )
+    p = np.concatenate([[0.5, -0.4], np.zeros(n_x)]).astype(np.float32)[None]
+    cfg = SolverConfig(iterations=2000, restart=True)
+    r_h = solve_batch(host, p, config=cfg)
+    r_d = solve_batch(dev, p, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(r_d.u), np.asarray(r_h.u), atol=backend_tol(1e-4, 1e-3)
+    )
+    assert np.asarray(r_d.y[0])[:, :S * blk].max() > 1e-3  # soft active
+
+
+def test_robust_nmpc_device_soft_closed_loop():
+    from tpu_gpad.nonlinear import RobustNMPC, rk4
+
+    def pend(g):
+        def f_cont(x, u):
+            th, om = x
+            return jnp.array([om, g * jnp.sin(th) - 0.1 * om + u[0]])
+
+        return rk4(f_cont, 0.05)
+
+    gs = (8.8, 9.81, 10.8)
+    kw = dict(
+        n_x=2, n_u=1, horizon=6, Q=np.diag([10.0, 1.0]), R=0.1 * np.eye(1),
+        x_min=np.array([-6.0, -4.0]), x_max=np.array([6.0, 4.0]),
+        u_min=np.array([-11.0]), u_max=np.array([11.0]),
+        soft_state=25.0, iterations=300, sqp_iters=1,
+    )
+    ref = np.array([np.pi, 0.0], np.float32)
+    x0 = np.array([2.3, 0.0], np.float32)
+    plant = pend(10.8)
+    trajs = {}
+    for label, dev in (("host", False), ("device", True)):
+        ctrl = RobustNMPC([pend(g) for g in gs], device_condense=dev, **kw)
+        x = jnp.asarray(x0)
+        X = [np.asarray(x)]
+        for _ in range(10):
+            u = ctrl.step(np.asarray(x), ref)
+            x = plant(x, jnp.asarray(u, dtype=jnp.float32))
+            X.append(np.asarray(x))
+        trajs[label] = np.stack(X)
+    np.testing.assert_allclose(
+        trajs["device"], trajs["host"], atol=backend_tol(5e-3, 2e-2)
+    )
+
+
+def test_soft_damp_survives_stack_and_padding():
+    """GPADData transformers must carry soft_damp: stack_data (multi-plant)
+    and pad_dual_rows (TP padding, damp 0 on padded rows)."""
+    from tpu_gpad.parallel.distrib import pad_dual_rows
+    from tpu_gpad.solver.multi import stack_data
+
+    A, B, c = _ltv(seed=11)
+    mk = lambda seed: dualize_ltv_device(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+        np.eye(3), 0.5 * np.eye(2),
+        np.full(2, -1.0), np.full(2, 1.0), iterations=50,
+        x_min=np.full(3, -0.2), x_max=np.full(3, 0.2), soft_state=10.0,
+    )
+    d = mk(0)
+    stacked = stack_data([d, d])
+    assert stacked.soft_damp.shape == (2, d.m_half)
+    padded = pad_dual_rows(d, 3)
+    assert padded.soft_damp.shape == (d.m_half + 3,)
+    assert (np.asarray(padded.soft_damp)[-3:] == 0).all()

@@ -140,9 +140,10 @@ def test_device_condense_closed_loop_and_warm_start():
 
 def test_device_condense_validation():
     kw = dict(_KW)
-    with pytest.raises(ValueError, match="hard boxes only"):
-        RobustNMPC([_pendulum_f(9.81)], device_condense=True,
-                   soft_state=1e3, **kw)
+    # soft_state is SUPPORTED on the device path since round 3 (dual
+    # damping, GPADData.soft_damp) — construction must succeed
+    RobustNMPC([_pendulum_f(9.81)], device_condense=True,
+               soft_state=1e3, **kw)
     kw_nobox = dict(kw)
     kw_nobox.pop("u_min"), kw_nobox.pop("u_max")
     with pytest.raises(ValueError, match="input boxes"):

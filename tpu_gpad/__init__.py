@@ -47,7 +47,7 @@ from tpu_gpad.estimator import (
     kalman_gain,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "LinearMPCProblem",

@@ -21,7 +21,10 @@ with ``u_prev`` as a trailing parameter, per-stage input couplings
 stacks (shared-first-move selector over per-scenario models) get the
 same treatment via ``dualize_scenario_device`` — the device twin of
 ``robust.scenario_qp`` powering ``RobustNMPC(device_condense=True)``.
-Soft constraints and polytopes stay on the host path.
+General polytopes (``H_x``/``H_u``) enter the paired stack with an
+inert minus side (``types.PAD_BIG``), and SOFT state boxes
+(``soft_state``) use the slack-free dual-damping formulation
+(``GPADData.soft_damp``) — see ``dualize_ltv_device``.
 
 Numerics: everything is fp32 on TPU. The two linear solves against H use
 Cholesky + one step of iterative refinement, and the Lipschitz constant
@@ -42,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_gpad.schedule import momentum_schedule
-from tpu_gpad.types import GPADData
+from tpu_gpad.types import GPADData, PAD_BIG
 
 
 def _highest_matmuls(fn):
@@ -156,6 +159,11 @@ def dualize_ltv_device(
     du_min: Optional[np.ndarray] = None,
     du_max: Optional[np.ndarray] = None,
     K_u: Optional[np.ndarray] = None,
+    H_x: Optional[np.ndarray] = None,
+    h_x: Optional[np.ndarray] = None,
+    H_u: Optional[np.ndarray] = None,
+    h_u: Optional[np.ndarray] = None,
+    soft_state: Optional[float] = None,
     preview: bool = False,
     schedule: str = "paper",
     power_iters: int = 64,
@@ -182,6 +190,26 @@ def dualize_ltv_device(
     ``dualize(condense(problem, tracking=...), paired=True)`` with
     ``lipschitz="spectral_dual"`` — up to fp32 vs float64 arithmetic and
     the power-method L (>= lambda_max by a 1% margin instead of exact).
+
+    ``H_x``/``h_x`` and ``H_u``/``h_u`` add general polytope rows
+    (``H_x x_k <= h_x`` for k=1..N, ``H_u u_k <= h_u`` for k=0..N-1;
+    h of shape (q,) or per-stage (N, q)). One-sided rows break the host
+    path's [P; -P] pairing, so there they fall back to the DENSE dual
+    layout — here they enter the paired stack with an INERT minus side
+    (RHS ``types.PAD_BIG``, zero parameter columns): the minus dual stays
+    exactly 0 every iteration, the flat identity block survives, and the
+    fused paired kernels keep working. Cost: the power-method L counts
+    the phantom side (a safe overestimate, <= 2x on polytope-dominated
+    stacks).
+
+    ``soft_state`` softens the state-box rows with quadratic slack
+    penalties of weight ``soft_state`` — same optimum as the host slack
+    formulation (``condense(soft_state=...)``), but TPU-native: instead
+    of 2 N n_x slack variables and rows, the dual of a quadratic penalty
+    is a per-row damping of the projected-gradient update
+    (``GPADData.soft_damp``; L gains +1/rho). No decision-space growth,
+    no layout change. Fixed-iteration mode (NMPC's mode) and eps mode
+    both honor it via the XLA engine.
     """
     N, n_x, _ = A.shape
     n_u = B.shape[-1]
@@ -260,6 +288,12 @@ def dualize_ltv_device(
     u_max_t = stage_box(u_max, n_u, "u_max")
     u_min_t = stage_box(u_min, n_u, "u_min")
     P_rows, b0p_rows, b0m_rows, Ep_rows, Em_rows = [], [], [], [], []
+    soft_rows = []  # per-block row counts + softness, for the damp mask
+    if soft_state is not None:
+        if soft_state <= 0:
+            raise ValueError("soft_state penalty weight must be positive")
+        if not have_xbox:
+            raise ValueError("soft_state set but the problem has no state box")
     if have_xbox:
         x_max_t = stage_box(x_max, n_x, "x_max") - s_off
         x_min_t = stage_box(x_min, n_x, "x_min") - s_off
@@ -269,6 +303,7 @@ def dualize_ltv_device(
         b0m_rows.append(-x_min_t)
         Ep_rows.append(jnp.concatenate([-T, zeros_rest], axis=1))
         Em_rows.append(jnp.concatenate([T, zeros_rest], axis=1))
+        soft_rows.append((N * n_x, soft_state is not None))
     if K_u is not None:
         # per-stage input coupling K_u u_k = 0 as the +/- pair (the battery
         # charge-conservation class, gpad.m:44,84-85): structured rows with
@@ -284,6 +319,7 @@ def dualize_ltv_device(
         zero_E = jnp.zeros((Kbar.shape[0], n_p), f32)
         Ep_rows.append(zero_E)
         Em_rows.append(zero_E)
+        soft_rows.append((Kbar.shape[0], False))
     if have_rate:
         # slew rows: du_min <= u_k - u_{k-1} <= du_max with u_{-1} = the
         # previously APPLIED move, a trailing parameter (condense's rate
@@ -305,12 +341,46 @@ def dualize_ltv_device(
         b0m_rows.append(jnp.asarray(-np.tile(du_min_a, N)))
         Ep_rows.append(jnp.asarray(E_rate_p))
         Em_rows.append(jnp.asarray(-E_rate_p))
+        soft_rows.append((n_z, False))
+    # general polytope rows (one-sided): paired with an INERT minus side —
+    # RHS PAD_BIG, zero parameter columns — so the minus dual projects to
+    # exactly 0 every iteration (see the docstring)
+    if (H_x is None) != (h_x is None):
+        raise ValueError("H_x and h_x must be passed together")
+    if (H_u is None) != (h_u is None):
+        raise ValueError("H_u and h_u must be passed together")
+    if H_x is not None:
+        Hx = np.asarray(H_x, np.float32)
+        if Hx.ndim != 2 or Hx.shape[1] != n_x:
+            raise ValueError(f"H_x must be (q_x, {n_x}); got {Hx.shape}")
+        q_x = Hx.shape[0]
+        Hbar_x = jnp.asarray(np.kron(np.eye(N, dtype=np.float32), Hx))
+        hx_t = _stage_box(h_x, N, q_x, "h_x") - Hbar_x @ s_off
+        zeros_rest_x = jnp.zeros((N * q_x, n_p - n_x), f32)
+        P_rows.append(Hbar_x @ S)  # Hbar (T x0 + S z + off) <= hx
+        b0p_rows.append(hx_t)
+        b0m_rows.append(jnp.full(N * q_x, PAD_BIG, f32))
+        Ep_rows.append(jnp.concatenate([-(Hbar_x @ T), zeros_rest_x], axis=1))
+        Em_rows.append(jnp.zeros((N * q_x, n_p), f32))
+        soft_rows.append((N * q_x, False))
+    if H_u is not None:
+        Hu = np.asarray(H_u, np.float32)
+        if Hu.ndim != 2 or Hu.shape[1] != n_u:
+            raise ValueError(f"H_u must be (q_u, {n_u}); got {Hu.shape}")
+        q_u = Hu.shape[0]
+        P_rows.append(jnp.asarray(np.kron(np.eye(N, dtype=np.float32), Hu)))
+        b0p_rows.append(_stage_box(h_u, N, q_u, "h_u"))
+        b0m_rows.append(jnp.full(N * q_u, PAD_BIG, f32))
+        Ep_rows.append(jnp.zeros((N * q_u, n_p), f32))
+        Em_rows.append(jnp.zeros((N * q_u, n_p), f32))
+        soft_rows.append((N * q_u, False))
     # the input-box identity block, always last (the flat contract)
     P_rows.append(I_z)
     b0p_rows.append(u_max_t)
     b0m_rows.append(-u_min_t)
     Ep_rows.append(zeros_pz)
     Em_rows.append(zeros_pz)
+    soft_rows.append((n_z, False))
 
     P = jnp.concatenate(P_rows, axis=0)  # (m_h, n_z)
     b0_plus = jnp.concatenate(b0p_rows)
@@ -321,10 +391,18 @@ def dualize_ltv_device(
         # the cost never sees u_prev: zero parameter rows in F
         F = jnp.concatenate([F, jnp.zeros((n_u, n_z), f32)], axis=0)
 
+    soft_inv_rho = None
+    if soft_state is not None:
+        soft_inv_rho = jnp.asarray(np.concatenate(
+            [np.full(n, 1.0 / soft_state if is_soft else 0.0, np.float32)
+             for n, is_soft in soft_rows]
+        ))
+
     return _finish_dualize(
         P, b0_plus, b0_minus, E_plus, E_minus, H, F, g_vec,
         n_u=n_u, n_p=n_p, horizon=N, iterations=iterations,
         schedule=schedule, power_iters=power_iters, name=name,
+        soft_inv_rho=soft_inv_rho,
     )
 
 
@@ -332,6 +410,7 @@ def _finish_dualize(
     P, b0_plus, b0_minus, E_plus, E_minus, H, F, g_vec, *,
     n_u: int, n_p: int, horizon: int, iterations: int,
     schedule: str, power_iters: int, name: str,
+    soft_inv_rho=None,
 ) -> GPADData:
     """Dualize a paired flat half stack (shared by the LTV and scenario
     device paths): dual Hessian, safe Lipschitz bound, GPAD operands.
@@ -357,6 +436,10 @@ def _finish_dualize(
     est = 1.05 * (2.0 * lam)
     cert = 2.0 * jnp.max(jnp.sum(jnp.abs(Hd_h), axis=1))  # ||.||_inf, symmetric
     L = jnp.where(lam_resid < 0.02, jnp.minimum(est, cert), cert)
+    if soft_inv_rho is not None:
+        # the regularized dual Hessian is G H^-1 G' + diag(1/rho_i):
+        # lambda_max grows by at most max_i 1/rho_i (0 on hard rows)
+        L = L + jnp.max(soft_inv_rho)
 
     MG_T = Hinv_Pt.T  # (m_h, n_zt)
     GL_T = P.T / L
@@ -368,6 +451,9 @@ def _finish_dualize(
     pD_const = jnp.stack([-b0_plus / L, -b0_minus / L], axis=0)  # (2, m_h)
 
     theta, beta = momentum_schedule(iterations, schedule)
+    soft_damp = None
+    if soft_inv_rho is not None:
+        soft_damp = soft_inv_rho / L
     return GPADData(
         MG_T=MG_T,
         GL_T=GL_T,
@@ -375,6 +461,7 @@ def _finish_dualize(
         gP_const=gP_const,
         pD_map=pD_map,
         pD_const=pD_const,
+        soft_damp=soft_damp,
         D=D,
         L=L.astype(jnp.float32),
         theta=jnp.asarray(theta),
@@ -402,6 +489,7 @@ def dualize_scenario_device(
     Q_terminal: Optional[np.ndarray] = None,
     x_min: Optional[np.ndarray] = None,
     x_max: Optional[np.ndarray] = None,
+    soft_state: Optional[float] = None,
     preview: bool = False,
     schedule: str = "paper",
     power_iters: int = 64,
@@ -521,6 +609,12 @@ def dualize_scenario_device(
     # then the z~ identity block LAST (born flat — no dedupe needed: each
     # decision variable has exactly one box row)
     P_rows, b0p_rows, b0m_rows, Ep_rows, Em_rows = [], [], [], [], []
+    soft_blocks = []  # (rows, 1/rho_effective) per block, for soft_damp
+    if soft_state is not None:
+        if soft_state <= 0:
+            raise ValueError("soft_state penalty weight must be positive")
+        if not have_xbox:
+            raise ValueError("soft_state set but the problem has no state box")
     if have_xbox:
         x_max_t = _stage_box(x_max, N, n_x, "x_max")
         x_min_t = _stage_box(x_min, N, n_x, "x_min")
@@ -535,6 +629,13 @@ def dualize_scenario_device(
             b0m_rows.append(-(x_min_t - s_offs[s]))
             Ep_rows.append(jnp.concatenate([-Ts[s], zeros_ref], axis=1))
             Em_rows.append(jnp.concatenate([Ts[s], zeros_ref], axis=1))
+            # host twin: scenario_qp scales scenario s's (softened) H by
+            # w_s, so its slack penalty becomes w_s * rho — the damping
+            # must use that scenario's EFFECTIVE rho
+            soft_blocks.append((
+                N * n_x,
+                0.0 if soft_state is None else 1.0 / (w[s] * soft_state),
+            ))
     u_max_t = _stage_box(u_max, N, n_u, "u_max")
     u_min_t = _stage_box(u_min, N, n_u, "u_min")
     # identity-block bounds on z~: stage-0 bounds once (the shared move),
@@ -551,6 +652,13 @@ def dualize_scenario_device(
     zeros_id = jnp.zeros((n_tilde, n_p), f32)
     Ep_rows.append(zeros_id)
     Em_rows.append(zeros_id)
+    soft_blocks.append((n_tilde, 0.0))
+
+    soft_inv_rho = None
+    if soft_state is not None:
+        soft_inv_rho = jnp.asarray(np.concatenate(
+            [np.full(n, v, np.float32) for n, v in soft_blocks]
+        ))
 
     horizon = n_tilde // n_u if n_tilde % n_u == 0 else N
     return _finish_dualize(
@@ -569,4 +677,5 @@ def dualize_scenario_device(
         schedule=schedule,
         power_iters=power_iters,
         name=name,
+        soft_inv_rho=soft_inv_rho,
     )

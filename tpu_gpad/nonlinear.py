@@ -203,12 +203,6 @@ class NMPC:
             # into ONE jitted device program per SQP pass (see
             # tpu_gpad.device_condense); unsupported features fall back
             # loudly rather than silently taking the host path
-            if soft_state is not None or H_x is not None or H_u is not None:
-                raise ValueError(
-                    "device_condense=True supports boxes and rate limits "
-                    "(no soft_state/polytopes yet) — drop the flag for the "
-                    "host condensation path"
-                )
             if u_min is None or u_max is None:
                 raise ValueError("device_condense=True needs input boxes")
             if (x_min is None) != (x_max is None):
@@ -227,8 +221,14 @@ class NMPC:
             self._m_h = (
                 (n_x * horizon if x_min is not None else 0)
                 + (n_u * horizon if self.rate else 0)
-                + n_u * horizon
+                + (np.asarray(H_x).shape[0] * horizon
+                   if H_x is not None else 0)
+                + (np.asarray(H_u).shape[0] * horizon
+                   if H_u is not None else 0)
             )
+            # NOTE: polytope rows precede the identity block in
+            # dualize_ltv_device's row order — keep _m_h in sync with it
+            self._m_h += n_u * horizon
             self._dev_pass, self._dev_pass_batch = self._make_device_pass()
 
     def _make_device_pass(self):
@@ -253,7 +253,9 @@ class NMPC:
                 A, B, c, Q, R, b["u_min"], b["u_max"],
                 iterations=cfg.iterations, Q_terminal=Q_T,
                 x_min=b["x_min"], x_max=b["x_max"],
-                du_min=b["du_min"], du_max=b["du_max"], preview=preview,
+                du_min=b["du_min"], du_max=b["du_max"],
+                H_x=b["H_x"], h_x=b["h_x"], H_u=b["H_u"], h_u=b["h_u"],
+                soft_state=self.soft_state, preview=preview,
                 name=self.name,
             )
             res = solve_batch(data, p[None], config=cfg, y0=y0[None])
@@ -607,11 +609,6 @@ class RobustNMPC:
             # one fused device program per SQP pass (scenario twin of
             # NMPC(device_condense=True)); unsupported features fall back
             # loudly rather than silently taking the host path
-            if soft_state is not None:
-                raise ValueError(
-                    "device_condense=True supports hard boxes only (no "
-                    "soft_state yet) — drop the flag for host condensation"
-                )
             if u_min is None or u_max is None:
                 raise ValueError("device_condense=True needs input boxes")
             if (x_min is None) != (x_max is None):
@@ -654,7 +651,8 @@ class RobustNMPC:
                 jnp.stack(As), jnp.stack(Bs), jnp.stack(cs), Q, R,
                 b["u_min"], b["u_max"], iterations=cfg.iterations,
                 weights=w, Q_terminal=Q_T,
-                x_min=b["x_min"], x_max=b["x_max"], preview=preview,
+                x_min=b["x_min"], x_max=b["x_max"],
+                soft_state=self.soft_state, preview=preview,
                 name=self.name,
             )
             res = solve_batch(data, p[None], config=cfg, y0=y0[None])

@@ -70,6 +70,7 @@ def data_specs(like: GPADData, model_axis: str | None = None) -> GPADData:
         pD_map=pD_map,
         pD_const=pD_const,
         D=None if like.D is None else P(ma, None),  # dual-Hessian rows shard
+        soft_damp=None if like.soft_damp is None else P(ma),
         L=P(),
         theta=P(),
         beta=P(),
@@ -96,9 +97,8 @@ def shard_batch(mesh: Mesh, X0: jax.Array, data_axis: str = "data") -> jax.Array
 
 # Inert-row p_D constant: projected dual of a padded row is
 # relu(w + q - _PAD_BIG) == 0 for any reachable w/q, so padded duals stay
-# exactly zero from the zero initialization. Finite (not -inf) so the
-# residual/gap recovery (L * (q + p_D), w * gz) stays NaN-free.
-_PAD_BIG = 1e20
+# exactly zero from the zero initialization (shared constant: types.PAD_BIG).
+from tpu_gpad.types import PAD_BIG as _PAD_BIG  # noqa: E402
 
 
 def pad_dual_rows(data: GPADData, pad: int) -> GPADData:
@@ -131,9 +131,12 @@ def pad_dual_rows(data: GPADData, pad: int) -> GPADData:
     D = None
     if data.D is not None:
         D = jnp.pad(data.D, [(0, pad), (0, pad)])
+    soft_damp = None
+    if data.soft_damp is not None:
+        soft_damp = pad_last(data.soft_damp)  # padded rows are hard (damp 0)
     return dataclasses.replace(
         data, MG_T=MG_T, GL_T=GL_T, pD_map=pD_map, pD_const=pD_const, D=D,
-        n_struct=None,
+        soft_damp=soft_damp, n_struct=None,
     )
 
 

@@ -177,30 +177,46 @@ def _iteration(data: GPADData, g_P, p_D, theta_k, beta_k, y, y_prev, z, mm,
     zhat = -zhat_partial - g_P
     theta_z = _expand_to(jnp.asarray(theta_k), z)
     z = (1.0 - theta_z) * z + theta_z * zhat
+    # soft (quadratic-penalty) rows damp their dual: the -(1/2 rho)||y||^2
+    # dual regularization's gradient term -(w/rho)/L folds into a per-row
+    # scaling of w (GPADData.soft_damp); 1-2 VPU ops, no extra matmul
+    w_s = w if data.soft_damp is None else w * (1.0 - data.soft_damp)
     if data.paired:
         q = _step4_product(data, zhat, mm, flat)
-        y_next = jnp.maximum(w + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
+        y_next = jnp.maximum(w_s + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
     else:
-        y_next = jnp.maximum(w + mm(zhat, data.GL_T) + p_D, 0.0)
+        y_next = jnp.maximum(w_s + mm(zhat, data.GL_T) + p_D, 0.0)
     return w, zhat, z, y_next
 
 
 def _residuals(data: GPADData, g_P, p_D, z, zhat, w, mm, model_axis=None,
-               flat: bool = False):
+               flat: bool = False, y=None):
     """Primal violation max(G z - b) and gap surrogate -w' g(zhat).
 
-    Recovered from the scaled operands: g(z) = L * (G_L z + p_D)."""
+    Recovered from the scaled operands: g(z) = L * (G_L z + p_D). For
+    SOFT rows (``data.soft_damp``) the violation is measured against the
+    recovered slack (s* = y/rho for z, w/rho for zhat) and the gap uses
+    the REGULARIZED dual gradient g(zhat) - w/rho — both reduce to the
+    hard expressions when soft_damp is None. ``y`` (the current dual
+    iterate) is only consulted for soft rows."""
     if data.paired:
         qz = _step4_product(data, z, mm, flat)
         qzh = _step4_product(data, zhat, mm, flat)
         gz = data.L * (jnp.stack([qz, -qz], axis=-2) + p_D)
         gzh = data.L * (jnp.stack([qzh, -qzh], axis=-2) + p_D)
+    else:
+        gz = data.L * (mm(z, data.GL_T) + p_D)
+        gzh = data.L * (mm(zhat, data.GL_T) + p_D)
+    if data.soft_damp is not None:
+        # L * damp == 1/rho on soft rows, 0 elsewhere
+        if y is not None:
+            gz = gz - (data.L * data.soft_damp) * y
+        gzh = gzh - (data.L * data.soft_damp) * w
+    if data.paired:
         viol_z = jnp.max(gz, axis=(-2, -1))
         viol_zhat = jnp.max(gzh, axis=(-2, -1))
         gap = -jnp.sum(w * gzh, axis=(-2, -1))
     else:
-        gz = data.L * (mm(z, data.GL_T) + p_D)
-        gzh = data.L * (mm(zhat, data.GL_T) + p_D)
         viol_z = jnp.max(gz, axis=-1)
         viol_zhat = jnp.max(gzh, axis=-1)
         gap = -jnp.sum(w * gzh, axis=-1)
@@ -294,7 +310,8 @@ def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -
         w = y + _expand_to(jnp.asarray(beta_k), y) * (y - y_prev)
         wd = w[..., 0, :] - w[..., 1, :]
         q = -mm(wd, data.D) - e
-        y_next = jnp.maximum(w + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
+        w_s = w if data.soft_damp is None else w * (1.0 - data.soft_damp)
+        y_next = jnp.maximum(w_s + jnp.stack([q, -q], axis=-2) + p_D, 0.0)
         theta_s = _expand_to(jnp.asarray(theta_k), s)
         s = (1.0 - theta_s) * s + theta_s * wd
         if config.restart:
@@ -314,7 +331,7 @@ def _solve_fixed_dual(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -
     if config.diagnostics:
         wd = w[..., 0, :] - w[..., 1, :]
         zhat = -mm(wd, data.MG_T) - g_P
-        viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm)
+        viol_z, _, gap = _residuals(data, g_P, p_D, z, zhat, w, mm, y=y)
         residual = jnp.maximum(viol_z, 0.0)
     else:
         residual = jnp.full(batch_shape, jnp.nan, dtype=jnp.float32)
@@ -343,11 +360,20 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if config.engine == "xla":
         return "xla"
     if config.engine == "pallas":
+        if data.soft_damp is not None:
+            raise ValueError(
+                "engine='pallas' does not support soft (dual-damped) rows "
+                "yet; use engine='auto'/'xla' for soft-constrained data"
+            )
         # every fixed-mode kernel takes y0 directly
         return "pallas"
     if config.engine != "auto":
         raise ValueError(f"unknown engine: {config.engine!r}")
     if jax.default_backend() != "tpu":
+        return "xla"
+    if data.soft_damp is not None:
+        # the fused kernels do not carry the soft damping vector (yet);
+        # the XLA loop applies it in _iteration/_solve_fixed_dual
         return "xla"
     if config.model_axis is not None:
         return "xla"
@@ -469,7 +495,7 @@ def _solve_fixed(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Sol
     )
     if config.diagnostics:
         viol_z, _, gap = _residuals(
-            data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat
+            data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat, y=y
         )
         residual = jnp.maximum(viol_z, 0.0)
     else:
@@ -520,7 +546,7 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
         def check(args):
             converged, iters, z_out = args
             viol_z, viol_zhat, gap = _residuals(
-                data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat
+                data, g_P, p_D, z, zhat, w, mm, config.model_axis, flat, y=y
             )
             ok_z = viol_z <= config.eps_g
             ok_zhat = jnp.logical_and(viol_zhat <= config.eps_g, gap <= config.eps_V)
@@ -556,7 +582,7 @@ def _solve_eps(data: GPADData, g_P, p_D, config: SolverConfig, y0=None) -> Solve
     )
     z_final = jnp.where(converged[..., None], z_out, z)
     viol_z, _, gap = _residuals(
-        data, g_P, p_D, z_final, zhat, w, mm, config.model_axis, flat
+        data, g_P, p_D, z_final, zhat, w, mm, config.model_axis, flat, y=y
     )
     return SolveResult(
         u=z_final[..., : data.n_u],

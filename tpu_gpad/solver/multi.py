@@ -61,11 +61,20 @@ def stack_data(datas: Sequence[GPADData]) -> GPADData:
                 f"plant {i} mixes paired layouts with/without the dual "
                 "Hessian D; re-dualize consistently"
             )
+        if (d.soft_damp is None) != (d0.soft_damp is None):
+            raise ValueError(
+                f"plant {i} mixes soft and hard constraint stacks; "
+                "re-dualize consistently"
+            )
     stacked = {
         f: jnp.stack([getattr(d, f) for d in datas]) for f in _ARRAYS
     }
     stacked["D"] = (
         None if d0.D is None else jnp.stack([d.D for d in datas])
+    )
+    stacked["soft_damp"] = (
+        None if d0.soft_damp is None
+        else jnp.stack([d.soft_damp for d in datas])
     )
     return dataclasses.replace(
         d0, name=f"stack[{','.join(d.name for d in datas)}]", **stacked

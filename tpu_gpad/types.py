@@ -133,6 +133,14 @@ class CondensedQP:
         return self.G.shape[0]
 
 
+# RHS sentinel for INERT dual rows (a vacuous bound so the projected dual
+# stays exactly 0 every iteration): finite (not inf) so residual/gap
+# recovery (L * (q + p_D), w * gz) stays NaN-free. Used by the TP row
+# padding (parallel.pad_dual_rows) and by one-sided polytope rows on the
+# device-condensation path (their paired minus side never exists).
+PAD_BIG = 1e20
+
+
 def _register_pytree_dataclass(cls, data_fields, meta_fields):
     jax.tree_util.register_dataclass(
         cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
@@ -182,6 +190,17 @@ class GPADData:
     L: jax.Array  # () Lipschitz constant used for the 1/L scaling
     theta: jax.Array  # (max_iters,) momentum schedule
     beta: jax.Array  # (max_iters,)
+    soft_damp: Optional[jax.Array] = None  # (m_h,) per-row dual damping
+    # for SOFT (quadratic-penalty) constraints, the TPU-native slack-free
+    # formulation: a constraint softened with penalty weight rho
+    # contributes -(1/2 rho)||y_row||^2 to the dual, so its projected-
+    # gradient update becomes y+ = relu((1 - damp) * w + <usual step>)
+    # with damp = (1/rho)/L on soft rows and 0 elsewhere, and L includes
+    # the +1/rho Hessian shift. Equivalent to the host slack formulation
+    # (condense soft_state=rho: same optimum, s* = y*/rho) without the
+    # 2 N n_x extra decision variables. Paired layouts store the
+    # half-stack (m_h,) vector (both +/- sides of a soft box row are
+    # soft); None means no soft rows (the usual case).
     D: Optional[jax.Array] = None  # (m_h, m_h) scaled dual Hessian
     # = P H^-1 P' / L, precomputed for the dual-only iteration form: steps
     # 2+4 collapse into q = -(w+ - w-) @ D - e with e = g_P @ GL_T per
@@ -237,6 +256,7 @@ _register_pytree_dataclass(
         "gP_const",
         "pD_map",
         "pD_const",
+        "soft_damp",
         "D",
         "L",
         "theta",
