@@ -547,20 +547,110 @@ def test_soft_state_eps_mode_converges():
     assert float(np.asarray(res.residual)[0]) <= 1e-4
 
 
-def test_soft_routes_off_pallas():
-    """Forced pallas raises on soft data; auto must keep working."""
-    from tpu_gpad.solver.core import resolve_engine
-
+def _soft_dev_data(iterations=400):
     A, B, c = _ltv(seed=11)
-    dev = dualize_ltv_device(
+    return dualize_ltv_device(
         jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
         np.eye(3), 0.5 * np.eye(2),
-        np.full(2, -1.0), np.full(2, 1.0), iterations=100,
+        np.full(2, -1.0), np.full(2, 1.0), iterations=iterations,
         x_min=np.full(3, -0.2), x_max=np.full(3, 0.2), soft_state=10.0,
     )
-    with pytest.raises(ValueError, match="soft"):
-        resolve_engine(dev, SolverConfig(iterations=100, engine="pallas"))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(form="dual"),  # whole-VMEM dual kernel
+        dict(form="dual", restart=True),  # + O'Donoghue-Candes recursion
+        dict(form="mvp", flat="on"),  # flat (identity-block) paired kernel
+        dict(form="mvp", flat="off"),  # dense paired kernel
+        dict(mode="eps", eps_g=1e-4, eps_V=1e-4, check_every=37),  # chunked
+    ],
+    ids=["dual", "dual-restart", "flat", "paired", "eps"],
+)
+def test_soft_pallas_kernels_match_xla(kw):
+    """Every whole-VMEM kernel carries GPADData.soft_damp: forced pallas
+    (interpret mode on CPU) must track the XLA loop's damped iteration."""
+    dev = _soft_dev_data()
+    rng = np.random.default_rng(5)
+    p = np.concatenate(
+        [rng.uniform(-0.5, 0.5, (6, 3)), np.zeros((6, 3))], axis=1
+    ).astype(np.float32)
+    r_x = solve_batch(
+        dev, p, config=SolverConfig(iterations=300, engine="xla", **kw)
+    )
+    r_p = solve_batch(
+        dev, p, config=SolverConfig(iterations=300, engine="pallas", **kw)
+    )
+    tol = backend_tol(2e-5, 1e-3)
+    np.testing.assert_allclose(np.asarray(r_p.u), np.asarray(r_x.u), atol=tol)
+    if kw.get("mode") == "eps":
+        # captured iterates match exactly; the RAW final y does not (the
+        # chunked kernel's final partial window advances converged state
+        # that the XLA while_loop froze by exiting early — pre-existing
+        # eps semantics, not a soft-damping artifact)
+        np.testing.assert_array_equal(
+            np.asarray(r_p.iterations), np.asarray(r_x.iterations)
+        )
+        assert np.asarray(r_p.converged).all()
+        assert np.asarray(r_p.residual).max() <= 1.1e-4
+    else:
+        np.testing.assert_allclose(
+            np.asarray(r_p.y), np.asarray(r_x.y), atol=tol
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_p.residual), np.asarray(r_x.residual), atol=tol
+        )
+    # non-vacuous: the damped (soft) rows carry active duals
+    assert np.asarray(r_p.y)[:, :, :18].max() > 1e-3
+
+
+def test_soft_pallas_warm_start_matches_xla():
+    dev = _soft_dev_data()
+    p = np.concatenate([[0.45, -0.3, 0.2], np.zeros(3)]).astype(
+        np.float32
+    )[None]
+    cold = solve_batch(
+        dev, p, config=SolverConfig(iterations=200, engine="xla")
+    )
+    kw = dict(iterations=60, form="dual")
+    r_x = solve_batch(
+        dev, p, config=SolverConfig(engine="xla", **kw), y0=cold.y
+    )
+    r_p = solve_batch(
+        dev, p, config=SolverConfig(engine="pallas", **kw), y0=cold.y
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_p.u), np.asarray(r_x.u), atol=backend_tol(2e-5, 1e-3)
+    )
+
+
+def test_soft_routing_and_tiled_guards():
+    """auto off-TPU keeps XLA; the streamed/dense kernels refuse soft data
+    loudly instead of silently dropping the damping."""
+    from tpu_gpad.solver import kernels
+    from tpu_gpad.solver.core import resolve_engine
+
+    dev = _soft_dev_data(iterations=100)
     assert resolve_engine(dev, SolverConfig(iterations=100)) == "xla"
+    assert not kernels.dual_tiled_fits(dev)
+    assert not kernels.flat_tiled_fits(dev)
+    p_D = jnp.zeros((1, 2, dev.m_half), jnp.float32)
+    g_P = jnp.zeros((1, dev.n_z), jnp.float32)
+    with pytest.raises(ValueError, match="soft"):
+        kernels.gpad_pallas_fixed_dual_tiled(
+            dev, g_P, p_D, iterations=10, interpret=True
+        )
+    with pytest.raises(ValueError, match="soft"):
+        kernels.gpad_pallas_fixed_flat_tiled(
+            dev, g_P, p_D, iterations=10, interpret=True
+        )
+    undamped = dataclasses.replace(dev, paired=False)
+    with pytest.raises(ValueError, match="soft"):
+        kernels.gpad_pallas_fixed(
+            undamped, g_P, jnp.zeros((1, dev.m)), iterations=10,
+            interpret=True,
+        )
 
 
 def test_polytopes_match_host_dense_path():

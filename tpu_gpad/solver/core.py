@@ -360,20 +360,17 @@ def resolve_engine(data: GPADData, config: SolverConfig, y0=None) -> str:
     if config.engine == "xla":
         return "xla"
     if config.engine == "pallas":
-        if data.soft_damp is not None:
-            raise ValueError(
-                "engine='pallas' does not support soft (dual-damped) rows "
-                "yet; use engine='auto'/'xla' for soft-constrained data"
-            )
-        # every fixed-mode kernel takes y0 directly
+        # every fixed-mode kernel takes y0 directly; the whole-VMEM paired
+        # kernels carry soft (dual-damped) rows — the streamed tiled and
+        # dense kernels decline them with a clear error at dispatch
         return "pallas"
     if config.engine != "auto":
         raise ValueError(f"unknown engine: {config.engine!r}")
     if jax.default_backend() != "tpu":
         return "xla"
-    if data.soft_damp is not None:
-        # the fused kernels do not carry the soft damping vector (yet);
-        # the XLA loop applies it in _iteration/_solve_fixed_dual
+    if data.soft_damp is not None and not data.paired:
+        # soft rows ride the paired kernels only (in practice soft data is
+        # always paired — it comes from the device-condensation path)
         return "xla"
     if config.model_axis is not None:
         return "xla"

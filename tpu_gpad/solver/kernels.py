@@ -130,10 +130,14 @@ def pick_tiled_tiles(m_half: int):
 
 
 def dual_tiled_fits(data: GPADData) -> bool:
-    """Can the HBM-streamed tiled dual kernel run this problem?"""
+    """Can the HBM-streamed tiled dual kernel run this problem?
+
+    Soft (dual-damped) rows are declined: the streamed kernels do not
+    carry the damp column — VMEM-oversized soft duals take the XLA loop."""
     return (
         data.paired
         and data.D is not None
+        and data.soft_damp is None
         and pick_tiled_tiles(data.m_half) is not None
     )
 
@@ -180,11 +184,13 @@ def flat_tiled_fits(data: GPADData) -> bool:
     """Can the HBM-streamed flat (mvp-form) kernel run this problem?
 
     Needs the paired flat layout with a non-empty structural block (same
-    zero-row caveat as ``flat_fits_vmem``)."""
+    zero-row caveat as ``flat_fits_vmem``). Soft rows are declined — see
+    ``dual_tiled_fits``."""
     return (
         data.paired
         and data.n_struct is not None
         and data.n_struct > 0
+        and data.soft_damp is None
         and pick_flat_tiled_tiles(data.m_half, data.n_z, data.n_struct)
         is not None
     )
@@ -250,6 +256,24 @@ def _const_spec(A: jax.Array) -> pl.BlockSpec:
     return pl.BlockSpec(A.shape, lambda *_: zeros, memory_space=pltpu.VMEM)
 
 
+def _od_mats(S: int, soft: bool) -> int:
+    """VMEM bytes of the (S, 1) soft-damp column: physically a full
+    (S, LANE) fp32 tile. Added to the constant-operand budget by BOTH the
+    kernels' tile searches and the engine-auto fits guards (the
+    one-source-of-truth rule of ``pick_lane_tile``)."""
+    return 4 * S * LANE if soft else 0
+
+
+def _od_column(data: GPADData, S: int) -> jax.Array | None:
+    """(S, 1) column ``1 - soft_damp`` (padded rows keep 1.0 — inert, the
+    padded dual lanes are identically zero anyway), or None on hard data."""
+    if data.soft_damp is None:
+        return None
+    od = 1.0 - data.soft_damp.astype(jnp.float32)
+    return jnp.pad(od[:, None], ((0, S - od.shape[0]), (0, 0)),
+                   constant_values=1.0)
+
+
 def _norm_y0(y0, Bflat: int, m_half: int):
     """Normalize a warm-start dual to (Bflat, 2, m_half).
 
@@ -276,7 +300,8 @@ def dual_fits_vmem(
     del diagnostics
     S = _round_up(data.m_half, SUBLANE)
     n_arrays = DUAL_CHUNK_ARRAYS if chunked else DUAL_FIXED_ARRAYS
-    return pick_lane_tile(1, S, n_arrays, mats=4 * S * S) is not None
+    mats = 4 * S * S + _od_mats(S, data.soft_damp is not None)
+    return pick_lane_tile(1, S, n_arrays, mats=mats) is not None
 
 
 def fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
@@ -294,9 +319,14 @@ def fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
     if data.paired:
         S_h = _round_up(data.m_half, SUBLANE)
         na, nz_coef = PAIRED_ARRAYS
+        mats = 2 * 4 * S_h * S_z + _od_mats(S_h, data.soft_damp is not None)
         return pick_lane_tile(
-            1, S_h, na, nz_coef * S_z, mats=2 * 4 * S_h * S_z
+            1, S_h, na, nz_coef * S_z, mats=mats
         ) is not None
+    if data.soft_damp is not None:
+        # soft rows only arise on the paired device-condensation path;
+        # the dense kernel does not carry the damp column
+        return False
     S_m = _round_up(data.m, SUBLANE)
     na, nz_coef = DENSE_ARRAYS
     return pick_lane_tile(
@@ -367,14 +397,18 @@ def _gpad_kernel(
 
 
 def _make_dual_body(theta_ref, beta_ref, idx, Dn, cp, cm, *, mm_dtype,
-                    precision, restart):
+                    precision, restart, od=None):
     """The shared dual-form iteration body for the fused kernels.
 
     Carry: (yp, ym, yp_prev, ym_prev, s, wp, wm, th, thp) — all (S, B_t)
     except th/thp, the (1, B_t) per-scenario momentum-recursion rows used
     in restart mode. ``idx(i)`` maps the loop counter to the schedule
     index (identity for the whole-solve kernel, ``k0 + i`` for the
-    eps-mode chunk kernel)."""
+    eps-mode chunk kernel). ``od`` is the optional (S, 1) soft-constraint
+    column ``1 - GPADData.soft_damp`` (lane-broadcast against the state):
+    soft rows damp their extrapolated dual in step 4 — same algebra as
+    ``core._iteration``/``_solve_fixed_dual``; the restart test keeps the
+    UNDAMPED w, mirroring ``core._restart_update``'s arguments."""
     f32 = jnp.float32
 
     def body(i, carry):
@@ -390,8 +424,10 @@ def _make_dual_body(theta_ref, beta_ref, idx, Dn, cp, cm, *, mm_dtype,
         wm = ym + beta_k * (ym - ym_prev)
         wd = wp - wm
         d = _kdot(Dn, wd, precision)
-        yp_next = jnp.maximum(wp + d + cp, 0.0)
-        ym_next = jnp.maximum(wm - d + cm, 0.0)
+        wp_s = wp if od is None else wp * od
+        wm_s = wm if od is None else wm * od
+        yp_next = jnp.maximum(wp_s + d + cp, 0.0)
+        ym_next = jnp.maximum(wm_s - d + cm, 0.0)
         s = s + theta_k * (wd - s)
         if restart:
             # O'Donoghue-Candes: restart iff (w - y+) . (y+ - y) > 0,
@@ -422,23 +458,20 @@ def _gpad_kernel_dual(
     # scalar prefetch
     theta_ref,
     beta_ref,
-    # tensor inputs (all scenario-minor: shape (S, B_t), batch on LANES)
+    # tensor inputs (all scenario-minor: shape (S, B_t), batch on LANES;
+    # with soft=True an (S, 1) od column follows Dn_ref)
     cp_ref,
     cm_ref,
     y0p_ref,
     y0m_ref,
     Dn_ref,
     # outputs (wp/wm present only with diagnostics)
-    s_ref,
-    yp_ref,
-    ym_ref,
-    wp_ref=None,
-    wm_ref=None,
-    *,
+    *rest,
     iterations: int,
     mm_dtype,
     precision,
     restart: bool = False,
+    soft: bool = False,
 ):
     """Dual-only GPAD loop: ONE square matmul per iteration.
 
@@ -460,6 +493,12 @@ def _gpad_kernel_dual(
         s  += theta (wd - s)                    [convex comb for primal
                                                  recovery outside]
     """
+    if soft:
+        od_ref, *rest = rest
+    else:
+        od_ref = None
+    s_ref, yp_ref, ym_ref, *w_refs = rest
+    wp_ref, wm_ref = w_refs if w_refs else (None, None)
     Dn = _load_op(Dn_ref, mm_dtype)  # (S, S) == -D padded (or bf16 hi/lo)
     cp = cp_ref[:]  # (S, B_t)
     cm = cm_ref[:]
@@ -475,6 +514,7 @@ def _gpad_kernel_dual(
     body = _make_dual_body(
         theta_ref, beta_ref, lambda i: i, Dn, cp, cm,
         mm_dtype=mm_dtype, precision=precision, restart=restart,
+        od=None if od_ref is None else od_ref[:],
     )
     yp, ym, _, _, s, wp, wm, _, _ = jax.lax.fori_loop(
         0, iterations, body,
@@ -521,7 +561,10 @@ def gpad_pallas_fixed_dual(
     B = g_P.shape[0]
     m_h, n_z = data.m_half, data.n_z
     S = _round_up(m_h, SUBLANE)  # dual rows on SUBLANES: 8-rounding, not 128
-    B_t = pick_lane_tile(B, S, DUAL_FIXED_ARRAYS, mats=4 * S * S)
+    soft = data.soft_damp is not None
+    B_t = pick_lane_tile(
+        B, S, DUAL_FIXED_ARRAYS, mats=4 * S * S + _od_mats(S, soft)
+    )
     if B_t is None:
         raise ValueError(
             f"problem (m_half={m_h}) does not fit the fused dual kernel's "
@@ -560,22 +603,29 @@ def gpad_pallas_fixed_dual(
     kernel = functools.partial(
         _gpad_kernel_dual, iterations=iterations, mm_dtype=mm_dtype,
         precision=_kernel_precision(mm_dtype, precision), restart=restart,
+        soft=soft,
     )
     lane_spec = pl.BlockSpec(
         (S, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        lane_spec,  # cp
+        lane_spec,  # cm
+        lane_spec,  # y0 plus rows (zeros when cold)
+        lane_spec,  # y0 minus rows
+        _const_spec(Dn),  # -D (fetched once)
+    ]
+    operands = [theta, beta, cpT, cmT, y0pT, y0mT, Dn]
+    if soft:
+        od = _od_column(data, S)
+        in_specs.append(_const_spec(od))  # (S, 1) soft-damp column
+        operands.append(od)
     s, yp, ym, wp, wm = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B_p // B_t,),
-            in_specs=[
-                lane_spec,  # cp
-                lane_spec,  # cm
-                lane_spec,  # y0 plus rows (zeros when cold)
-                lane_spec,  # y0 minus rows
-                _const_spec(Dn),  # -D (fetched once)
-            ],
+            in_specs=in_specs,
             out_specs=[lane_spec] * 5,
         ),
         out_shape=[jax.ShapeDtypeStruct((S, B_p), jnp.float32)] * 5,
@@ -585,7 +635,7 @@ def gpad_pallas_fixed_dual(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, cpT, cmT, y0pT, y0mT, Dn)
+    )(*operands)
 
     sT = s[:m_h, :B].T
     a = 1.0 - jnp.prod(1.0 - theta)
@@ -608,7 +658,8 @@ def _gpad_kernel_dual_chunk(
     theta_ref,
     beta_ref,
     k0_ref,
-    # tensor inputs (scenario-minor, (S, B_t))
+    # tensor inputs (scenario-minor, (S, B_t)); with soft=True an (S, 1)
+    # od column follows Dn_ref
     cp_ref,
     cm_ref,
     ypi_ref,
@@ -618,20 +669,13 @@ def _gpad_kernel_dual_chunk(
     si_ref,
     mi_ref,
     Dn_ref,
-    # outputs
-    yp_ref,
-    ym_ref,
-    ypp_ref,
-    ymp_ref,
-    s_ref,
-    wp_ref,
-    wm_ref,
-    mo_ref,
-    *,
+    # outputs: yp, ym, ypp, ymp, s, wp, wm, mo
+    *rest,
     chunk: int,
     mm_dtype,
     precision,
     restart: bool = False,
+    soft: bool = False,
 ):
     """``chunk`` dual-form iterations starting at schedule offset ``k0``.
 
@@ -640,6 +684,11 @@ def _gpad_kernel_dual_chunk(
     the kernel advances the VMEM-resident state by exactly one check window
     and hands (y, y_prev, s, w) back for the residual test. Same algebra as
     ``_gpad_kernel_dual``."""
+    if soft:
+        od_ref, *rest = rest
+    else:
+        od_ref = None
+    yp_ref, ym_ref, ypp_ref, ymp_ref, s_ref, wp_ref, wm_ref, mo_ref = rest
     Dn = _load_op(Dn_ref, mm_dtype)
     cp = cp_ref[:]
     cm = cm_ref[:]
@@ -652,6 +701,7 @@ def _gpad_kernel_dual_chunk(
     body = _make_dual_body(
         theta_ref, beta_ref, lambda i: k0 + i, Dn, cp, cm,
         mm_dtype=mm_dtype, precision=precision, restart=restart,
+        od=None if od_ref is None else od_ref[:],
     )
     init = (
         ypi_ref[:], ymi_ref[:], ypp_i_ref[:], ymp_i_ref[:], si_ref[:],
@@ -675,9 +725,10 @@ def _dual_chunk_call(
     mm_dtype, prec, chunk, interpret, restart=False,
 ):
     """Build the jit-reusable chunk invocation (one compile per shape)."""
+    soft = data.soft_damp is not None
     kernel = functools.partial(
         _gpad_kernel_dual_chunk, chunk=chunk, mm_dtype=mm_dtype,
-        precision=prec, restart=restart,
+        precision=prec, restart=restart, soft=soft,
     )
     lane_spec = pl.BlockSpec(
         (S, B_t), lambda i, th, be, k0: (0, i), memory_space=pltpu.VMEM
@@ -685,11 +736,15 @@ def _dual_chunk_call(
     mom_spec = pl.BlockSpec(
         (SUBLANE, B_t), lambda i, th, be, k0: (0, i), memory_space=pltpu.VMEM
     )
+    in_specs = [lane_spec] * 7 + [mom_spec, _const_spec(Dn)]
+    od = _od_column(data, S)
+    if soft:
+        in_specs.append(_const_spec(od))
     specs = dict(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # theta, beta, k0
             grid=(B_p // B_t,),
-            in_specs=[lane_spec] * 7 + [mom_spec, _const_spec(Dn)],
+            in_specs=in_specs,
             out_specs=[lane_spec] * 7 + [mom_spec],
         ),
         out_shape=(
@@ -705,9 +760,10 @@ def _dual_chunk_call(
     )
 
     def call(k0, yp, ym, ypp, ymp, s, mom):
+        extra = (od,) if soft else ()
         return pl.pallas_call(kernel, **specs)(
             theta, beta, jnp.asarray([k0], dtype=jnp.int32),
-            cpT, cmT, yp, ym, ypp, ymp, s, mom, Dn,
+            cpT, cmT, yp, ym, ypp, ymp, s, mom, Dn, *extra,
         )
 
     return call
@@ -968,6 +1024,11 @@ def gpad_pallas_fixed_dual_tiled(
     to exercise multi-chunk grids on tiny problems)."""
     B = g_P.shape[0]
     m_h = data.m_half
+    if data.soft_damp is not None:
+        raise ValueError(
+            "the streamed tiled dual kernel does not carry soft "
+            "(dual-damped) rows; use engine='xla'"
+        )
     picked = pick_tiled_tiles(m_h)
     if picked is None:
         raise ValueError(
@@ -1056,13 +1117,18 @@ def gpad_pallas_eps_dual(
     B = g_P.shape[0]
     m_h = data.m_half
     S = _round_up(m_h, SUBLANE)
-    B_t = pick_lane_tile(B, S, DUAL_CHUNK_ARRAYS, mats=4 * S * S)
+    soft = data.soft_damp is not None
+    B_t = pick_lane_tile(
+        B, S, DUAL_CHUNK_ARRAYS, mats=4 * S * S + _od_mats(S, soft)
+    )
     T_r = None
     if B_t is None:  # whole-VMEM chunk kernel declines: stream D from HBM
         picked = pick_tiled_tiles(m_h)
-        if picked is None:
+        if picked is None or soft:
             raise ValueError(
                 "problem too large for the fused dual kernels' VMEM"
+                + (" (the streamed tiled kernel does not carry soft rows;"
+                   " use engine='xla')" if soft else "")
             )
         B_t, T_r, S = picked
     B_p = _round_up(B, B_t)
@@ -1119,13 +1185,19 @@ def gpad_pallas_eps_dual(
     iters0 = jnp.full((B,), iterations, dtype=jnp.int32)
     z_out0 = jnp.zeros((B, data.n_z), dtype=jnp.float32)
 
-    def check(k_now, s, wp, wm, converged, iters, z_out):
+    def check(k_now, s, wp, wm, yp, ym, converged, iters, z_out):
         """The Algorithm-1 eps test at iteration ``k_now`` (paper p.4):
         capture each newly-converged scenario's eps-optimal point and
         psum the all-converged predicate over the mesh axes."""
         z, zhat, w = recover(s, wp, wm)
+        # soft rows measure the z-violation against the recovered slack
+        # y/rho (core._residuals consults y only when soft_damp is set)
+        y = (
+            jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+            if soft else None
+        )
         viol_z, viol_zhat, gap = _core._residuals(
-            data, g_P, p_D, z, zhat, w, mm
+            data, g_P, p_D, z, zhat, w, mm, y=y
         )
         ok_z = viol_z <= config.eps_g
         ok_zhat = jnp.logical_and(viol_zhat <= config.eps_g, gap <= config.eps_V)
@@ -1149,7 +1221,7 @@ def gpad_pallas_eps_dual(
         k0 = c * C
         yp, ym, ypp, ymp, s, wp, wm, mom = call(k0, yp, ym, ypp, ymp, s, mom)
         converged, iters, z_out, n_unconverged = check(
-            k0 + C, s, wp, wm, converged, iters, z_out
+            k0 + C, s, wp, wm, yp, ym, converged, iters, z_out
         )
         return (
             c + 1, n_unconverged == 0, yp, ym, ypp, ymp, s, wp, wm, mom,
@@ -1177,13 +1249,15 @@ def gpad_pallas_eps_dual(
             c * C, yp, ym, ypp, ymp, s, mom
         )
         converged, iters, z_out, _ = check(
-            c * C + rem, s, wp, wm, converged, iters, z_out
+            c * C + rem, s, wp, wm, yp, ym, converged, iters, z_out
         )
 
     z, zhat, w = recover(s, wp, wm)
     z_final = jnp.where(converged[..., None], z_out, z)
-    viol_z, _, gap = _core._residuals(data, g_P, p_D, z_final, zhat, w, mm)
     y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
+    viol_z, _, gap = _core._residuals(
+        data, g_P, p_D, z_final, zhat, w, mm, y=y if soft else None
+    )
     return SolveResult(
         u=z_final[..., : data.n_u],
         z=z_final,
@@ -1199,7 +1273,7 @@ def _gpad_kernel_paired(
     # scalar prefetch
     theta_ref,
     beta_ref,
-    # tensor inputs
+    # tensor inputs; with soft=True an (S_h, 1) od column follows GL_ref
     gP_ref,
     pDp_ref,
     pDm_ref,
@@ -1207,17 +1281,12 @@ def _gpad_kernel_paired(
     y0m_ref,
     MG_ref,
     GL_ref,
-    # outputs (wp/wm/zhat present only with diagnostics)
-    z_ref,
-    yp_ref,
-    ym_ref,
-    wp_ref=None,
-    wm_ref=None,
-    zhat_ref=None,
-    *,
+    # outputs: z, yp, ym (+ wp, wm, zhat with diagnostics)
+    *rest,
     iterations: int,
     mm_dtype,
     precision,
+    soft: bool = False,
 ):
     """Half-stack GPAD loop: one MVP per step against P instead of [P; -P].
 
@@ -1229,11 +1298,18 @@ def _gpad_kernel_paired(
     the dual-only form for long horizons, where the two rectangular MVPs
     (2·m_h·n_z flops) beat the square dual Hessian product (m_h² flops)
     because m_h = 2·n_z + N > 2·n_z (see ``resolve_form``)."""
+    if soft:
+        od_ref, *rest = rest
+    else:
+        od_ref = None
+    z_ref, yp_ref, ym_ref, *w_refs = rest
+    wp_ref, wm_ref, zhat_ref = w_refs if w_refs else (None, None, None)
     MGt = _load_op(MG_ref, mm_dtype)  # (S_z, S_h) == MG_T' (half stack)
     GLt = _load_op(GL_ref, mm_dtype)  # (S_h, S_z) == GL_T'
     g_P = gP_ref[:]  # (S_z, B_t)
     p_Dp = pDp_ref[:]  # (S_h, B_t)
     p_Dm = pDm_ref[:]
+    od = None if od_ref is None else od_ref[:]  # (S_h, 1), lane-broadcast
     y0p = y0p_ref[:]  # warm start (zeros when cold)
     y0m = y0m_ref[:]
     z0 = g_P * 0.0
@@ -1247,8 +1323,11 @@ def _gpad_kernel_paired(
         zhat = -_kdot(MGt, wp - wm, precision) - g_P
         z = (1.0 - theta_k) * z + theta_k * zhat
         q = _kdot(GLt, zhat, precision)
-        yp_next = jnp.maximum(wp + q + p_Dp, 0.0)
-        ym_next = jnp.maximum(wm - q + p_Dm, 0.0)
+        # soft rows damp their extrapolated dual (core._iteration's w_s)
+        wp_s = wp if od is None else wp * od
+        wm_s = wm if od is None else wm * od
+        yp_next = jnp.maximum(wp_s + q + p_Dp, 0.0)
+        ym_next = jnp.maximum(wm_s - q + p_Dm, 0.0)
         return yp_next, ym_next, yp, ym, z, wp, wm, zhat
 
     zero_h = p_Dp * 0.0
@@ -1290,7 +1369,8 @@ def gpad_pallas_fixed_paired(
     m_h, n_z = data.m_half, data.n_z
     S_h = _round_up(m_h, SUBLANE)
     S_z = _round_up(n_z, SUBLANE)
-    mats = 2 * 4 * S_h * S_z
+    soft = data.soft_damp is not None
+    mats = 2 * 4 * S_h * S_z + _od_mats(S_h, soft)
     na, nz_coef = PAIRED_ARRAYS if diagnostics else PAIRED_ARRAYS_NODIAG
     B_t = pick_lane_tile(B, S_h, na, nz_coef * S_z, mats=mats)
     if B_t is None:
@@ -1322,7 +1402,7 @@ def gpad_pallas_fixed_paired(
 
     kernel = functools.partial(
         _gpad_kernel_paired, iterations=iterations, mm_dtype=mm_dtype,
-        precision=_kernel_precision(mm_dtype, precision),
+        precision=_kernel_precision(mm_dtype, precision), soft=soft,
     )
     lane_spec_z = pl.BlockSpec(
         (S_z, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
@@ -1343,20 +1423,26 @@ def gpad_pallas_fixed_paired(
             jax.ShapeDtypeStruct((S_h, B_p), jnp.float32),
             jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
         ]
+    in_specs = [
+        lane_spec_z,  # g_P
+        lane_spec_h,  # p_D plus rows
+        lane_spec_h,  # p_D minus rows
+        lane_spec_h,  # y0 plus rows (zeros when cold)
+        lane_spec_h,  # y0 minus rows
+        _const_spec(MGt),  # MG_T' (half stack)
+        _const_spec(GLt),  # GL_T'
+    ]
+    operands = [theta, beta, gPT, pDpT, pDmT, y0pT, y0mT, MGt, GLt]
+    if soft:
+        od = _od_column(data, S_h)
+        in_specs.append(_const_spec(od))  # (S_h, 1) soft-damp column
+        operands.append(od)
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B_p // B_t,),
-            in_specs=[
-                lane_spec_z,  # g_P
-                lane_spec_h,  # p_D plus rows
-                lane_spec_h,  # p_D minus rows
-                lane_spec_h,  # y0 plus rows (zeros when cold)
-                lane_spec_h,  # y0 minus rows
-                _const_spec(MGt),  # MG_T' (half stack)
-                _const_spec(GLt),  # GL_T'
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
         ),
         out_shape=out_shape,
@@ -1366,7 +1452,7 @@ def gpad_pallas_fixed_paired(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, gPT, pDpT, pDmT, y0pT, y0mT, MGt, GLt)
+    )(*operands)
     z, yp, ym = outs[:3]
     y = jnp.stack([yp[:m_h, :B].T, ym[:m_h, :B].T], axis=1)
     if not diagnostics:
@@ -1400,7 +1486,8 @@ def flat_fits_vmem(data: GPADData, diagnostics: bool = True) -> bool:
     S_z = _round_up(data.n_z, SUBLANE)
     S_hf = S_s + S_z
     na, nz_coef = FLAT_PAIRED_ARRAYS
-    mats = 4 * (S_z * S_hf + S_s * S_z)
+    mats = (4 * (S_z * S_hf + S_s * S_z)
+            + _od_mats(S_hf, data.soft_damp is not None))
     return pick_lane_tile(1, S_hf, na, nz_coef * S_z, mats=mats) is not None
 
 
@@ -1408,7 +1495,8 @@ def _gpad_kernel_paired_flat(
     # scalar prefetch
     theta_ref,
     beta_ref,
-    # tensor inputs
+    # tensor inputs; with soft=True an (S_hf, 1) od column (flat layout)
+    # follows invL_ref
     gP_ref,  # (S_z, B_t)
     pDp_ref,  # (S_hf, B_t) flat layout: struct rows then box rows
     pDm_ref,
@@ -1417,17 +1505,12 @@ def _gpad_kernel_paired_flat(
     MGf_ref,  # (S_z, S_hf) == [MG_s' | H^-1] (flat half stack)
     GLs_ref,  # (S_s, S_z) == GL_T' structured rows only
     invL_ref,  # (1, 1) SMEM: 1/L for the identity-block rows
-    # outputs (wp/wm/zhat present only with diagnostics)
-    z_ref,
-    yp_ref,
-    ym_ref,
-    wp_ref=None,
-    wm_ref=None,
-    zhat_ref=None,
-    *,
+    # outputs: z, yp, ym (+ wp, wm, zhat with diagnostics)
+    *rest,
     iterations: int,
     mm_dtype,
     precision,
+    soft: bool = False,
 ):
     """Half-stack GPAD loop exploiting the input-box identity block.
 
@@ -1438,12 +1521,19 @@ def _gpad_kernel_paired_flat(
     and only the (S_s, S_z) structured block multiplies. Saves 2*n_z^2
     flops/iteration vs the dense paired kernel (~33% at long horizons,
     where m_h = 2 n_z + N). Scenario-minor layout as everywhere else."""
+    if soft:
+        od_ref, *rest = rest
+    else:
+        od_ref = None
+    z_ref, yp_ref, ym_ref, *w_refs = rest
+    wp_ref, wm_ref, zhat_ref = w_refs if w_refs else (None, None, None)
     MGf = _load_op(MGf_ref, mm_dtype)
     GLs = _load_op(GLs_ref, mm_dtype)
     g_P = gP_ref[:]  # (S_z, B_t)
     p_Dp = pDp_ref[:]  # (S_hf, B_t)
     p_Dm = pDm_ref[:]
     invL = invL_ref[0, 0]
+    od = None if od_ref is None else od_ref[:]  # (S_hf, 1), flat layout
     y0p = y0p_ref[:]
     y0m = y0m_ref[:]
     z0 = g_P * 0.0
@@ -1460,8 +1550,11 @@ def _gpad_kernel_paired_flat(
         q = jnp.concatenate(
             [_kdot(GLs, zhat, precision), zhat * invL], axis=0
         )
-        yp_next = jnp.maximum(wp + q + p_Dp, 0.0)
-        ym_next = jnp.maximum(wm - q + p_Dm, 0.0)
+        # soft rows damp their extrapolated dual (core._iteration's w_s)
+        wp_s = wp if od is None else wp * od
+        wm_s = wm if od is None else wm * od
+        yp_next = jnp.maximum(wp_s + q + p_Dp, 0.0)
+        ym_next = jnp.maximum(wm_s - q + p_Dm, 0.0)
         return yp_next, ym_next, yp, ym, z, wp, wm, zhat
 
     zero_h = p_Dp * 0.0
@@ -1509,10 +1602,11 @@ def gpad_pallas_fixed_paired_flat(
     S_z = _round_up(n_z, SUBLANE)
     S_hf = S_s + S_z
     mm_dtype = jnp.dtype(matmul_dtype)
+    soft = data.soft_damp is not None
     na, nz_coef = (
         FLAT_PAIRED_ARRAYS if diagnostics else FLAT_PAIRED_ARRAYS_NODIAG
     )
-    mats = 4 * (S_z * S_hf + S_s * S_z)
+    mats = 4 * (S_z * S_hf + S_s * S_z) + _od_mats(S_hf, soft)
     B_t = pick_lane_tile(B, S_hf, na, nz_coef * S_z, mats=mats)
     if B_t is None:
         raise ValueError(
@@ -1557,7 +1651,7 @@ def gpad_pallas_fixed_paired_flat(
 
     kernel = functools.partial(
         _gpad_kernel_paired_flat, iterations=iterations, mm_dtype=mm_dtype,
-        precision=_kernel_precision(mm_dtype, precision),
+        precision=_kernel_precision(mm_dtype, precision), soft=soft,
     )
     lane_spec_z = pl.BlockSpec(
         (S_z, B_t), lambda i, th, be: (0, i), memory_space=pltpu.VMEM
@@ -1578,24 +1672,37 @@ def gpad_pallas_fixed_paired_flat(
             jax.ShapeDtypeStruct((S_hf, B_p), jnp.float32),
             jax.ShapeDtypeStruct((S_z, B_p), jnp.float32),
         ]
+    in_specs = [
+        lane_spec_z,  # g_P
+        lane_spec_h,  # p_D plus rows (flat layout)
+        lane_spec_h,  # p_D minus rows
+        lane_spec_h,  # y0 plus rows
+        lane_spec_h,  # y0 minus rows
+        _const_spec(MGf),
+        _const_spec(GLs),
+        pl.BlockSpec(
+            (1, 1), lambda i, th, be: (0, 0),
+            memory_space=pltpu.SMEM,
+        ),  # 1/L
+    ]
+    operands = [theta, beta, gPT, pDpT, pDmT, y0pT, y0mT, MGf, GLs, invL]
+    if soft:
+        # (S_hf, 1) od column in the flat [struct | box] row order
+        od_h = 1.0 - data.soft_damp.astype(jnp.float32)
+        od = jnp.concatenate([
+            jnp.pad(od_h[:n_s, None], ((0, S_s - n_s), (0, 0)),
+                    constant_values=1.0),
+            jnp.pad(od_h[n_s:, None], ((0, S_z - (m_h - n_s)), (0, 0)),
+                    constant_values=1.0),
+        ])
+        in_specs.append(_const_spec(od))
+        operands.append(od)
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B_p // B_t,),
-            in_specs=[
-                lane_spec_z,  # g_P
-                lane_spec_h,  # p_D plus rows (flat layout)
-                lane_spec_h,  # p_D minus rows
-                lane_spec_h,  # y0 plus rows
-                lane_spec_h,  # y0 minus rows
-                _const_spec(MGf),
-                _const_spec(GLs),
-                pl.BlockSpec(
-                    (1, 1), lambda i, th, be: (0, 0),
-                    memory_space=pltpu.SMEM,
-                ),  # 1/L
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
         ),
         out_shape=out_shape,
@@ -1605,7 +1712,7 @@ def gpad_pallas_fixed_paired_flat(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, gPT, pDpT, pDmT, y0pT, y0mT, MGf, GLs, invL)
+    )(*operands)
     z, yp, ym = outs[:3]
 
     def from_flat(xf):  # (S_hf, B_p) -> (B, m_h) in data row order
@@ -1817,6 +1924,11 @@ def gpad_pallas_fixed_flat_tiled(
             "flat tiled kernel needs paired data with a non-empty "
             "identity-block structural region (GPADData.n_struct)"
         )
+    if data.soft_damp is not None:
+        raise ValueError(
+            "the streamed flat tiled kernel does not carry soft "
+            "(dual-damped) rows; use engine='xla'"
+        )
     B = g_P.shape[0]
     m_h, n_z, n_s = data.m_half, data.n_z, data.n_struct
     picked = pick_flat_tiled_tiles(m_h, n_z, n_s, tile=tile)
@@ -1988,6 +2100,12 @@ def gpad_pallas_fixed(
     final (z, y, w, zhat) in the batch-major external convention.
     ``diagnostics=False`` drops the w/zhat outputs and returns
     (z, y, None, None)."""
+    if data.soft_damp is not None:
+        raise ValueError(
+            "the dense (unpaired) kernel does not carry soft (dual-damped) "
+            "rows; soft data is paired — use the paired kernels or "
+            "engine='xla'"
+        )
     B = g_P.shape[0]
     m, n_z = data.m, data.n_z
     S_m = _round_up(m, SUBLANE)
@@ -2133,10 +2251,22 @@ def solve_batch_pallas(
             )
     else:
         diag = config.diagnostics
+        soft = data.soft_damp is not None
+        if soft and not data.paired:
+            raise ValueError(
+                "engine='pallas' carries soft (dual-damped) rows only in "
+                "the paired kernels; use engine='xla' for unpaired soft data"
+            )
         form = _core.resolve_form(data, config)
         if form == "dual":
             # the whole-VMEM kernel when the budget admits it; the
             # HBM-streamed tiled kernel for oversized duals (same contract)
+            if not dual_fits_vmem(data) and soft:
+                raise ValueError(
+                    "soft (dual-damped) dual stack exceeds the whole-VMEM "
+                    "kernel and the streamed tiled kernel does not carry "
+                    "soft rows; use engine='xla'"
+                )
             fixed = (
                 gpad_pallas_fixed_dual
                 if dual_fits_vmem(data)
@@ -2151,7 +2281,7 @@ def solve_batch_pallas(
             if _core.resolve_flat(data, config):
                 if flat_fits_vmem(data):
                     fixed = gpad_pallas_fixed_paired_flat
-                elif flat_tiled_fits(data):
+                elif flat_tiled_fits(data):  # declines soft (no od stream)
                     fixed = gpad_pallas_fixed_flat_tiled
                 else:
                     fixed = gpad_pallas_fixed_paired
@@ -2187,7 +2317,9 @@ def solve_batch_pallas(
         )
         if diag:
             mm = _core._make_matmul(config)
-            viol_z, _, gap = _core._residuals(data, gP2, pD2, z, zhat, w, mm)
+            viol_z, _, gap = _core._residuals(
+                data, gP2, pD2, z, zhat, w, mm, y=y
+            )
             residual = jnp.maximum(viol_z, 0.0)
         else:
             # residual-free serving mode: the diagnostic outputs were never
