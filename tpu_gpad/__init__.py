@@ -32,6 +32,7 @@ from tpu_gpad.nonlinear import (
     simulate_nonlinear_device,
 )
 from tpu_gpad.device_condense import dualize_ltv_device
+from tpu_gpad.diff import feedback_gain, make_differentiable_solver, sensitivity
 from tpu_gpad.robust import (
     lqr_gain,
     scenario_plan,
@@ -70,6 +71,9 @@ __all__ = [
     "simulate_nonlinear",
     "simulate_nonlinear_device",
     "dualize_ltv_device",
+    "feedback_gain",
+    "make_differentiable_solver",
+    "sensitivity",
     "scenario_qp",
     "scenario_plan",
     "scenario_problem_variants",

@@ -1,0 +1,212 @@
+"""Implicit differentiation through the GPAD solve (MPC as a layer).
+
+The reference solves each QP and stops; nothing in its stack can answer
+"how does u* move when the parameter moves?" — the object behind explicit
+MPC gains, sensitivity analysis, and learning-based MPC (tuning costs or
+references by gradient descent THROUGH the controller). On TPU/JAX this is
+a first-class capability: differentiate the solver's *fixed point* instead
+of unrolling its iterations, so the backward pass is one masked KKT solve
+instead of 100+ rematerialized loop steps.
+
+Math (standard parametric-QP sensitivity, e.g. OptNet/Fiacco): at the
+solution of
+
+    min_z 0.5 z'Hz + (F'p + g)'z   s.t.  G z <= b0 + E p
+
+with active set A = {i : y*_i > 0} (strict complementarity), the
+differentials satisfy
+
+    H dz + G_A' dy_A = -F' dp
+    G_A dz           =  E_A dp        (hard rows)
+    G_A dz - dy_A/rho = E_A dp        (soft rows, quadratic penalty rho)
+
+Eliminating dz gives a dual-space system in the *scaled* operands the
+solver already stores (no H^-1, G, or E are ever materialized here):
+
+    (M Dh M + diag(damp * m) + (I - M)) dy = M r dp
+
+where Dh = G H^-1 G' / L  ==  ``data.D`` (paired) or ``MG_T @ GL_T``,
+damp == ``data.soft_damp`` (exactly diag(1/rho)/L), and the rhs map is
+
+    r(+rows) =  (pD_map[+] - gP_map @ GL_T)'      # = -(E+ + G H^-1 F')/L
+    r(-rows) = (-pD_map[-] - gP_map @ GL_T)'      # paired minus side
+
+Then dz = -MG_T' dy - gP_map' dp. In the paired [P; -P] layout the system
+lives on the HALF stack via the signed dual ytilde = y+ - y- (at most one
+side of a pair is active), so the per-scenario solve is (m_h, m_h) — a
+batched MXU-friendly LU. The system matrix is symmetric, so the VJP reuses
+it verbatim (one extra batched solve per backward pass).
+
+Caveats (documented, not hidden): derivatives assume the solve converged
+and the active set is strict (|y*| either 0 or clearly positive). Weakly
+active constraints (y* ~ 0 AND G z* = b) make u*(p) nondifferentiable —
+this module returns the one-sided derivative selected by the mask
+threshold. Degenerate active sets (more than n_z active rows) violate
+LICQ; pass ``ridge > 0`` to regularize the solve there.
+
+No reference analogue (closest spiritual anchor: the per-solve parameter
+maps of ``acceldualgrad.m:20-23``, which this module differentiates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tpu_gpad.types import GPADData
+from tpu_gpad.solver import core as _core
+
+
+def _dual_hessian(data: GPADData) -> jax.Array:
+    """Scaled dual Hessian G H^-1 G'/L on the stored (half-)stack."""
+    if data.D is not None:
+        return data.D
+    return data.MG_T @ data.GL_T  # (S, S), dense or paired half stack
+
+
+def _rhs_maps(data: GPADData):
+    """(r_plus, r_minus) rhs maps, each (S, n_p); r_minus is None dense."""
+    # gP_map (n_p, n_z) @ GL_T (n_z, S) = (G H^-1 F')'/L; transpose (S, n_p)
+    cross = (data.gP_map @ data.GL_T).T
+    if data.paired:
+        r_plus = data.pD_map[:, 0, :].T - cross
+        r_minus = -data.pD_map[:, 1, :].T - cross
+        return r_plus, r_minus
+    return data.pD_map.T - cross, None
+
+
+def active_signs(data: GPADData, y: jax.Array, tol: float = 1e-7):
+    """Active-set mask (m_b, plus) from the converged dual.
+
+    Paired y (B, 2, m_h): ``m_b`` is 1.0 where EITHER side's dual exceeds
+    ``tol``, and ``plus`` selects which side's rhs map applies. Rows where
+    BOTH sides are positive are equality-encoded +/- pairs (their
+    difference is the free-signed equality multiplier — e.g. the battery
+    charge-coupling rows): for exact-negation pairs the two rhs maps
+    coincide, so either selection is correct and the row stays in the
+    system as the equality it is. Dense y (B, m): plain 0/1 mask,
+    ``plus`` is None. Weakly active rows below ``tol`` are treated as
+    inactive (the one-sided derivative from the interior)."""
+    if data.paired:
+        sp = y[..., 0, :] > tol
+        sm = y[..., 1, :] > tol
+        m_b = jnp.logical_or(sp, sm).astype(jnp.float32)
+        return m_b, sp >= sm
+    return (y > tol).astype(jnp.float32), None
+
+
+def _system(data: GPADData, m_b: jax.Array, ridge: float):
+    """Batched masked KKT system matrix (B, S, S); symmetric PSD + I."""
+    Dh = _dual_hessian(data)
+    A = m_b[..., :, None] * Dh * m_b[..., None, :]
+    diag = (1.0 - m_b) + ridge * m_b
+    if data.soft_damp is not None:
+        diag = diag + data.soft_damp * m_b
+    return A + diag[..., :, None] * jnp.eye(Dh.shape[0])
+
+
+def _masked_rhs_map(data: GPADData, m_b: jax.Array, plus):
+    """Per-scenario rhs map (B, S, n_p): side-selected, mask-zeroed."""
+    r_plus, r_minus = _rhs_maps(data)
+    if data.paired:
+        sel = jnp.where(plus[..., None], r_plus, r_minus)
+        return m_b[..., None] * sel
+    return m_b[..., None] * r_plus
+
+
+def sensitivity(
+    data: GPADData,
+    y: jax.Array,
+    tol: float = 1e-7,
+    ridge: float = 0.0,
+):
+    """Exact local solution sensitivities at a converged solve.
+
+    ``y`` is the converged dual from ``SolveResult.y`` (the sensitivity
+    depends on the parameter only through the dual's active set). Returns
+    ``(K_u, K_z)``: ``K_u`` (B, n_u, n_p) = du*/dp — for p = x0 this IS
+    the local MPC feedback gain (the piecewise-affine explicit-MPC gain of
+    the active region) — and ``K_z`` (B, n_z, n_p) the full-trajectory
+    sensitivity."""
+    single = y.ndim == (2 if data.paired else 1)
+    if single:
+        y = y[None]
+    m_b, plus = active_signs(data, y, tol)
+    # fp32-highest throughout: TPU default-precision (bf16-pass) matmuls
+    # inside the LU corrupt the KKT solve to ~1e-3 (chip-measured; same
+    # failure mode device_condense documents for its normal equations)
+    with jax.default_matmul_precision("highest"):
+        A = _system(data, m_b, ridge)
+        R = _masked_rhs_map(data, m_b, plus)  # (B, S, n_p)
+        dY = jnp.linalg.solve(A, R)  # (B, S, n_p)
+        K_z = (
+            -jnp.einsum("sz,bsp->bzp", data.MG_T, dY) - data.gP_map.T[None]
+        )
+    K_u = K_z[:, : data.n_u]
+    if single:
+        return K_u[0], K_z[0]
+    return K_u, K_z
+
+
+def feedback_gain(data: GPADData, result, tol: float = 1e-7, ridge=0.0):
+    """Local feedback gain du*/dp at a converged ``SolveResult``."""
+    return sensitivity(data, result.y, tol=tol, ridge=ridge)[0]
+
+
+def make_differentiable_solver(
+    data: GPADData,
+    config: "_core.SolverConfig | None" = None,
+    tol: float = 1e-7,
+    ridge: float = 0.0,
+    full_trajectory: bool = False,
+):
+    """A p -> u*(p) function that is differentiable through the solver.
+
+    Forward = the production engine (``solve_batch`` with ``config`` —
+    Pallas kernels, restart, eps mode, everything). Backward = the implicit
+    KKT adjoint above: one batched masked solve against the SAME symmetric
+    system, never unrolling solver iterations. Gradients flow to ``p``
+    only; ``data`` is a constant of the closure (cost/model learning wants
+    d/dH etc. — re-condense per step and differentiate the condenser with
+    plain AD instead, see ``device_condense``).
+
+    ``full_trajectory=False`` returns u* (B, n_u); True returns the whole
+    z* (B, n_z). Derivative accuracy matches solve accuracy: converge the
+    forward solve (restart=True or a generous budget) before trusting
+    gradients."""
+    config = config or _core.SolverConfig()
+
+    @jax.custom_vjp
+    def solve_u(p):
+        res = _core.solve_batch(data, p, config=config)
+        z = res.z if full_trajectory else res.u
+        return jax.lax.stop_gradient(z)
+
+    def fwd(p):
+        res = _core.solve_batch(data, jax.lax.stop_gradient(p), config=config)
+        z = res.z if full_trajectory else res.u
+        mask = active_signs(data, res.y, tol)
+        return jax.lax.stop_gradient(z), jax.lax.stop_gradient(mask)
+
+    def bwd(mask, z_bar):
+        m_b, plus = mask
+        n_keep = data.n_z if full_trajectory else data.n_u
+        z_bar_full = jnp.zeros(z_bar.shape[:-1] + (data.n_z,)).at[
+            ..., :n_keep
+        ].set(z_bar)
+        # fp32-highest: see sensitivity() — TPU default precision corrupts
+        # the LU to ~1e-3
+        with jax.default_matmul_precision("highest"):
+            A = _system(data, m_b, ridge)
+            R = _masked_rhs_map(data, m_b, plus)  # (B, S, n_p)
+            t = jnp.einsum("sz,...z->...s", data.MG_T, z_bar_full)
+            w = jnp.linalg.solve(A, t[..., None])[..., 0]
+            p_bar = -jnp.einsum("...sp,...s->...p", R, w) - jnp.einsum(
+                "pz,...z->...p", data.gP_map, z_bar_full
+            )
+        return (p_bar,)
+
+    solve_u.defvjp(fwd, bwd)
+    return solve_u
