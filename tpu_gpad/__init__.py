@@ -40,6 +40,7 @@ from tpu_gpad.robust import (
     scenario_qp,
     tube_tightened_problem,
 )
+from tpu_gpad.mhe import MovingHorizonEstimator
 from tpu_gpad.estimator import (
     ExtendedKalmanFilter,
     KalmanFilter,
@@ -83,6 +84,7 @@ __all__ = [
     "polish_batch",
     "ExtendedKalmanFilter",
     "KalmanFilter",
+    "MovingHorizonEstimator",
     "OffsetFreeController",
     "TargetCalculator",
     "kalman_gain",
