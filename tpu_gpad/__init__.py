@@ -32,7 +32,12 @@ from tpu_gpad.nonlinear import (
     simulate_nonlinear_device,
 )
 from tpu_gpad.device_condense import dualize_ltv_device
-from tpu_gpad.diff import feedback_gain, make_differentiable_solver, sensitivity
+from tpu_gpad.diff import (
+    feedback_gain,
+    make_data_differentiable_solver,
+    make_differentiable_solver,
+    sensitivity,
+)
 from tpu_gpad.robust import (
     lqr_gain,
     scenario_plan,
@@ -73,6 +78,7 @@ __all__ = [
     "simulate_nonlinear_device",
     "dualize_ltv_device",
     "feedback_gain",
+    "make_data_differentiable_solver",
     "make_differentiable_solver",
     "sensitivity",
     "scenario_qp",

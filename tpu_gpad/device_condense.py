@@ -239,25 +239,31 @@ def dualize_ltv_device(
     # Qbar S / Qbar T / Qbar s_off via per-block products (Qbar is block
     # diagonal; stage N uses Q_terminal when given). Q/R accept constant
     # (n, n) or stacked per-stage (N, n, n) weights, like the host path.
-    Q_np = np.asarray(Q, np.float32)
-    Qs = Q_np.copy() if Q_np.ndim == 3 else np.repeat(Q_np[None], N, axis=0)
+    # Q/R may be TRACED (e.g. learned weights differentiated through the
+    # solve via diff.make_data_differentiable_solver) — keep everything in
+    # jnp; shapes stay static under tracing so the checks still fire
+    Q_arr = jnp.asarray(Q, f32)
+    Qs = Q_arr if Q_arr.ndim == 3 else jnp.broadcast_to(
+        Q_arr, (N, n_x, n_x)
+    )
     if Qs.shape != (N, n_x, n_x):
         raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
-                         f"got {Q_np.shape}")
+                         f"got {Q_arr.shape}")
     if Q_terminal is not None:
-        Qs[-1] = np.asarray(Q_terminal, np.float32)
-    Qs = jnp.asarray(Qs)  # (N, n_x, n_x)
+        Qs = Qs.at[-1].set(jnp.asarray(Q_terminal, f32))
 
     def qbar(M):  # (N*n_x, k) -> Qbar @ M
         M3 = M.reshape(N, n_x, -1)
         return jnp.einsum("kij,kjl->kil", Qs, M3).reshape(N * n_x, -1)
 
-    R_np = np.asarray(R, np.float32)
-    R3 = R_np if R_np.ndim == 3 else np.repeat(R_np[None], N, axis=0)
+    R_arr = jnp.asarray(R, f32)
+    R3 = R_arr if R_arr.ndim == 3 else jnp.broadcast_to(
+        R_arr, (N, n_u, n_u)
+    )
     if R3.shape != (N, n_u, n_u):
         raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
-                         f"got {R_np.shape}")
-    Rbar = jax.scipy.linalg.block_diag(*[jnp.asarray(Rk, f32) for Rk in R3])
+                         f"got {R_arr.shape}")
+    Rbar = jax.scipy.linalg.block_diag(*[R3[k] for k in range(N)])
     QbarS = qbar(S)
     H = S.T @ QbarS + Rbar
     H = 0.5 * (H + H.T)
@@ -555,26 +561,30 @@ def dualize_scenario_device(
 
     s_offs = jax.vmap(offsets)(A, c)  # (S, N*n_x)
 
-    # shared stage weights (Qbar block diagonal, terminal override) + Rbar
-    Q_np = np.asarray(Q, np.float32)
-    Qs = Q_np.copy() if Q_np.ndim == 3 else np.repeat(Q_np[None], N, axis=0)
+    # shared stage weights (Qbar block diagonal, terminal override) + Rbar;
+    # traced-weight friendly, same as dualize_ltv_device
+    Q_arr = jnp.asarray(Q, f32)
+    Qs = Q_arr if Q_arr.ndim == 3 else jnp.broadcast_to(
+        Q_arr, (N, n_x, n_x)
+    )
     if Qs.shape != (N, n_x, n_x):
         raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
-                         f"got {Q_np.shape}")
+                         f"got {Q_arr.shape}")
     if Q_terminal is not None:
-        Qs[-1] = np.asarray(Q_terminal, np.float32)
-    Qs = jnp.asarray(Qs)
+        Qs = Qs.at[-1].set(jnp.asarray(Q_terminal, f32))
 
     def qbar(M):  # (N*n_x, k) -> Qbar @ M
         M3 = M.reshape(N, n_x, -1)
         return jnp.einsum("kij,kjl->kil", Qs, M3).reshape(N * n_x, -1)
 
-    R_np = np.asarray(R, np.float32)
-    R3 = R_np if R_np.ndim == 3 else np.repeat(R_np[None], N, axis=0)
+    R_arr = jnp.asarray(R, f32)
+    R3 = R_arr if R_arr.ndim == 3 else jnp.broadcast_to(
+        R_arr, (N, n_u, n_u)
+    )
     if R3.shape != (N, n_u, n_u):
         raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
-                         f"got {R_np.shape}")
-    Rbar = jax.scipy.linalg.block_diag(*[jnp.asarray(Rk, f32) for Rk in R3])
+                         f"got {R_arr.shape}")
+    Rbar = jax.scipy.linalg.block_diag(*[R3[k] for k in range(N)])
 
     ref_dim = N * n_x if preview else n_x
     n_p = n_x + ref_dim

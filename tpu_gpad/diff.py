@@ -210,3 +210,122 @@ def make_differentiable_solver(
 
     solve_u.defvjp(fwd, bwd)
     return solve_u
+
+
+def make_data_differentiable_solver(
+    config: "_core.SolverConfig | None" = None,
+    tol: float = 1e-7,
+    ridge: float = 0.0,
+    full_trajectory: bool = False,
+):
+    """A (data, p) -> u*(data, p) function differentiable in BOTH arguments.
+
+    The data-side derivative is the implicit-function theorem applied to
+    the solver's own fixed point, written directly in the stored operands.
+    With the active conditions q_i + s_i = damp_i*y_i (q = z* @ GL_T,
+    s the side-selected p_D offset, z* = -MG_T' y - g_P), the same masked
+    symmetric system as the p-only path yields all cotangents as outer
+    products of the adjoint solve w with the saved primal/dual point:
+
+        gbar_P   = GL_T @ w_masked - z_bar
+        MG_T_bar = outer(y, gbar_P);   GL_T_bar = -outer(z*, w_masked)
+        pD_bar   = -/+ w_masked on the active side's rows
+        damp_bar = w_masked * y   (soft rows)
+
+    Cotangents for theta/beta/L/D are zero BY DESIGN: the fixed point is
+    invariant to the schedule, to L (GL_T/pD_map/soft_damp already carry
+    the 1/L scaling — a common rescaling moves all three and cancels
+    exactly in these formulas), and D == MG_T @ GL_T duplicates sensitivity
+    the MG_T/GL_T paths already account for on any consistently-condensed
+    data. This is what makes the layer composable: chain it after a traced
+    condenser (``dualize_ltv_device``) and ``jax.grad`` reaches the model
+    matrices and cost weights — learning/inverse-MPC through the
+    controller. Both-active equality pairs take the larger-dual side's
+    offset map (for exact-negation pairs the parameter maps coincide; the
+    constant's one-sided derivative is the selected side's).
+    """
+    config = config or _core.SolverConfig()
+
+    def _zero_like_static(data):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, data)
+        return zeros
+
+    @jax.custom_vjp
+    def solve_u(data, p):
+        res = _core.solve_batch(data, p, config=config)
+        z = res.z if full_trajectory else res.u
+        return jax.lax.stop_gradient(z)
+
+    def fwd(data, p):
+        data_c = jax.lax.stop_gradient(data)
+        p_c = jax.lax.stop_gradient(p)
+        res = _core.solve_batch(data_c, p_c, config=config)
+        mask = active_signs(data_c, res.y, tol)
+        y_eff = (
+            res.y[..., 0, :] - res.y[..., 1, :] if data_c.paired else res.y
+        )
+        z = res.z if full_trajectory else res.u
+        saved = (data_c, p_c, mask, y_eff, res.z)
+        return jax.lax.stop_gradient(z), jax.lax.stop_gradient(saved)
+
+    def bwd(saved, z_bar):
+        data, p, (m_b, plus), y_eff, z_star = saved
+        n_keep = data.n_z if full_trajectory else data.n_u
+        z_bar_full = jnp.zeros(z_bar.shape[:-1] + (data.n_z,)).at[
+            ..., :n_keep
+        ].set(z_bar)
+        with jax.default_matmul_precision("highest"):
+            A = _system(data, m_b, ridge)
+            t = jnp.einsum("sz,bz->bs", data.MG_T, z_bar_full)
+            w = m_b * jnp.linalg.solve(A, t[..., None])[..., 0]  # masked
+            r = jnp.einsum("zs,bs->bz", data.GL_T, w)  # (B, n_z)
+            gP_bar = r - z_bar_full  # cotangent of g_P(p) per scenario
+            MG_bar = jnp.einsum("bs,bz->sz", y_eff, gP_bar)
+            GL_bar = -jnp.einsum("bz,bs->zs", z_star, w)
+            gPm_bar = jnp.einsum("bp,bz->pz", p, gP_bar)
+            gPc_bar = gP_bar.sum(axis=0)
+            p_bar = jnp.einsum("pz,bz->bp", data.gP_map, gP_bar)
+            if data.paired:
+                w_plus = jnp.where(plus, -w, 0.0)  # s = +pD_plus rows
+                w_minus = jnp.where(plus, 0.0, w)  # s = -pD_minus rows
+                pDm_bar = jnp.stack(
+                    [
+                        jnp.einsum("bp,bs->ps", p, w_plus),
+                        jnp.einsum("bp,bs->ps", p, w_minus),
+                    ],
+                    axis=1,
+                )
+                pDc_bar = jnp.stack(
+                    [w_plus.sum(axis=0), w_minus.sum(axis=0)], axis=0
+                )
+                p_bar = p_bar + jnp.einsum(
+                    "ps,bs->bp", data.pD_map[:, 0], w_plus
+                ) + jnp.einsum("ps,bs->bp", data.pD_map[:, 1], w_minus)
+            else:
+                pDm_bar = jnp.einsum("bp,bs->ps", p, -w)
+                pDc_bar = -w.sum(axis=0)
+                p_bar = p_bar + jnp.einsum("ps,bs->bp", data.pD_map, -w)
+            damp_bar = (
+                (w * y_eff).sum(axis=0)
+                if data.soft_damp is not None
+                else None
+            )
+        data_bar = _zero_like_static(data)
+        data_bar = dataclasses.replace(
+            data_bar,
+            MG_T=MG_bar.astype(data.MG_T.dtype),
+            GL_T=GL_bar.astype(data.GL_T.dtype),
+            gP_map=gPm_bar.astype(data.gP_map.dtype),
+            gP_const=gPc_bar.astype(data.gP_const.dtype),
+            pD_map=pDm_bar.astype(data.pD_map.dtype),
+            pD_const=pDc_bar.astype(data.pD_const.dtype),
+            **(
+                {"soft_damp": damp_bar.astype(data.soft_damp.dtype)}
+                if damp_bar is not None
+                else {}
+            ),
+        )
+        return (data_bar, p_bar)
+
+    solve_u.defvjp(fwd, bwd)
+    return solve_u
