@@ -829,3 +829,22 @@ def test_soft_damp_survives_stack_and_padding():
     padded = pad_dual_rows(d, 3)
     assert padded.soft_damp.shape == (d.m_half + 3,)
     assert (np.asarray(padded.soft_damp)[-3:] == 0).all()
+
+
+def test_bad_weight_shapes_raise():
+    """Traced-weight support must not relax the Q/R shape validation:
+    a diag VECTOR (the natural mistake next to jnp.diag examples),
+    a scalar, or a (1, n) row must all raise, not broadcast silently."""
+    A, B, c = _ltv(seed=0)
+    kw = dict(u_min=np.full(2, -1.0), u_max=np.full(2, 1.0), iterations=50)
+    for bad_q in (np.array([1.0, 2.0, 3.0]), 2.0, np.ones((1, 3))):
+        with pytest.raises(ValueError, match="Q must be"):
+            dualize_ltv_device(
+                jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+                bad_q, 0.5 * np.eye(2), **kw,
+            )
+    with pytest.raises(ValueError, match="R must be"):
+        dualize_ltv_device(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+            np.eye(3), np.array([0.5, 0.5]), **kw,
+        )

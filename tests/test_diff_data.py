@@ -185,3 +185,18 @@ def test_end_to_end_weight_learning_gradient():
         )
     # the gradient is non-trivial (the weights really steer u*)
     assert float(jnp.abs(g).max()) > 1e-3
+
+
+def test_unbatched_and_multibatch_p_grads():
+    """The data-path bwd must accept any leading batch shape, like the
+    forward (solve_batch takes (..., n_p))."""
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=8))
+    data = tpu_gpad.dualize(qp, iterations=400, paired="auto")
+    f = diff.make_data_differentiable_solver(CFG)
+    p1 = jnp.asarray(default_x0(3, seed=1), jnp.float32)  # (n_p,)
+    g1 = jax.grad(lambda p: 0.5 * jnp.sum(f(data, p) ** 2))(p1)
+    P2 = jnp.stack([jnp.stack([p1, p1 * 0.9])] * 2)  # (2, 2, n_p)
+    g2 = jax.grad(lambda p: 0.5 * jnp.sum(f(data, p) ** 2))(P2)
+    assert g1.shape == p1.shape and g2.shape == P2.shape
+    np.testing.assert_allclose(np.asarray(g2[0, 0]), np.asarray(g1),
+                               rtol=1e-5, atol=1e-7)

@@ -243,12 +243,12 @@ def dualize_ltv_device(
     # solve via diff.make_data_differentiable_solver) — keep everything in
     # jnp; shapes stay static under tracing so the checks still fire
     Q_arr = jnp.asarray(Q, f32)
+    if Q_arr.shape not in ((n_x, n_x), (N, n_x, n_x)):
+        raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
+                         f"got {Q_arr.shape}")
     Qs = Q_arr if Q_arr.ndim == 3 else jnp.broadcast_to(
         Q_arr, (N, n_x, n_x)
     )
-    if Qs.shape != (N, n_x, n_x):
-        raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
-                         f"got {Q_arr.shape}")
     if Q_terminal is not None:
         Qs = Qs.at[-1].set(jnp.asarray(Q_terminal, f32))
 
@@ -257,12 +257,12 @@ def dualize_ltv_device(
         return jnp.einsum("kij,kjl->kil", Qs, M3).reshape(N * n_x, -1)
 
     R_arr = jnp.asarray(R, f32)
+    if R_arr.shape not in ((n_u, n_u), (N, n_u, n_u)):
+        raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
+                         f"got {R_arr.shape}")
     R3 = R_arr if R_arr.ndim == 3 else jnp.broadcast_to(
         R_arr, (N, n_u, n_u)
     )
-    if R3.shape != (N, n_u, n_u):
-        raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
-                         f"got {R_arr.shape}")
     Rbar = jax.scipy.linalg.block_diag(*[R3[k] for k in range(N)])
     QbarS = qbar(S)
     H = S.T @ QbarS + Rbar
@@ -564,12 +564,12 @@ def dualize_scenario_device(
     # shared stage weights (Qbar block diagonal, terminal override) + Rbar;
     # traced-weight friendly, same as dualize_ltv_device
     Q_arr = jnp.asarray(Q, f32)
+    if Q_arr.shape not in ((n_x, n_x), (N, n_x, n_x)):
+        raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
+                         f"got {Q_arr.shape}")
     Qs = Q_arr if Q_arr.ndim == 3 else jnp.broadcast_to(
         Q_arr, (N, n_x, n_x)
     )
-    if Qs.shape != (N, n_x, n_x):
-        raise ValueError(f"Q must be ({n_x},{n_x}) or ({N},{n_x},{n_x}); "
-                         f"got {Q_arr.shape}")
     if Q_terminal is not None:
         Qs = Qs.at[-1].set(jnp.asarray(Q_terminal, f32))
 
@@ -578,12 +578,12 @@ def dualize_scenario_device(
         return jnp.einsum("kij,kjl->kil", Qs, M3).reshape(N * n_x, -1)
 
     R_arr = jnp.asarray(R, f32)
+    if R_arr.shape not in ((n_u, n_u), (N, n_u, n_u)):
+        raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
+                         f"got {R_arr.shape}")
     R3 = R_arr if R_arr.ndim == 3 else jnp.broadcast_to(
         R_arr, (N, n_u, n_u)
     )
-    if R3.shape != (N, n_u, n_u):
-        raise ValueError(f"R must be ({n_u},{n_u}) or ({N},{n_u},{n_u}); "
-                         f"got {R_arr.shape}")
     Rbar = jax.scipy.linalg.block_diag(*[R3[k] for k in range(N)])
 
     ref_dim = N * n_x if preview else n_x

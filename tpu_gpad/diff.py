@@ -240,9 +240,10 @@ def make_data_differentiable_solver(
     data. This is what makes the layer composable: chain it after a traced
     condenser (``dualize_ltv_device``) and ``jax.grad`` reaches the model
     matrices and cost weights — learning/inverse-MPC through the
-    controller. Both-active equality pairs take the larger-dual side's
-    offset map (for exact-negation pairs the parameter maps coincide; the
-    constant's one-sided derivative is the selected side's).
+    controller. Both-active equality pairs take the PLUS side's offset
+    map (``active_signs`` selects it whenever y+ is active; for
+    exact-negation pairs the parameter maps coincide, and the constant's
+    one-sided derivative is the selected side's).
     """
     config = config or _core.SolverConfig()
 
@@ -271,6 +272,16 @@ def make_data_differentiable_solver(
     def bwd(saved, z_bar):
         data, p, (m_b, plus), y_eff, z_star = saved
         n_keep = data.n_z if full_trajectory else data.n_u
+        # flatten arbitrary leading batch dims (solve_batch accepts
+        # (..., n_p)) to the single 'b' axis the einsums below use
+        p_shape = p.shape
+        S = m_b.shape[-1]
+        p = p.reshape(-1, p_shape[-1])
+        z_bar = z_bar.reshape(-1, n_keep)
+        m_b = m_b.reshape(-1, S)
+        plus = None if plus is None else plus.reshape(-1, S)
+        y_eff = y_eff.reshape(-1, S)
+        z_star = z_star.reshape(-1, data.n_z)
         z_bar_full = jnp.zeros(z_bar.shape[:-1] + (data.n_z,)).at[
             ..., :n_keep
         ].set(z_bar)
@@ -310,6 +321,7 @@ def make_data_differentiable_solver(
                 if data.soft_damp is not None
                 else None
             )
+        p_bar = p_bar.reshape(p_shape)
         data_bar = _zero_like_static(data)
         data_bar = dataclasses.replace(
             data_bar,

@@ -43,7 +43,6 @@ import jax.numpy as jnp
 
 from tpu_gpad.types import CondensedQP
 from tpu_gpad.condense import dualize
-from tpu_gpad.solver import core as _core
 from tpu_gpad.solver.core import SolverConfig, solve_batch
 
 
@@ -259,16 +258,9 @@ class MovingHorizonEstimator:
         return x_hat, res
 
     # -- streaming interface ----------------------------------------------
-    def _kf_step(self, y, u_prev):
-        """One steady-state Kalman step on the arrival state."""
-        if u_prev is not None:
-            self.x_bar = self._A @ self.x_bar + self._B @ np.asarray(
-                u_prev, np.float64
-            )
-        corrected = self.x_bar + self._Lf @ (
-            np.asarray(y, np.float64) - self._C @ self.x_bar
-        )
-        return corrected
+    def _kf_correct(self, x, y):
+        """Steady-state Kalman measurement update."""
+        return x + self._Lf @ (np.asarray(y, np.float64) - self._C @ x)
 
     def update(self, y, u_prev=None) -> np.ndarray:
         """Ingest one measurement; return the current state estimate."""
@@ -283,8 +275,9 @@ class MovingHorizonEstimator:
             # arrival state by one steady-state Kalman update + predict
             y_old = self._ys.popleft()
             u_old = self._us.popleft()
-            corrected = self.x_bar + self._Lf @ (y_old - self._C @ self.x_bar)
-            self.x_bar = self._A @ corrected + self._B @ u_old
+            self.x_bar = self._A @ self._kf_correct(self.x_bar, y_old) + (
+                self._B @ u_old
+            )
         if len(self._ys) < T:
             # window not yet full: pure steady-state Kalman estimate,
             # WITHOUT advancing x_bar (it stays the window-start prior)
@@ -292,7 +285,7 @@ class MovingHorizonEstimator:
             for i, yi in enumerate(self._ys):
                 if i > 0:
                     xh = self._A @ xh + self._B @ self._us[i - 1]
-                xh = xh + self._Lf @ (np.asarray(yi) - self._C @ xh)
+                xh = self._kf_correct(xh, yi)
             return xh
         Y = np.stack(self._ys)[None]
         U = (
