@@ -204,3 +204,20 @@ def test_vjp_full_trajectory_and_jit():
         lm = np.abs(_exact_u(qp, np.asarray(p[0]) - e, n_keep=qp.n_z)).sum()
         g_fd[j] = (lp - lm) / (2 * h)
     np.testing.assert_allclose(np.asarray(g)[0], g_fd, atol=2e-3)
+
+
+def test_controller_gain_convenience():
+    """Controller.gain() returns the explicit-MPC gain at the last step
+    and matches the unconstrained analytic gain in the interior."""
+    from tpu_gpad.closed_loop import Controller
+
+    prob = problems.double_integrator(horizon=6)
+    ctrl = Controller(prob, iterations=200,
+                      config=SolverConfig(iterations=200, restart=True))
+    with pytest.raises(ValueError, match="step"):
+        ctrl.gain()
+    ctrl.step(np.array([0.01, 0.0], np.float32))
+    K = ctrl.gain()
+    assert K.shape == (1, 2)
+    expected = -np.asarray(ctrl.data.gP_map).T[:1]
+    np.testing.assert_allclose(K, expected, atol=1e-6)

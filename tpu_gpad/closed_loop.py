@@ -431,6 +431,23 @@ class Controller:
             self._u_prev = jnp.asarray(u)
         return u[0] if single else u
 
+    def gain(self, tol: float = 1e-7, ridge: float = 0.0) -> np.ndarray:
+        """Local feedback gain du*/dp at the LAST ``step``'s solution.
+
+        The piecewise-affine explicit-MPC gain of the active region the
+        last solve landed in (``tpu_gpad.diff.sensitivity``) — p is the
+        full QP parameter ([x0] / [x0; r] / ... as configured). Returns
+        (n_u, n_p) for a single-plant step or (B, n_u, n_p) batched.
+        Requires a prior ``step`` call."""
+        if self.last_result is None:
+            raise ValueError("gain() needs a prior step() call")
+        from tpu_gpad import diff
+
+        K = diff.feedback_gain(self.data, self.last_result, tol=tol,
+                               ridge=ridge)
+        K = np.asarray(K)
+        return K[0] if K.shape[0] == 1 else K
+
     def reset(self, u_prev=None) -> None:
         """Drop the warm-start state (e.g. after a setpoint change).
 
