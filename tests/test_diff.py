@@ -168,7 +168,7 @@ def test_vjp_matches_sensitivity_and_fd():
     K_u, _ = diff.sensitivity(data, res.y)
     g_manual = jnp.einsum("bup,bu->bp", K_u, res.u)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_manual),
-                               rtol=1e-5, atol=1e-7)
+                               rtol=1e-5, atol=5e-7)
     # FD of the f64 oracle loss for scenario 0
     h = 1e-5
     g_fd = np.zeros(qp.n_x)
@@ -221,3 +221,28 @@ def test_controller_gain_convenience():
     assert K.shape == (1, 2)
     expected = -np.asarray(ctrl.data.gP_map).T[:1]
     np.testing.assert_allclose(K, expected, atol=1e-6)
+
+
+def test_cg_solver_matches_cholesky():
+    """method='cg' (the TPU path) == method='chol' on every layout."""
+    qp = tpu_gpad.condense(problems.battery(n_cells=3, horizon=8))
+    data = tpu_gpad.dualize(qp, iterations=400, paired="auto")
+    from tpu_gpad.problems.battery import default_x0
+
+    P = np.stack([default_x0(3, seed=s) for s in (0, 3)]).astype(np.float32)
+    res = _converged(data, P)
+    K_chol, _ = diff.sensitivity(data, res.y, method="chol")
+    K_cg, _ = diff.sensitivity(data, res.y, method="cg")
+    np.testing.assert_allclose(np.asarray(K_cg), np.asarray(K_chol),
+                               rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="method"):
+        diff.sensitivity(data, res.y, method="qr")
+    # grads too, incl. the data path
+    cfg = SolverConfig(iterations=300, restart=True, engine="xla")
+    f_cg = diff.make_data_differentiable_solver(cfg, method="cg")
+    f_ch = diff.make_data_differentiable_solver(cfg, method="chol")
+    Pj = jnp.asarray(P)
+    g_cg = jax.grad(lambda p: 0.5 * jnp.sum(f_cg(data, p) ** 2))(Pj)
+    g_ch = jax.grad(lambda p: 0.5 * jnp.sum(f_ch(data, p) ** 2))(Pj)
+    np.testing.assert_allclose(np.asarray(g_cg), np.asarray(g_ch),
+                               rtol=1e-4, atol=1e-6)

@@ -77,6 +77,74 @@ def _rhs_maps(data: GPADData):
     return data.pD_map.T - cross, None
 
 
+def _solve_masked_system(data, m_b, ridge, Bmat, method="auto"):
+    """Batched solve of the masked KKT system (SPD by construction:
+    masked PSD dual Hessian + identity on inactive rows + nonnegative
+    soft/ridge diagonal). ``Bmat`` is (B, S, K).
+
+    Two paths, chosen by backend when ``method="auto"``:
+
+    - ``"chol"`` (CPU): materialize the (B, S, S) system and Cholesky-
+      solve — exact, and LAPACK eats batches of small factorizations.
+    - ``"cg"`` (TPU): matrix-free conjugate gradients against the SHARED
+      (S, S) dual Hessian — every iteration is one (B*K, S) @ (S, S)
+      MXU matmul, the same design move as the solver itself. TPU
+      factorizations are the wrong tool here: batched pivoted LU
+      measured 178x the whole forward solve at the headline shape and
+      batched Cholesky still 85x; CG brings the backward pass to the
+      order of one extra forward solve (DIFF_BENCH.json). S iterations
+      (exact-termination bound) with a relative-residual early exit.
+
+    LICQ-degenerate active sets make the system singular — pass
+    ``ridge > 0`` there (documented on every entry point)."""
+    if method == "auto":
+        method = "cg" if jax.default_backend() == "tpu" else "chol"
+    Dh = _dual_hessian(data)
+    diag = (1.0 - m_b) + ridge * m_b
+    if data.soft_damp is not None:
+        diag = diag + data.soft_damp * m_b
+    if method == "chol":
+        A = m_b[..., :, None] * Dh * m_b[..., None, :] + (
+            diag[..., :, None] * jnp.eye(Dh.shape[0])
+        )
+        chol = jnp.linalg.cholesky(A)
+        return jax.scipy.linalg.cho_solve((chol, True), Bmat)
+    if method != "cg":
+        raise ValueError(f"unknown method: {method!r}")
+    mb = m_b[..., None]
+    dg = diag[..., None]
+
+    def mv(X):  # (B, S, K)
+        return mb * jnp.einsum(
+            "st,btk->bsk", Dh, mb * X,
+            preferred_element_type=jnp.float32,
+        ) + dg * X
+
+    X0 = jnp.zeros_like(Bmat)
+    R0 = Bmat
+    rs0 = jnp.sum(R0 * R0, axis=-2, keepdims=True)
+    tol2 = 1e-14 * jnp.maximum(rs0, 1e-30)
+
+    def cond(carry):
+        i, _, _, _, rs = carry
+        return jnp.logical_and(i < Dh.shape[0] + 8, jnp.any(rs > tol2))
+
+    def body(carry):
+        i, X, R, P, rs = carry
+        Ap = mv(P)
+        alpha = rs / (jnp.sum(P * Ap, axis=-2, keepdims=True) + 1e-30)
+        X = X + alpha * P
+        R = R - alpha * Ap
+        rs_new = jnp.sum(R * R, axis=-2, keepdims=True)
+        P = R + (rs_new / (rs + 1e-30)) * P
+        return i + 1, X, R, P, rs_new
+
+    _, X, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X0, R0, R0, rs0)
+    )
+    return X
+
+
 def active_signs(data: GPADData, y: jax.Array, tol: float = 1e-7):
     """Active-set mask (m_b, plus) from the converged dual.
 
@@ -97,16 +165,6 @@ def active_signs(data: GPADData, y: jax.Array, tol: float = 1e-7):
     return (y > tol).astype(jnp.float32), None
 
 
-def _system(data: GPADData, m_b: jax.Array, ridge: float):
-    """Batched masked KKT system matrix (B, S, S); symmetric PSD + I."""
-    Dh = _dual_hessian(data)
-    A = m_b[..., :, None] * Dh * m_b[..., None, :]
-    diag = (1.0 - m_b) + ridge * m_b
-    if data.soft_damp is not None:
-        diag = diag + data.soft_damp * m_b
-    return A + diag[..., :, None] * jnp.eye(Dh.shape[0])
-
-
 def _masked_rhs_map(data: GPADData, m_b: jax.Array, plus):
     """Per-scenario rhs map (B, S, n_p): side-selected, mask-zeroed."""
     r_plus, r_minus = _rhs_maps(data)
@@ -121,6 +179,7 @@ def sensitivity(
     y: jax.Array,
     tol: float = 1e-7,
     ridge: float = 0.0,
+    method: str = "auto",
 ):
     """Exact local solution sensitivities at a converged solve.
 
@@ -138,9 +197,8 @@ def sensitivity(
     # inside the LU corrupt the KKT solve to ~1e-3 (chip-measured; same
     # failure mode device_condense documents for its normal equations)
     with jax.default_matmul_precision("highest"):
-        A = _system(data, m_b, ridge)
         R = _masked_rhs_map(data, m_b, plus)  # (B, S, n_p)
-        dY = jnp.linalg.solve(A, R)  # (B, S, n_p)
+        dY = _solve_masked_system(data, m_b, ridge, R, method)
         K_z = (
             -jnp.einsum("sz,bsp->bzp", data.MG_T, dY) - data.gP_map.T[None]
         )
@@ -150,9 +208,11 @@ def sensitivity(
     return K_u, K_z
 
 
-def feedback_gain(data: GPADData, result, tol: float = 1e-7, ridge=0.0):
+def feedback_gain(data: GPADData, result, tol: float = 1e-7, ridge=0.0,
+                  method: str = "auto"):
     """Local feedback gain du*/dp at a converged ``SolveResult``."""
-    return sensitivity(data, result.y, tol=tol, ridge=ridge)[0]
+    return sensitivity(data, result.y, tol=tol, ridge=ridge,
+                       method=method)[0]
 
 
 def make_differentiable_solver(
@@ -161,6 +221,7 @@ def make_differentiable_solver(
     tol: float = 1e-7,
     ridge: float = 0.0,
     full_trajectory: bool = False,
+    method: str = "auto",
 ):
     """A p -> u*(p) function that is differentiable through the solver.
 
@@ -199,10 +260,11 @@ def make_differentiable_solver(
         # fp32-highest: see sensitivity() — TPU default precision corrupts
         # the LU to ~1e-3
         with jax.default_matmul_precision("highest"):
-            A = _system(data, m_b, ridge)
             R = _masked_rhs_map(data, m_b, plus)  # (B, S, n_p)
             t = jnp.einsum("sz,...z->...s", data.MG_T, z_bar_full)
-            w = jnp.linalg.solve(A, t[..., None])[..., 0]
+            w = _solve_masked_system(
+                data, m_b, ridge, t[..., None], method
+            )[..., 0]
             p_bar = -jnp.einsum("...sp,...s->...p", R, w) - jnp.einsum(
                 "pz,...z->...p", data.gP_map, z_bar_full
             )
@@ -217,6 +279,7 @@ def make_data_differentiable_solver(
     tol: float = 1e-7,
     ridge: float = 0.0,
     full_trajectory: bool = False,
+    method: str = "auto",
 ):
     """A (data, p) -> u*(data, p) function differentiable in BOTH arguments.
 
@@ -286,9 +349,10 @@ def make_data_differentiable_solver(
             ..., :n_keep
         ].set(z_bar)
         with jax.default_matmul_precision("highest"):
-            A = _system(data, m_b, ridge)
             t = jnp.einsum("sz,bz->bs", data.MG_T, z_bar_full)
-            w = m_b * jnp.linalg.solve(A, t[..., None])[..., 0]  # masked
+            w = m_b * _solve_masked_system(
+                data, m_b, ridge, t[..., None], method
+            )[..., 0]  # masked
             r = jnp.einsum("zs,bs->bz", data.GL_T, w)  # (B, n_z)
             gP_bar = r - z_bar_full  # cotangent of g_P(p) per scenario
             MG_bar = jnp.einsum("bs,bz->sz", y_eff, gP_bar)
