@@ -626,13 +626,18 @@ def test_soft_pallas_warm_start_matches_xla():
 
 
 def test_soft_routing_and_tiled_guards():
-    """auto off-TPU keeps XLA; the streamed/dense kernels refuse soft data
-    loudly instead of silently dropping the damping."""
+    """auto keeps XLA off-TPU and the fused paired kernels ON TPU
+    (chip-measured 1.9-2.3x, SOFT_PALLAS.json); the streamed/dense
+    kernels refuse soft data loudly instead of silently dropping the
+    damping."""
+    import jax
+
     from tpu_gpad.solver import kernels
     from tpu_gpad.solver.core import resolve_engine
 
     dev = _soft_dev_data(iterations=100)
-    assert resolve_engine(dev, SolverConfig(iterations=100)) == "xla"
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert resolve_engine(dev, SolverConfig(iterations=100)) == expected
     assert not kernels.dual_tiled_fits(dev)
     assert not kernels.flat_tiled_fits(dev)
     p_D = jnp.zeros((1, 2, dev.m_half), jnp.float32)

@@ -177,3 +177,79 @@ def test_validation():
     est.update(np.zeros(1))
     with pytest.raises(ValueError, match="u_prev"):
         est.update(np.zeros(1))
+
+
+def test_measurement_influence_via_diff():
+    """Cross-module composition: diff.sensitivity on the MHE window QP
+    gives the estimate's influence function dx_hat/d[xbar; Y; U] —
+    checked against finite differences of the batched window solve."""
+    from tpu_gpad import diff
+
+    est = MovingHorizonEstimator(
+        A, B, C, window=5, W=W, V=V,
+        w_min=np.full(2, -0.02), w_max=np.full(2, 0.02),
+        x0=np.zeros(2), iterations=300,
+    )
+    rng = np.random.default_rng(4)
+    xbar = rng.normal(0, 0.1, (1, 2))
+    Y = rng.normal(0, 0.1, (1, 5, 1))
+    U = rng.normal(0, 0.3, (1, 4, 1))
+    x_hat, res = est.solve_window(xbar, Y, U)
+    st = est.structure
+    _, K_z = diff.sensitivity(est.data, res.y)
+    # x_hat = M_last z* + N_last U; U occupies the trailing p entries
+    M_last = st.M[-st.n_x:]
+    dxhat_dp = np.asarray(M_last @ np.asarray(K_z[0]))
+    n_p = est.data.gP_map.shape[0]
+    dxhat_dp[:, n_p - 4:] += st.N_u[-st.n_x:]
+    # FD over one measurement coordinate and the arrival state
+    for j, (dx, dY, dU) in enumerate([
+        (np.array([[1e-4, 0.0]]), 0.0, 0.0),
+        (0.0, 1e-4, 0.0),
+    ]):
+        if j == 0:
+            xp, _ = est.solve_window(xbar + dx, Y, U)
+            xm, _ = est.solve_window(xbar - dx, Y, U)
+            col = dxhat_dp[:, 0]
+            h = 1e-4
+        else:
+            e = np.zeros_like(Y)
+            e[0, 2, 0] = 1e-4  # middle measurement
+            xp, _ = est.solve_window(xbar, Y + e, U)
+            xm, _ = est.solve_window(xbar, Y - e, U)
+            col = dxhat_dp[:, 2 + 2]  # p = [xbar(2); y_0..y_4; u...]
+            h = 1e-4
+        fd = (np.asarray(xp[0]) - np.asarray(xm[0])) / (2 * h)
+        np.testing.assert_allclose(col, fd, atol=5e-3)
+
+
+def test_sharded_fleet_windows():
+    """MHE fleet estimation scales over the mesh: solve_window's QP runs
+    through solve_batch_sharded with window parity vs the local solve."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpu_gpad.parallel import solve_batch_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (virtual CPU mesh)")
+    est = MovingHorizonEstimator(
+        A, B, C, window=5, W=W, V=V,
+        w_min=np.full(2, -0.05), w_max=np.full(2, 0.05),
+        x0=np.zeros(2), iterations=300,
+    )
+    rng = np.random.default_rng(9)
+    Bn = 16
+    xbar = rng.normal(0, 0.1, (Bn, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.1, (Bn, 5, 1)).astype(np.float32)
+    U = rng.normal(0, 0.3, (Bn, 4, 1)).astype(np.float32)
+    x_local, res_local = est.solve_window(xbar, Y, U)
+    p = jnp.concatenate(
+        [jnp.asarray(xbar), jnp.asarray(Y).reshape(Bn, -1),
+         jnp.asarray(U).reshape(Bn, -1)], axis=1)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    res_sh = solve_batch_sharded(est.data, p, est.config, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.z), np.asarray(res_local.z), atol=1e-5
+    )

@@ -125,7 +125,12 @@ def test_dual_form_matches_mvp(battery_qp):
     dp = dualize(qp, iterations=100, paired=True)
     cfg_mvp = SolverConfig(iterations=100, form="mvp")
     cfg_dual = SolverConfig(iterations=100, form="dual")
-    assert resolve_form(dp, SolverConfig(iterations=100)) == "dual"
+    # form auto is backend-calibrated: flat-mvp on TPU (measured >= dual
+    # at every bundled shape, DESIGN.md 8), dual elsewhere
+    import jax
+
+    expected = "mvp" if jax.default_backend() == "tpu" else "dual"
+    assert resolve_form(dp, SolverConfig(iterations=100)) == expected
     rm = solve_batch(dp, X0, config=cfg_mvp)
     rd = solve_batch(dp, X0, config=cfg_dual)
     # TPU: 100 iterations of 6-pass-fp32 relu-boundary divergence between

@@ -54,7 +54,7 @@ from tpu_gpad.estimator import (
     kalman_gain,
 )
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "LinearMPCProblem",
