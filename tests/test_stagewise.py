@@ -1,0 +1,215 @@
+"""Stage-wise (non-condensed) GPAD: parity with the condensed engines.
+
+The stage-wise solver iterates the SAME dual dynamics as the condensed one
+(the dual problem is identical — condensation only changes how the oracle
+zhat(w) is computed), so with a shared Lipschitz constant and schedule the
+two engines must agree to float32 accumulation noise, not just to
+convergence tolerance. Reference anchor: the O(N) non-condensed variant the
+paper describes but the reference never builds (nmpc12-gpad.pdf p.3;
+SURVEY.md section 5)."""
+
+import numpy as np
+import pytest
+
+from tpu_gpad import problems
+from tpu_gpad.condense import condense, dualize, lipschitz_constant
+from tpu_gpad.solver import solve_batch
+from tpu_gpad.solver.qp import solve_condensed_qp
+from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+from tpu_gpad.types import LinearMPCProblem
+
+
+def _battery_pair(n=3, N=8, iterations=100):
+    prob = problems.battery(n, N)
+    qp = condense(prob)
+    L = lipschitz_constant(qp)
+    return prob, qp, L, build_stagewise(prob, iterations=iterations, L=L)
+
+
+def test_matches_condensed_engine_iterate_for_iterate():
+    prob, qp, L, data_s = _battery_pair()
+    data_c = dualize(qp, iterations=100, L=L)
+    rng = np.random.default_rng(0)
+    X0 = rng.uniform(-0.4, 0.4, size=(16, prob.n_x)).astype(np.float32)
+    res_c = solve_batch(data_c, X0)
+    res_s = solve_stagewise(data_s, X0)
+    np.testing.assert_allclose(res_s.u, res_c.u, atol=2e-6)
+    # full input trajectory too, not just the first move
+    np.testing.assert_allclose(res_s.z, res_c.z, atol=2e-6)
+
+
+def test_converges_to_exact_qp():
+    prob, qp, L, _ = _battery_pair()
+    data_s = build_stagewise(prob, iterations=2000, L=L)
+    rng = np.random.default_rng(1)
+    X0 = rng.uniform(-0.4, 0.4, size=(4, prob.n_x)).astype(np.float32)
+    res = solve_stagewise(data_s, X0)
+    for i in range(4):
+        sol = solve_condensed_qp(qp, X0[i])
+        np.testing.assert_allclose(
+            np.asarray(res.u)[i], sol.z[: prob.n_u], atol=5e-5
+        )
+    assert float(np.max(res.residual)) < 1e-4
+
+
+def test_auto_lipschitz_is_safe_and_close():
+    prob, qp, L_exact, _ = _battery_pair()
+    data = build_stagewise(prob, iterations=100)
+    L_auto = float(data.L)
+    assert L_auto >= L_exact * 0.999  # never an underestimate
+    assert L_auto <= L_exact * 1.2  # and not uselessly loose here
+    rng = np.random.default_rng(2)
+    X0 = rng.uniform(-0.4, 0.4, size=(8, prob.n_x)).astype(np.float32)
+    res = solve_stagewise(data, X0)
+    for i in range(3):
+        sol = solve_condensed_qp(qp, X0[i])
+        np.testing.assert_allclose(
+            np.asarray(res.u)[i], sol.z[: prob.n_u], atol=2e-3
+        )
+
+
+def test_ltv_dynamics():
+    prob = problems.random_ltv(n_x=3, n_u=2, horizon=6, seed=3)
+    qp = condense(prob)
+    L = lipschitz_constant(qp)
+    data_c = dualize(qp, iterations=150, L=L)
+    data_s = build_stagewise(prob, iterations=150, L=L)
+    rng = np.random.default_rng(4)
+    X0 = rng.uniform(-0.5, 0.5, size=(6, prob.n_x)).astype(np.float32)
+    res_c = solve_batch(data_c, X0)
+    res_s = solve_stagewise(data_s, X0)
+    np.testing.assert_allclose(res_s.u, res_c.u, atol=5e-6)
+
+
+def test_terminal_weight_and_per_stage_bounds():
+    base = problems.double_integrator(horizon=10)
+    from tpu_gpad.condense import dare_terminal_weight
+
+    N, n = base.horizon, base.n_x
+    # tightening per-stage state bounds (tube-MPC style, shape (N, n))
+    shrink = np.linspace(1.0, 0.6, N)[:, None]
+    import dataclasses
+
+    prob = dataclasses.replace(
+        base,
+        Q_terminal=dare_terminal_weight(base),
+        x_min=shrink * np.asarray(base.x_min)[None, :],
+        x_max=shrink * np.asarray(base.x_max)[None, :],
+    )
+    qp = condense(prob)
+    L = lipschitz_constant(qp)
+    data_c = dualize(qp, iterations=200, L=L)
+    data_s = build_stagewise(prob, iterations=200, L=L)
+    rng = np.random.default_rng(5)
+    X0 = rng.uniform(-0.5, 0.5, size=(5, n)).astype(np.float32)
+    np.testing.assert_allclose(
+        solve_stagewise(data_s, X0).u, solve_batch(data_c, X0).u, atol=5e-6
+    )
+
+
+def test_general_polytopes():
+    base = problems.battery(3, 6)
+    import dataclasses
+
+    prob = dataclasses.replace(
+        base,
+        H_x=np.array([[1.0, 1.0, 1.0]]),  # total-SoC budget
+        h_x=np.array([0.9]),
+        H_u=np.array([[1.0, -1.0, 0.0]]),
+        h_u=np.array([0.25]),
+    )
+    qp = condense(prob)
+    L = lipschitz_constant(qp)
+    data_c = dualize(qp, iterations=150, L=L)
+    data_s = build_stagewise(prob, iterations=150, L=L)
+    rng = np.random.default_rng(6)
+    X0 = rng.uniform(-0.3, 0.3, size=(6, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        solve_stagewise(data_s, X0).u, solve_batch(data_c, X0).u, atol=5e-6
+    )
+
+
+def test_input_constraints_only():
+    prob = LinearMPCProblem(
+        A=np.array([[1.0, 0.1], [0.0, 1.0]]),
+        B=np.array([[0.0], [0.1]]),
+        Q=np.eye(2),
+        R=np.eye(1),
+        horizon=8,
+        u_min=np.array([-1.0]),
+        u_max=np.array([1.0]),
+        name="inputs_only",
+    )
+    qp = condense(prob)
+    L = lipschitz_constant(qp)
+    data_s = build_stagewise(prob, iterations=300, L=L)
+    assert data_s.m_x == 0
+    X0 = np.array([[1.5, -0.5], [-2.0, 1.0]], dtype=np.float32)
+    res = solve_stagewise(data_s, X0)
+    for i in range(2):
+        sol = solve_condensed_qp(qp, X0[i])
+        np.testing.assert_allclose(
+            np.asarray(res.u)[i], sol.z[: prob.n_u], atol=1e-4
+        )
+
+
+def test_warm_start_and_batch_shapes():
+    prob, qp, L, data = _battery_pair(iterations=100)
+    rng = np.random.default_rng(7)
+    X0 = rng.uniform(-0.4, 0.4, size=(2, 3, prob.n_x)).astype(np.float32)
+    res = solve_stagewise(data, X0, iterations=60)
+    assert res.u.shape == (2, 3, prob.n_u)
+    assert res.y.shape == (2, 3, prob.horizon, data.m_x + data.m_u)
+    assert int(res.iterations[0, 0]) == 60
+    # warm-starting from a genuinely converged dual keeps u* put even on a
+    # short budget (Lemma 1 of the paper: the iteration is stationary at y*)
+    data_long = build_stagewise(prob, iterations=3000, L=L)
+    res_star = solve_stagewise(data_long, X0)
+    res2 = solve_stagewise(data, X0, iterations=40, y0=res_star.y)
+    np.testing.assert_allclose(res2.u, res_star.u, atol=1e-3)
+
+
+def test_long_horizon_smoke():
+    # a shape whose condensed operands are already ~100x the stage-wise
+    # data; checks the O(N) path stays correct far past where the dense
+    # fixtures live
+    prob = problems.battery(4, 120)
+    data = build_stagewise(prob, iterations=600)
+    rng = np.random.default_rng(8)
+    X0 = rng.uniform(-0.3, 0.3, size=(4, 4)).astype(np.float32)
+    res = solve_stagewise(data, X0)
+    assert np.isfinite(np.asarray(res.u)).all()
+    assert float(np.max(res.residual)) < 2e-3
+    # charge conservation (the K_u row) holds on the planned moves
+    u_traj = np.asarray(res.z).reshape(4, prob.horizon, prob.n_u)
+    assert np.abs(u_traj.sum(axis=-1)).max() < 2e-3
+
+
+def test_rejects_condensation_only_features():
+    import dataclasses
+
+    base = problems.battery(3, 4)
+    with pytest.raises(ValueError, match="rate limits"):
+        build_stagewise(
+            dataclasses.replace(
+                base, du_min=np.full(3, -0.1), du_max=np.full(3, 0.1)
+            )
+        )
+    with pytest.raises(ValueError, match="affine dynamics"):
+        build_stagewise(dataclasses.replace(base, c=np.full(3, 0.01)))
+    with pytest.raises(ValueError, match="no inequality constraints"):
+        build_stagewise(
+            LinearMPCProblem(
+                A=np.eye(2),
+                B=np.eye(2),
+                Q=np.eye(2),
+                R=np.eye(2),
+                horizon=3,
+            )
+        )
+    with pytest.raises(ValueError, match="schedule"):
+        solve_stagewise(
+            build_stagewise(base, iterations=50),
+            np.zeros((1, 3), np.float32),
+            iterations=60,
+        )

@@ -46,6 +46,7 @@ from tpu_gpad.robust import (
     tube_tightened_problem,
 )
 from tpu_gpad.mhe import MovingHorizonEstimator
+from tpu_gpad.stagewise import StagewiseData, build_stagewise, solve_stagewise
 from tpu_gpad.estimator import (
     ExtendedKalmanFilter,
     KalmanFilter,
@@ -91,6 +92,9 @@ __all__ = [
     "ExtendedKalmanFilter",
     "KalmanFilter",
     "MovingHorizonEstimator",
+    "StagewiseData",
+    "build_stagewise",
+    "solve_stagewise",
     "OffsetFreeController",
     "TargetCalculator",
     "kalman_gain",

@@ -1,0 +1,515 @@
+"""Non-condensed (stage-wise) GPAD: the paper's O(N) variant.
+
+The reference condenses the MPC QP before dualizing, so every GPAD
+iteration pays two dense MVPs of O(N^2 * n_u * n_x) flops and the operand
+matrices ``M_G``/``G_L`` grow as O(N^2) in memory (``gpad.m:50-63`` builds
+the dense prediction matrices; ``kernel_functions.cu:16-64,142-200`` are
+the dense MVP kernels). The GPAD paper explicitly notes the alternative
+(`Documents/nmpc12-gpad.pdf` p.3): keep the states as decision variables
+and the dynamics as equality constraints, and the dual-gradient oracle
+
+    zhat(w) = argmin_z  0.5 z' M z + (f + G' w)' z
+
+becomes a finite-horizon LQR with stage-wise linear cost perturbations —
+solvable in O(N * (n_x + n_u)^2) per iteration by a Riccati recursion whose
+QUADRATIC part is w-independent and precomputed offline. The reference never
+implements this (SURVEY.md section 5, "long-context" row: the O(N)
+non-condensed alternative is "not implemented").
+
+This module is that variant, TPU-first:
+
+- offline (float64 NumPy, like ``condense``): the Riccati gain sequence
+  ``K_k``, closed-loop transitions ``E_k = A_k - B_k K_k`` and inverted
+  input Hessians ``Hi_k = (R_k + B_k' Ptilde_{k+1} B_k)^-1``;
+- online (jitted): each GPAD iteration runs ONE backward affine sweep and
+  ONE forward rollout as ``lax.scan``s — after ``vmap`` over scenarios the
+  scan body is (B, n) @ (n, n) batched matmuls that tile onto the MXU;
+- constraints stay stage-local (state/input boxes, per-stage coupling and
+  polytopes), so applying ``G`` and ``G'`` is two small einsums per stage
+  instead of a dense (m x n_z) contraction.
+
+Per-iteration cost and memory are O(N) instead of O(N^2): the condensed
+operands for e.g. battery n=30, N=200 are ~300 MB and do not fit VMEM at
+any tiling, while the stage-wise data is ~2 MB at the same shape. The
+trade is sequential depth (2N scan steps per iteration vs one matmul), so
+condensed stays faster at short horizons — see docs/DESIGN.md section 10
+for the measured crossover.
+
+Scope: hard per-stage constraints, LTI or LTV dynamics, per-stage Q/R and
+``Q_terminal``. Rate limits, soft constraints, tracking parameters and
+affine dynamics offsets are condensation-path features; ``build_stagewise``
+rejects them loudly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_gpad.types import LinearMPCProblem, SolveResult, _register_pytree_dataclass
+from tpu_gpad.schedule import momentum_schedule
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class StagewiseData:
+    """Offline-precomputed constants for the stage-wise GPAD solver.
+
+    Shapes: N = horizon, n = n_x, p = n_u; ``m_x`` state-constraint rows
+    per stage (stages 1..N), ``m_u`` input rows per stage (stages 0..N-1).
+
+    The LQR backward recursion for the affine value-function term
+    ``stilde_k`` (the only w-dependent part — the quadratic part is baked
+    into ``K``/``Hi``/``E``) is
+
+        stilde_N = qx_N
+        stilde_k = qx_k + E_k' stilde_{k+1} - K_k' ru_k      (k = N-1..1)
+
+    and the forward rollout is
+
+        u_k = -K_k x_k - Hi_k (B_k' stilde_{k+1} + ru_k)
+        x_{k+1} = A_k x_k + B_k u_k.
+    """
+
+    A_seq: jax.Array  # (N, n, n)
+    B_seq: jax.Array  # (N, n, p)
+    K: jax.Array  # (N, p, n) Riccati gains
+    Hi: jax.Array  # (N, p, p) inverted input Hessians
+    E: jax.Array  # (N, n, n) closed-loop transitions A_k - B_k K_k
+    Gx: jax.Array  # (m_x, n) per-stage state rows: Gx x_k <= hx_k, k = 1..N
+    hx: jax.Array  # (N, m_x)
+    Gu: jax.Array  # (m_u, p) per-stage input rows: Gu u_k <= hu_k, k = 0..N-1
+    hu: jax.Array  # (N, m_u)
+    L: jax.Array  # () Lipschitz constant of the dual gradient
+    theta: jax.Array  # (max_iters,) shipped momentum schedule
+    beta: jax.Array  # (max_iters,)
+    n_x: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_u: int = dataclasses.field(metadata=dict(static=True), default=0)
+    horizon: int = dataclasses.field(metadata=dict(static=True), default=0)
+    name: str = dataclasses.field(metadata=dict(static=True), default="stagewise")
+
+    @property
+    def m_x(self) -> int:
+        return self.Gx.shape[0]
+
+    @property
+    def m_u(self) -> int:
+        return self.Gu.shape[0]
+
+    @property
+    def m(self) -> int:
+        """Total inequality rows (== the condensed stack's m)."""
+        return self.horizon * (self.m_x + self.m_u)
+
+    @property
+    def max_iters(self) -> int:
+        return self.theta.shape[0]
+
+
+_register_pytree_dataclass(
+    StagewiseData,
+    data_fields=(
+        "A_seq",
+        "B_seq",
+        "K",
+        "Hi",
+        "E",
+        "Gx",
+        "hx",
+        "Gu",
+        "hu",
+        "L",
+        "theta",
+        "beta",
+    ),
+    meta_fields=("n_x", "n_u", "horizon", "name"),
+)
+
+
+def _stage_seq(M, N: int, shape: tuple, name: str) -> np.ndarray:
+    """Broadcast a constant or stacked per-stage matrix to (N, *shape)."""
+    arr = np.asarray(M, dtype=np.float64)
+    if arr.shape == shape:
+        return np.broadcast_to(arr, (N, *shape)).copy()
+    if arr.shape == (N, *shape):
+        return arr.copy()
+    raise ValueError(f"{name} must be {shape} or {(N, *shape)}; got {arr.shape}")
+
+
+def _stage_rhs(v, N: int, q: int, name: str) -> np.ndarray:
+    arr = np.asarray(v, dtype=np.float64)
+    if arr.shape == (q,):
+        return np.tile(arr, (N, 1))
+    if arr.shape == (N, q):
+        return arr.copy()
+    raise ValueError(f"{name} must be ({q},) or ({N}, {q}); got {arr.shape}")
+
+
+def _constraint_rows(problem: LinearMPCProblem):
+    """Per-stage constraint rows (Gx, hx, Gu, hu) in float64.
+
+    Same constraint set as ``condense`` builds into the dense stack
+    (reference ``gpad.m:84-85``: [S; -S; I; -I; K; -K]), expressed
+    stage-locally. Row ORDER differs from the condensed stack — GPAD's
+    iterates are row-permutation-equivariant, so u*/z* (and the dual
+    values per constraint) are unaffected.
+    """
+    n, p, N = problem.n_x, problem.n_u, problem.horizon
+    gx_rows, hx_rows = [], []
+    if problem.x_max is not None:
+        gx_rows.append(np.eye(n))
+        hx_rows.append(_stage_rhs(problem.x_max, N, n, "x_max"))
+    if problem.x_min is not None:
+        gx_rows.append(-np.eye(n))
+        hx_rows.append(-_stage_rhs(problem.x_min, N, n, "x_min"))
+    if problem.H_x is not None:
+        Hx = np.asarray(problem.H_x, dtype=np.float64)
+        gx_rows.append(Hx)
+        hx_rows.append(_stage_rhs(problem.h_x, N, Hx.shape[0], "h_x"))
+    gu_rows, hu_rows = [], []
+    if problem.u_max is not None:
+        gu_rows.append(np.eye(p))
+        hu_rows.append(_stage_rhs(problem.u_max, N, p, "u_max"))
+    if problem.u_min is not None:
+        gu_rows.append(-np.eye(p))
+        hu_rows.append(-_stage_rhs(problem.u_min, N, p, "u_min"))
+    if problem.K_u is not None:
+        Ku = np.asarray(problem.K_u, dtype=np.float64)
+        zeros = np.zeros((N, Ku.shape[0]))
+        gu_rows += [Ku, -Ku]
+        hu_rows += [zeros, zeros]
+    if problem.H_u is not None:
+        Hu = np.asarray(problem.H_u, dtype=np.float64)
+        gu_rows.append(Hu)
+        hu_rows.append(_stage_rhs(problem.h_u, N, Hu.shape[0], "h_u"))
+    Gx = np.concatenate(gx_rows, axis=0) if gx_rows else np.zeros((0, n))
+    hx = np.concatenate(hx_rows, axis=1) if hx_rows else np.zeros((N, 0))
+    Gu = np.concatenate(gu_rows, axis=0) if gu_rows else np.zeros((0, p))
+    hu = np.concatenate(hu_rows, axis=1) if hu_rows else np.zeros((N, 0))
+    return Gx, hx, Gu, hu
+
+
+def _riccati_np(A_seq, B_seq, Q_seq, R_seq, Q_terminal):
+    """Backward Riccati sweep (float64): gains K, inverses Hi, closed-loop E.
+
+    ``Q_seq[j]`` weights stage j+1's state (the condensed cost's convention:
+    states x_1..x_N carry cost, x_0 does not — ``condense.condense``), with
+    ``Q_terminal`` replacing stage N's weight when given.
+    """
+    N, n, p = A_seq.shape[0], A_seq.shape[1], B_seq.shape[2]
+    K = np.zeros((N, p, n))
+    Hi = np.zeros((N, p, p))
+    E = np.zeros((N, n, n))
+    # Ptilde_{k+1} = Q_{k+1} + P_{k+1}: value-function Hessian INCLUDING
+    # stage k+1's own cost, the quantity the k-th minimization sees.
+    Pt = (Q_terminal if Q_terminal is not None else Q_seq[N - 1]).copy()
+    for k in range(N - 1, -1, -1):
+        A, B = A_seq[k], B_seq[k]
+        Hk = R_seq[k] + B.T @ Pt @ B
+        Hk = 0.5 * (Hk + Hk.T)
+        BtPtA = B.T @ Pt @ A
+        K[k] = np.linalg.solve(Hk, BtPtA)
+        Hi[k] = np.linalg.inv(Hk)
+        E[k] = A - B @ K[k]
+        P = A.T @ Pt @ A - BtPtA.T @ K[k]
+        P = 0.5 * (P + P.T)
+        if k > 0:
+            Pt = Q_seq[k - 1] + P
+    return K, Hi, E
+
+
+def _lqr_np(mats, qx, ru, x0):
+    """NumPy twin of the online LQR solve (offline use: L estimation)."""
+    A, B, K, Hi, E, N = mats
+    stilde = np.zeros((N, qx.shape[1]))
+    s = qx[N - 1]
+    stilde[N - 1] = s
+    for k in range(N - 1, 0, -1):
+        s = qx[k - 1] + E[k].T @ s - K[k].T @ ru[k]
+        stilde[k - 1] = s
+    x = x0
+    xs = np.zeros((N, x0.shape[0]))
+    us = np.zeros((N, K.shape[1]))
+    for k in range(N):
+        kff = Hi[k] @ (B[k].T @ stilde[k] + ru[k])
+        u = -K[k] @ x - kff
+        x = A[k] @ x + B[k] @ u
+        us[k] = u
+        xs[k] = x
+    return xs, us
+
+
+def _power_lmax_np(mats, Gx, Gu, seed: int = 0, iters: int = 500):
+    """lambda_max of the dual Hessian G M^-1 G' by power iteration on the
+    matrix-free operator (one LQR solve per step). Returns (lmax, rel_res).
+
+    The operator is v -> -G * lqr(G' v, x0=0): the LQR minimizer of
+    0.5 z'Mz + (G'v)'z is -M^-1 G' v, so its constraint image is -Hd v.
+    """
+    A, B, K, Hi, E, N = mats
+    rng = np.random.default_rng(seed)
+    vx = rng.standard_normal((N, Gx.shape[0]))
+    vu = rng.standard_normal((N, Gu.shape[0]))
+    lam, res = 0.0, np.inf
+
+    def op(vx, vu):
+        xs, us = _lqr_np(mats, vx @ Gx, vu @ Gu, np.zeros(A.shape[1]))
+        return -(xs @ Gx.T), -(us @ Gu.T)
+
+    for _ in range(iters):
+        nrm = float(np.sqrt((vx * vx).sum() + (vu * vu).sum()))
+        if nrm == 0.0:
+            return 0.0, 0.0
+        vx, vu = vx / nrm, vu / nrm
+        wx, wu = op(vx, vu)
+        lam = float((vx * wx).sum() + (vu * wu).sum())
+        res = float(
+            np.sqrt(((wx - lam * vx) ** 2).sum() + ((wu - lam * vu) ** 2).sum())
+        )
+        if lam > 0 and res / lam < 1e-8:
+            break
+        vx, vu = wx, wu
+    return lam, (res / lam if lam > 0 else np.inf)
+
+
+def build_stagewise(
+    problem: LinearMPCProblem,
+    iterations: int = 100,
+    L: Optional[float] = None,
+    schedule: str = "paper",
+    dtype=jnp.float32,
+) -> StagewiseData:
+    """Precompute the stage-wise GPAD constants (O(N) data, float64 offline).
+
+    ``L``: Lipschitz constant of the dual gradient; pass one (e.g.
+    ``condense.lipschitz_constant`` on the condensed twin, for exact
+    iterate parity with the condensed engines) or leave None for a
+    matrix-free power-iteration estimate with a safety margin scaled by
+    the iteration's convergence residual — an UNDERestimated L breaks the
+    GPAD guarantee, so poor power-method convergence falls back to the
+    certified bound N (|Gx|_F^2 + |Gu|_F^2) / lambda_min(R).
+    """
+    if problem.du_min is not None or problem.du_max is not None:
+        raise ValueError(
+            "rate limits couple adjacent stages; use the condensation path "
+            "(condense + dualize), which augments the parameter with u_prev"
+        )
+    if problem.c is not None:
+        raise ValueError(
+            "affine dynamics offsets are a condensation-path feature; "
+            "build_stagewise supports x_{k+1} = A_k x_k + B_k u_k"
+        )
+    if (problem.H_x is None) != (problem.h_x is None) or (
+        problem.H_u is None
+    ) != (problem.h_u is None):
+        raise ValueError("H_x/h_x and H_u/h_u must be given together")
+    N, n, p = problem.horizon, problem.n_x, problem.n_u
+    A_seq = _stage_seq(problem.A, N, (n, n), "A")
+    B_seq = _stage_seq(problem.B, N, (n, p), "B")
+    Q_seq = _stage_seq(problem.Q, N, (n, n), "Q")
+    R_seq = _stage_seq(problem.R, N, (p, p), "R")
+    Q_term = (
+        np.asarray(problem.Q_terminal, dtype=np.float64)
+        if problem.Q_terminal is not None
+        else None
+    )
+    K, Hi, E = _riccati_np(A_seq, B_seq, Q_seq, R_seq, Q_term)
+    Gx, hx, Gu, hu = _constraint_rows(problem)
+    if Gx.shape[0] == 0 and Gu.shape[0] == 0:
+        raise ValueError("problem has no inequality constraints to dualize")
+
+    if L is None:
+        mats = (A_seq, B_seq, K, Hi, E, N)
+        lam, rel_res = _power_lmax_np(mats, Gx, Gu)
+        if rel_res < 1e-6:
+            L = lam * 1.01
+        elif rel_res < 1e-3:
+            L = lam * 1.1
+        else:
+            # certified (loose) bound: lambda_max(G M^-1 G') <=
+            # |G|_F^2 / lambda_min(M) and lambda_min(M) >= min_k
+            # lambda_min(R_k) because the state-cost part of M is PSD.
+            lmin_R = min(float(np.linalg.eigvalsh(Rk)[0]) for Rk in R_seq)
+            L = N * (float((Gx * Gx).sum()) + float((Gu * Gu).sum())) / lmin_R
+    L = float(L)
+    if L <= 0:
+        raise ValueError(f"Lipschitz constant must be positive; got {L}")
+
+    theta, beta = momentum_schedule(iterations, variant=schedule)
+    as_dev = lambda a: jnp.asarray(a, dtype=dtype)
+    return StagewiseData(
+        A_seq=as_dev(A_seq),
+        B_seq=as_dev(B_seq),
+        K=as_dev(K),
+        Hi=as_dev(Hi),
+        E=as_dev(E),
+        Gx=as_dev(Gx),
+        hx=as_dev(hx),
+        Gu=as_dev(Gu),
+        hu=as_dev(hu),
+        L=jnp.asarray(L, dtype=dtype),
+        theta=jnp.asarray(theta, dtype=dtype),
+        beta=jnp.asarray(beta, dtype=dtype),
+        n_x=n,
+        n_u=p,
+        horizon=N,
+        name=f"{problem.name}_stagewise",
+    )
+
+
+def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array):
+    """Jitted LQR solve with linear-cost perturbations (qx, ru).
+
+    Two ``lax.scan``s over the horizon; all contractions run at HIGHEST
+    precision — the backward sweep chains N matmuls, and TPU-default bf16
+    operands corrupt the chain exactly like the device-condensation KKT
+    solves (docs/DESIGN.md section 9).
+    """
+    dot = lambda M, v: jnp.einsum("ij,...j->...i", M, v, precision=_HI)
+
+    def bwd(s_next, inp):
+        E_k, K_k, qx_prev, ru_k = inp
+        s_k = qx_prev + dot(E_k.T, s_next) - dot(K_k.T, ru_k)
+        return s_k, s_next
+
+    s_N = qx[-1]
+    s_1, stilde_tail = jax.lax.scan(
+        bwd,
+        s_N,
+        (data.E[1:], data.K[1:], qx[:-1], ru[1:]),
+        reverse=True,
+    )
+    # stilde[k] = stilde_{k+1}, the value-function slope the k-th stage sees
+    stilde = jnp.concatenate([s_1[None], stilde_tail], axis=0)
+
+    def fwd(x, inp):
+        A_k, B_k, K_k, Hi_k, st_k, ru_k = inp
+        kff = dot(Hi_k, dot(B_k.T, st_k) + ru_k)
+        u = -dot(K_k, x) - kff
+        x_next = dot(A_k, x) + dot(B_k, u)
+        return x_next, (x_next, u)
+
+    _, (xs, us) = jax.lax.scan(
+        fwd, x0, (data.A_seq, data.B_seq, data.K, data.Hi, stilde, ru)
+    )
+    return xs, us
+
+
+def _dual_oracle(data: StagewiseData, wx: jax.Array, wu: jax.Array, x0: jax.Array):
+    """zhat(w) and the dual gradient g(w) = G zhat - h, stage-local."""
+    qx = jnp.einsum("kq,qn->kn", wx, data.Gx, precision=_HI)
+    ru = jnp.einsum("kq,qp->kp", wu, data.Gu, precision=_HI)
+    xs, us = _lqr_solve(data, qx, ru, x0)
+    gx = jnp.einsum("kn,qn->kq", xs, data.Gx, precision=_HI) - data.hx
+    gu = jnp.einsum("kp,qp->kq", us, data.Gu, precision=_HI) - data.hu
+    return (xs, us), (gx, gu)
+
+
+def _solve_one(
+    data: StagewiseData,
+    x0: jax.Array,
+    y0x: jax.Array,
+    y0u: jax.Array,
+    n_iters: int,
+):
+    N = data.horizon
+    inv_L = 1.0 / data.L
+
+    def body(i, carry):
+        yx, yu, yx_p, yu_p, zx, zu = carry
+        b = data.beta[i]
+        th = data.theta[i]
+        wx = yx + b * (yx - yx_p)
+        wu = yu + b * (yu - yu_p)
+        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0)
+        zx = (1.0 - th) * zx + th * xs
+        zu = (1.0 - th) * zu + th * us
+        yx_n = jnp.maximum(wx + inv_L * gx, 0.0)
+        yu_n = jnp.maximum(wu + inv_L * gu, 0.0)
+        return yx_n, yu_n, yx, yu, zx, zu
+
+    zx0 = jnp.zeros((N, data.n_x), dtype=data.hx.dtype)
+    zu0 = jnp.zeros((N, data.n_u), dtype=data.hu.dtype)
+    yx, yu, *_, zx, zu = jax.lax.fori_loop(
+        0, n_iters, body, (y0x, y0u, y0x, y0u, zx0, zu0)
+    )
+    # epilogue diagnostics on the averaged primal (zx is the exact rollout
+    # of zu from x0 — x is linear in u, and the convex combination step 3
+    # preserves that)
+    gx = jnp.einsum("kn,qn->kq", zx, data.Gx, precision=_HI) - data.hx
+    gu = jnp.einsum("kp,qp->kq", zu, data.Gu, precision=_HI) - data.hu
+    viol = jnp.concatenate(
+        [jnp.maximum(gx, 0.0).reshape(-1), jnp.maximum(gu, 0.0).reshape(-1)]
+    )
+    residual = jnp.max(viol)  # build_stagewise guarantees m_x + m_u > 0
+    gap = -(jnp.sum(yx * gx) + jnp.sum(yu * gu))
+    y_packed = jnp.concatenate([yx, yu], axis=-1)
+    return (
+        zu[0],
+        zu.reshape(-1),
+        y_packed,
+        residual,
+        gap,
+    )
+
+
+def solve_stagewise(
+    data: StagewiseData,
+    x0: jax.Array,
+    iterations: Optional[int] = None,
+    y0: Optional[jax.Array] = None,
+) -> SolveResult:
+    """Solve a batch of MPC QPs via stage-wise GPAD; ``x0`` is (..., n_x).
+
+    Fixed-iteration (hard-real-time) mode, matching the reference runtime's
+    only mode (``main.cu:87,160``); for epsilon-termination use the
+    condensed engines. ``y0`` warm-starts the dual: shape broadcastable to
+    (..., N, m_x + m_u) with state rows first per stage (the layout this
+    function returns in ``SolveResult.y``).
+
+    Returns a ``SolveResult`` with ``u`` = first move, ``z`` the full input
+    trajectory (N*n_u, the condensed z convention), ``y`` the stage-packed
+    dual, ``residual`` the max primal violation of the averaged iterate and
+    ``gap`` the complementarity surrogate -y'g(z).
+    """
+    n_iters = int(iterations) if iterations is not None else data.max_iters
+    if n_iters > data.max_iters:
+        raise ValueError(
+            f"asked for {n_iters} iterations but the shipped schedule has "
+            f"{data.max_iters}; rebuild with a longer one"
+        )
+    x0 = jnp.asarray(x0)
+    batch_shape = x0.shape[:-1]
+    xb = x0.reshape((-1, data.n_x))
+    B = xb.shape[0]
+    N, m_x, m_u = data.horizon, data.m_x, data.m_u
+    if y0 is None:
+        y0x = jnp.zeros((B, N, m_x), dtype=data.hx.dtype)
+        y0u = jnp.zeros((B, N, m_u), dtype=data.hu.dtype)
+    else:
+        y0 = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=data.hx.dtype), (*batch_shape, N, m_x + m_u)
+        ).reshape((B, N, m_x + m_u))
+        y0x, y0u = y0[..., :m_x], y0[..., m_x:]
+
+    u, z, y, residual, gap = jax.vmap(
+        lambda x, yx, yu: _solve_one(data, x, yx, yu, n_iters)
+    )(xb, y0x, y0u)
+
+    rs = lambda a: a.reshape((*batch_shape, *a.shape[1:]))
+    iters = jnp.full(batch_shape, n_iters, dtype=jnp.int32)
+    return SolveResult(
+        u=rs(u),
+        z=rs(z),
+        y=rs(y),
+        iterations=iters,
+        residual=rs(residual),
+        gap=rs(gap),
+        converged=jnp.ones(batch_shape, dtype=bool),
+    )
