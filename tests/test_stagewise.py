@@ -213,3 +213,20 @@ def test_rejects_condensation_only_features():
             np.zeros((1, 3), np.float32),
             iterations=60,
         )
+
+
+def test_associative_scan_matches_sequential():
+    # same math, different association order: the parallel-prefix sweeps
+    # must agree with lax.scan to fp32 accumulation noise, incl. N=1 and
+    # a non-power-of-two horizon
+    for n, N in ((3, 1), (3, 8), (4, 13)):
+        prob = problems.battery(n, N)
+        data = build_stagewise(prob, iterations=100)
+        rng = np.random.default_rng(9)
+        X0 = rng.uniform(-0.4, 0.4, size=(8, n)).astype(np.float32)
+        res_seq = solve_stagewise(data, X0, scan="sequential")
+        res_par = solve_stagewise(data, X0, scan="associative")
+        np.testing.assert_allclose(res_par.u, res_seq.u, atol=2e-5)
+        np.testing.assert_allclose(res_par.z, res_seq.z, atol=2e-5)
+    with pytest.raises(ValueError, match="scan"):
+        solve_stagewise(data, X0, scan="blockwise")

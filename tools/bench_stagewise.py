@@ -1,0 +1,151 @@
+"""Condensed vs stage-wise GPAD across a horizon ladder (DESIGN.md §11).
+
+The stage-wise solver trades the condensed engines' O(N^2)-per-iteration
+MXU matmuls for O(N) work behind 2N sequential scan steps; this tool
+measures where the crossover sits on the real chip and how the condensed
+OFFLINE build cost (host float64, O(N^2) memory) grows alongside.
+
+Both engines run the SAME dual dynamics: the stage-wise power-iteration L
+is passed to ``dualize`` so every row is an apples-to-apples fixed-100-
+iteration solve, u*-parity-checked per shape before timing. Ratios come
+from ``utils.interleaved_ab`` (CLAUDE.md measurement rule: sequential
+readings fabricate wins).
+
+Writes STAGEWISE.json. Run on the real chip:  python tools/bench_stagewise.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="STAGEWISE.json")
+    ap.add_argument("--iterations", type=int, default=100)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_gpad
+    from tpu_gpad import problems
+    from tpu_gpad.solver import SolverConfig, solve_batch
+    from tpu_gpad.solver.core import resolve_engine, resolve_form
+    from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+    from tpu_gpad.utils import interleaved_ab
+
+    # (n_cells, N, batch): short horizon (condensed home turf) -> long
+    # horizons where the condensed operands blow past VMEM and the host
+    # build cost becomes the story
+    shapes = [(8, 10, 1024), (8, 60, 256), (8, 120, 256), (8, 240, 128),
+              (30, 200, 64)]
+    if args.quick:
+        shapes = [(8, 10, 256), (8, 120, 128)]
+
+    out = {
+        "device": str(jax.devices()[0]),
+        "iterations": args.iterations,
+        "rounds": args.rounds,
+        "rows": [],
+    }
+
+    for n, N, batch in shapes:
+        prob = problems.battery(n, N)
+        t0 = time.perf_counter()
+        data_s = build_stagewise(prob, iterations=args.iterations)
+        build_s = time.perf_counter() - t0
+        L = float(data_s.L)
+
+        t0 = time.perf_counter()
+        qp = tpu_gpad.condense(prob)
+        data_c = tpu_gpad.dualize(
+            qp, iterations=args.iterations, paired="auto", L=L
+        )
+        build_c = time.perf_counter() - t0
+        operand_mb = (
+            (data_c.MG_T.size + data_c.GL_T.size)
+            * 4
+            * (2 if data_c.paired else 1)
+            / 2
+            / 1e6
+        )
+
+        cfg = SolverConfig(iterations=args.iterations)
+        rng = np.random.default_rng(0)
+        X0 = jnp.asarray(
+            rng.uniform(-0.3, 0.3, size=(batch, n)).astype(np.float32)
+        )
+
+        # parity guard before timing anything
+        uc = np.asarray(solve_batch(data_c, X0[:8], config=cfg).u)
+        us = np.asarray(solve_stagewise(data_s, X0[:8]).u)
+        u_err = float(np.abs(uc - us).max())
+        # chip cross-engine comparisons at fixed 100 iters diverge at relu
+        # boundaries to ~e-3 (CLAUDE.md calibration, conftest.backend_tol)
+        assert u_err < 5e-3, (n, N, u_err)
+
+        ab = interleaved_ab(
+            lambda: solve_stagewise(data_s, X0).u,
+            lambda: solve_batch(data_c, X0, config=cfg).u,
+            rounds=args.rounds,
+            k_large=10,
+        )
+        # second A/B: parallel-prefix sweeps vs lax.scan sweeps
+        ab_assoc = interleaved_ab(
+            lambda: solve_stagewise(data_s, X0, scan="associative").u,
+            lambda: solve_stagewise(data_s, X0).u,
+            rounds=args.rounds,
+            k_large=10,
+        )
+        row = {
+            "n_cells": n,
+            "N": N,
+            "batch": batch,
+            "m": int(data_s.m),
+            "L": L,
+            "u_parity_err": u_err,
+            "stagewise_solves_per_sec": batch / ab["t_a_median_s"],
+            "condensed_solves_per_sec": batch / ab["t_b_median_s"],
+            # ratio > 1 means stage-wise (A) is faster
+            "speedup_stagewise_over_condensed_median": ab[
+                "ratio_b_over_a_median"
+            ],
+            "speedup_iqr": ab["ratio_b_over_a_iqr"],
+            "per_round_ratios": ab["ratios"],
+            "assoc_solves_per_sec": batch / ab_assoc["t_a_median_s"],
+            # ratio > 1 means the associative sweeps are faster
+            "speedup_assoc_over_seq_median": ab_assoc[
+                "ratio_b_over_a_median"
+            ],
+            "assoc_iqr": ab_assoc["ratio_b_over_a_iqr"],
+            "condensed_engine": resolve_engine(data_c, cfg),
+            "condensed_form": resolve_form(data_c, cfg),
+            "condensed_operand_mb": operand_mb,
+            "stagewise_data_mb": sum(
+                np.prod(a.shape) for a in (data_s.K, data_s.Hi, data_s.E,
+                                           data_s.A_seq, data_s.B_seq)
+            ) * 4 / 1e6,
+            "condensed_build_s": build_c,
+            "stagewise_build_s": build_s,
+        }
+        out["rows"].append(row)
+        print(json.dumps(row), flush=True)
+        Path(args.out).write_text(json.dumps(out, indent=1))
+
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -363,6 +363,62 @@ def build_stagewise(
     )
 
 
+def _affine_combine(a, b):
+    """Composition of affine maps x -> M x + v (associative): b after a."""
+    Ma, va = a
+    Mb, vb = b
+    return (
+        jnp.einsum("...ij,...jk->...ik", Mb, Ma, precision=_HI),
+        jnp.einsum("...ij,...j->...i", Mb, va, precision=_HI) + vb,
+    )
+
+
+def _lqr_solve_assoc(
+    data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array
+):
+    """Parallel-in-time LQR solve: both sweeps as ``associative_scan``s.
+
+    The backward slope recursion s_k = E_k' s_{k+1} + c_k and the forward
+    closed-loop rollout x_{k+1} = E_k x_k + d_k are first-order AFFINE
+    recurrences, so their prefixes compose associatively — depth drops
+    from N to log2(N) at an O(log N) work premium (the classic
+    parallel-prefix Riccati sweep; ``lax.scan`` is work-optimal but
+    serial). The right choice is measured, not assumed: see
+    STAGEWISE.json / DESIGN.md section 11 for the chip crossover.
+    """
+    dot = lambda M, v: jnp.einsum("ij,...j->...i", M, v, precision=_HI)
+    N = data.horizon
+    s_N = qx[-1]
+    if N > 1:
+        # c_k = qx_{k} stage part - K_k' ru_k for k = 1..N-1, scanned from
+        # the tail: element j composes the step s_{N-j+1} -> s_{N-j}
+        c = qx[:-1] - jnp.einsum(
+            "kpn,kp->kn", data.K[1:], ru[1:], precision=_HI
+        )
+        Mseq = jnp.flip(jnp.swapaxes(data.E[1:], -1, -2), axis=0)
+        vseq = jnp.flip(c, axis=0)
+        prefA, prefv = jax.lax.associative_scan(_affine_combine, (Mseq, vseq))
+        s_vals = (
+            jnp.einsum("kij,...j->k...i", prefA, s_N, precision=_HI) + prefv
+        )  # s_{N-j}, j = 1..N-1
+        stilde = jnp.concatenate([jnp.flip(s_vals, axis=0), s_N[None]], axis=0)
+    else:
+        stilde = s_N[None]
+    # feedforwards are elementwise once stilde is known
+    kff = jnp.einsum(
+        "kpq,kq->kp",
+        data.Hi,
+        jnp.einsum("knp,kn->kp", data.B_seq, stilde, precision=_HI) + ru,
+        precision=_HI,
+    )
+    d = -jnp.einsum("knp,kp->kn", data.B_seq, kff, precision=_HI)
+    prefA, prefv = jax.lax.associative_scan(_affine_combine, (data.E, d))
+    xs = jnp.einsum("kij,j->ki", prefA, x0, precision=_HI) + prefv
+    x_lin = jnp.concatenate([x0[None], xs[:-1]], axis=0)
+    us = -jnp.einsum("kpn,kn->kp", data.K, x_lin, precision=_HI) - kff
+    return xs, us
+
+
 def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array):
     """Jitted LQR solve with linear-cost perturbations (qx, ru).
 
@@ -401,11 +457,18 @@ def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array)
     return xs, us
 
 
-def _dual_oracle(data: StagewiseData, wx: jax.Array, wu: jax.Array, x0: jax.Array):
+def _dual_oracle(
+    data: StagewiseData,
+    wx: jax.Array,
+    wu: jax.Array,
+    x0: jax.Array,
+    scan: str = "sequential",
+):
     """zhat(w) and the dual gradient g(w) = G zhat - h, stage-local."""
     qx = jnp.einsum("kq,qn->kn", wx, data.Gx, precision=_HI)
     ru = jnp.einsum("kq,qp->kp", wu, data.Gu, precision=_HI)
-    xs, us = _lqr_solve(data, qx, ru, x0)
+    lqr = _lqr_solve_assoc if scan == "associative" else _lqr_solve
+    xs, us = lqr(data, qx, ru, x0)
     gx = jnp.einsum("kn,qn->kq", xs, data.Gx, precision=_HI) - data.hx
     gu = jnp.einsum("kp,qp->kq", us, data.Gu, precision=_HI) - data.hu
     return (xs, us), (gx, gu)
@@ -417,6 +480,7 @@ def _solve_one(
     y0x: jax.Array,
     y0u: jax.Array,
     n_iters: int,
+    scan: str,
 ):
     N = data.horizon
     inv_L = 1.0 / data.L
@@ -427,7 +491,7 @@ def _solve_one(
         th = data.theta[i]
         wx = yx + b * (yx - yx_p)
         wu = yu + b * (yu - yu_p)
-        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0)
+        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0, scan)
         zx = (1.0 - th) * zx + th * xs
         zu = (1.0 - th) * zu + th * us
         yx_n = jnp.maximum(wx + inv_L * gx, 0.0)
@@ -464,6 +528,7 @@ def solve_stagewise(
     x0: jax.Array,
     iterations: Optional[int] = None,
     y0: Optional[jax.Array] = None,
+    scan: str = "sequential",
 ) -> SolveResult:
     """Solve a batch of MPC QPs via stage-wise GPAD; ``x0`` is (..., n_x).
 
@@ -473,11 +538,18 @@ def solve_stagewise(
     (..., N, m_x + m_u) with state rows first per stage (the layout this
     function returns in ``SolveResult.y``).
 
+    ``scan``: "sequential" (``lax.scan`` sweeps, work-optimal) or
+    "associative" (parallel-prefix sweeps, depth log2(N) at an O(log N)
+    work premium — wins when the sequential scans are latency-bound; see
+    STAGEWISE.json for the measured chip crossover).
+
     Returns a ``SolveResult`` with ``u`` = first move, ``z`` the full input
     trajectory (N*n_u, the condensed z convention), ``y`` the stage-packed
     dual, ``residual`` the max primal violation of the averaged iterate and
     ``gap`` the complementarity surrogate -y'g(z).
     """
+    if scan not in ("sequential", "associative"):
+        raise ValueError(f"scan must be 'sequential' or 'associative': {scan!r}")
     n_iters = int(iterations) if iterations is not None else data.max_iters
     if n_iters > data.max_iters:
         raise ValueError(
@@ -499,7 +571,7 @@ def solve_stagewise(
         y0x, y0u = y0[..., :m_x], y0[..., m_x:]
 
     u, z, y, residual, gap = jax.vmap(
-        lambda x, yx, yu: _solve_one(data, x, yx, yu, n_iters)
+        lambda x, yx, yu: _solve_one(data, x, yx, yu, n_iters, scan)
     )(xb, y0x, y0u)
 
     rs = lambda a: a.reshape((*batch_shape, *a.shape[1:]))
