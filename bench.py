@@ -10,12 +10,14 @@ headline comparison (GPU vs sequential CPU, README.md:7-10).
 
 Timing uses the slope method (tpu_gpad.utils.timing): the tunneled TPU has a
 ~30 ms host RPC floor and an async dispatch that returns before compute
-finishes, so naive per-call walltime is meaningless. The headline stat is
-additionally measured INTERLEAVED against a fixed dense-matmul anchor
-(alternating windows) so round-over-round comparisons are drift-free:
-absolute rates through the tunnel swing ±10% within a session, but the
-solve/anchor ratio cancels it. Detailed sub-benchmarks go to
-BENCH_DETAIL.json; pass --quick for smoke runs.
+finishes, so naive per-call walltime is meaningless. The headline VALUE is
+the ANCHOR-NORMALIZED rate: the solve is measured INTERLEAVED against a
+fixed dense-matmul anchor (alternating windows, validity-gated — see
+timing.interleaved_ab) and the ratio is multiplied by the pinned
+ANCHOR_REF_TFLOPS anchor speed, so round-over-round comparisons measure
+solver code, not tunnel weather (the raw absolute rate rides along as
+``raw_solves_per_sec``). Detailed sub-benchmarks go to BENCH_DETAIL.json;
+pass --quick for smoke runs.
 
 Failure contract (the round-2 lesson, VERDICT.md item 1): the TPU tunnel can
 be DOWN for an hour+ ("Unable to initialize backend 'axon'"). The backend is
@@ -35,6 +37,19 @@ import traceback
 
 
 HEADLINE_METRIC = "mpc_solves_per_sec_per_chip"
+
+# The chip's measured fp32-highest dense-matmul roofline (AB_FLAGSHIP.json
+# roofline decomposition; also the anchor_tflops of every clean committed
+# run: 31.09 in the round-3 BENCH_DETAIL). The headline value is the
+# ANCHOR-NORMALIZED rate: solve/anchor ratio x this pinned anchor speed, so
+# round-over-round numbers compare solver code, not tunnel weather
+# (BENCH_r01 8.69M vs r03 6.84M was -21% raw but only -7% anchor-normalized
+# — the raw rate conflated regression with drift; VERDICT r03 item 3).
+ANCHOR_REF_TFLOPS = 31.0
+# 1.5x the roofline: an anchor window timed faster than this is physically
+# impossible on this chip — reject the round (VERDICT r03 item 2: the r03
+# driver run let a ~zero anchor window fabricate a 988219x ratio).
+ANCHOR_MAX_TFLOPS = 46.5
 
 # Exception text that means "the tunnel/backend died", i.e. retryable.
 _BACKEND_ERR_MARKERS = (
@@ -124,6 +139,12 @@ def run(args, t_start: float) -> int:
         wall_times,
     )
 
+    from tpu_gpad.utils import timing as _timing
+
+    # one source of truth for the pinned anchor speed (timing.py)
+    assert ANCHOR_REF_TFLOPS == _timing.ANCHOR_REF_TFLOPS
+    assert ANCHOR_MAX_TFLOPS == _timing.ANCHOR_MAX_TFLOPS
+
     batch = 256 if args.quick else args.batch
     n_cells, horizon = 3, 10
     iters = args.iterations
@@ -171,24 +192,40 @@ def run(args, t_start: float) -> int:
         preferred_element_type=jnp.float32))
     rounds = 3 if args.quick else 8
     k_large = 8 if args.quick else 22
+    anchor_flops = 2 * anchor_n**3
+    headline_fn = lambda: solve_batch(data, X0, config=cfg).u
     ab = interleaved_ab(
-        lambda: solve_batch(data, X0, config=cfg).u,
+        headline_fn,
         lambda: anchor_mm(a, b_mat),
         rounds=rounds, k_large=k_large,
+        # anchor windows beating the physical roofline are rejected rounds
+        t_b_floor_s=anchor_flops / (ANCHOR_MAX_TFLOPS * 1e12),
     )
     t_call = ab["t_a_median_s"]
     t_anchor = ab["t_b_median_s"]
     solves_per_sec = batch / t_call
-    anchor_tflops = 2 * anchor_n**3 / t_anchor / 1e12
+    anchor_tflops = anchor_flops / t_anchor / 1e12
+    # the driver-parsed headline: solve/anchor ratio x the PINNED anchor
+    # speed — drift-free round over round (same units as the raw rate;
+    # equal to it exactly when the session anchor runs at the pinned 31.0)
+    anchor_ref_s = anchor_flops / (ANCHOR_REF_TFLOPS * 1e12)
+    solves_per_anchor = ab["ratio_b_over_a_median"] * batch
+    headline_rate = solves_per_anchor / anchor_ref_s
+    detail["throughput_fp32_solves_per_sec_anchor_normalized"] = headline_rate
     detail["throughput_fp32_solves_per_sec"] = solves_per_sec
     detail["throughput_fp32_interleaved"] = {
         "median_solves_per_sec": solves_per_sec,
+        "anchor_normalized_solves_per_sec": headline_rate,
         # solve-batches completed per anchor-matmul time: the drift-free stat
-        "solves_per_anchor_median": ab["ratio_b_over_a_median"] * batch,
+        "solves_per_anchor_median": solves_per_anchor,
         "solves_per_anchor_iqr": ab["ratio_b_over_a_iqr"] * batch,
         "per_round_ratio_b_over_a": ab["ratios"],
+        "per_round_ratio_all_incl_rejected": ab["ratios_all"],
+        "rejected_rounds": ab["rejected_rounds"],
+        "unstable": ab["unstable"],
         "anchor": f"matmul {anchor_n}x{anchor_n} fp32 highest",
         "anchor_tflops": anchor_tflops,
+        "anchor_ref_tflops_pinned": ANCHOR_REF_TFLOPS,
         "rounds": ab["rounds"],
     }
     detail["batch_device_ms"] = t_call * 1e3
@@ -281,15 +318,27 @@ def run(args, t_start: float) -> int:
 
     def _serving_mode():
         # diagnostics=False: residual-free serving — the kernels drop their
-        # w/zhat diagnostic outputs (u/z/y bit-identical, residual/gap NaN)
+        # w/zhat diagnostic outputs (u/z/y bit-identical, residual/gap NaN).
+        # Measured as a gated INTERLEAVED ratio against the headline config
+        # and reported as headline_rate x ratio: the claim is "within
+        # tunnel noise of fixed", so the ratio IS the result, and a
+        # contended session can no longer fabricate an absolute serving
+        # rate 7.8x the headline (the r03 driver run's 53M row).
         cfg_srv = SolverConfig(iterations=iters, engine=args.engine,
                                diagnostics=False)
-        _rate("throughput_serving", data, cfg_srv,
-              lambda: solve_batch(data, X0, config=cfg_srv).u, batch)
-        cfg_srv_f = SolverConfig(iterations=iters, engine=args.engine,
-                                 precision="default", diagnostics=False)
-        _rate("throughput_serving_fast", data, cfg_srv_f,
-              lambda: solve_batch(data, X0, config=cfg_srv_f).u, batch)
+        ab_srv = interleaved_ab(
+            lambda: solve_batch(data, X0, config=cfg_srv).u,
+            headline_fn, rounds=max(rounds // 2, 3), k_large=k_large,
+        )
+        detail["throughput_serving_solves_per_sec"] = (
+            headline_rate * ab_srv["ratio_b_over_a_median"])
+        detail["throughput_serving_vs_fixed"] = {
+            "speedup_median": ab_srv["ratio_b_over_a_median"],
+            "speedup_iqr": ab_srv["ratio_b_over_a_iqr"],
+            "rejected_rounds": ab_srv["rejected_rounds"],
+            "unstable": ab_srv["unstable"],
+        }
+        detail["throughput_serving_routing"] = routing(data, cfg_srv)
 
     def _xla_engine():
         cfg_xla = SolverConfig(iterations=iters, engine="xla")
@@ -346,12 +395,44 @@ def run(args, t_start: float) -> int:
         optional("eps_restart", _eps_restart)
         optional("long_horizon", _long_horizon)
 
+    # --- cross-stat sanity: physically-ordered rates. Violations are
+    # FLAGGED in the output (and the offending row nulled), never shipped
+    # as numbers — a reader of BENCH_DETAIL must not have to know which
+    # rows a contended tunnel can corrupt. ---
+    flags = []
+    srv = detail.get("throughput_serving_solves_per_sec")
+    fast = detail.get("throughput_fast_precision_solves_per_sec")
+    high = detail.get("throughput_high_precision_solves_per_sec")
+    # serving is bit-identical HIGHEST-precision work: it cannot beat the
+    # 1-pass default tier, nor sit far above the fixed headline
+    if srv is not None and fast is not None and srv > fast * 1.1:
+        flags.append("serving_exceeds_default_tier")
+        detail["throughput_serving_solves_per_sec"] = None
+    srv = detail.get("throughput_serving_solves_per_sec")
+    if srv is not None and srv > headline_rate * 1.5:
+        flags.append("serving_far_above_headline")
+        detail["throughput_serving_solves_per_sec"] = None
+    # precision ladder must be monotone: highest <= high(3-pass) <= default
+    if high is not None and fast is not None and high > fast * 1.15:
+        flags.append("precision_ladder_inverted_high_vs_default")
+    if high is not None and high < headline_rate * 0.8:
+        flags.append("high_tier_below_highest")
+    if ab["unstable"]:
+        flags.append("headline_interleave_unstable")
+    detail["sanity_flags"] = flags
+
     _write_detail(detail)
     return emit(
-        round(solves_per_sec, 1),
-        "solves/s (battery n=3 N=10, %d iters, fp32, batch %d, %s)"
-        % (iters, batch, args.engine),
-        vs_baseline=round(solves_per_sec / cpu_solves_per_sec, 1),
+        round(headline_rate, 1),
+        "solves/s anchor-normalized (battery n=3 N=10, %d iters, fp32, "
+        "batch %d, %s)" % (iters, batch, args.engine),
+        vs_baseline=round(headline_rate / cpu_solves_per_sec, 1),
+        extra={
+            "raw_solves_per_sec": round(solves_per_sec, 1),
+            "anchor_tflops_session": round(anchor_tflops, 2),
+            "rejected_rounds": ab["rejected_rounds"],
+            "sanity_flags": flags,
+        },
     )
 
 

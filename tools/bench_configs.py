@@ -35,9 +35,9 @@ def main():
     from tpu_gpad.solver import SolverConfig, solve_batch
     from tpu_gpad.solver.core import resolve_engine, resolve_flat, resolve_form
     from tpu_gpad.utils import (
-        device_time_per_call, device_time_stats, matmul_peak_tflops,
-        solve_flops,
+        device_time_per_call, matmul_peak_tflops, solve_flops,
     )
+    from tpu_gpad.utils.timing import anchored_throughput
 
     out = {"device": str(jax.devices()[0]), "iterations": 100}
     cfg = SolverConfig(iterations=100)
@@ -63,9 +63,14 @@ def main():
         X0 = jnp.asarray(
             rng.uniform(-x_scale, x_scale, size=(batch, problem.n_x))
             .astype(np.float32))
-        stats = device_time_stats(
-            lambda: solve_batch(data, X0, config=config).u, n=5, k_large=10)
-        t = stats["median_s"]
+        # anchor-interleaved per row (VERDICT r03 item 4): sequential
+        # median-of-5 rows carried 23-35% IQR — regression-blind. The
+        # anchor-normalized rate is the comparable stat; iqr_rel > 0.10
+        # marks a row as wide-variance weather.
+        at = anchored_throughput(
+            lambda: solve_batch(data, X0, config=config).u,
+            batch, rounds=5, k_large=10)
+        t = at["t_a_median_s"]
         form = resolve_form(data, config)
         flat = form == "mvp" and resolve_flat(data, config)
         tflops = solve_flops(data, 100, form, flat=flat) * batch / t / 1e12
@@ -75,10 +80,15 @@ def main():
             "engine": resolve_engine(data, config),
             "form": form + ("+flat" if flat else ""),
             "precision": config.precision,
-            "solves_per_sec": round(batch / t, 1),
-            "solves_per_sec_iqr": round(
-                batch * stats["iqr_s"] / max(t, 1e-12) ** 2, 1),
-            "n_timing_samples": stats["n"],
+            "solves_per_sec": round(
+                at["solves_per_sec_anchor_normalized"], 1),
+            "solves_per_sec_raw": round(at["solves_per_sec_raw"], 1),
+            "iqr_rel": round(at["iqr_rel"], 4),
+            "wide_variance": bool(at["iqr_rel"] > 0.10),
+            "rejected_rounds": at["rejected_rounds"],
+            "unstable": at["unstable"],
+            "anchor_tflops": round(at["anchor_tflops"], 2),
+            "rounds": at["rounds"],
             "device_us_per_solve": round(t * 1e6 / batch, 3),
             "achieved_tflops": round(tflops, 3),
             "pct_peak": round(100.0 * tflops / peak_for(config), 1),

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--shapes", default=None,
+                    help="override ladder: 'n,N,B;n,N,B;...'")
+    ap.add_argument("--merge", action="store_true",
+                    help="append rows to an existing --out file")
     args = ap.parse_args()
 
     import jax
@@ -47,11 +51,18 @@ def main():
 
     # (n_cells, N, batch): short horizon (condensed home turf) -> long
     # horizons where the condensed operands blow past VMEM and the host
-    # build cost becomes the story
+    # build cost becomes the story. The big-batch tail is where the
+    # stage-wise engine's O(N) flops can show: at small batch its 2N
+    # sequential scan steps are latency-bound no-ops, while the condensed
+    # engine pays O(N^2) matmul flops at ANY batch.
     shapes = [(8, 10, 1024), (8, 60, 256), (8, 120, 256), (8, 240, 128),
-              (30, 200, 64)]
+              (30, 200, 64), (8, 240, 4096), (30, 200, 1024)]
     if args.quick:
         shapes = [(8, 10, 256), (8, 120, 128)]
+
+    if args.shapes:
+        shapes = [tuple(int(v) for v in s.split(","))
+                  for s in args.shapes.split(";")]
 
     out = {
         "device": str(jax.devices()[0]),
@@ -59,92 +70,119 @@ def main():
         "rounds": args.rounds,
         "rows": [],
     }
+    if args.merge and Path(args.out).exists():
+        out = json.loads(Path(args.out).read_text())
 
     for n, N, batch in shapes:
-        prob = problems.battery(n, N)
-        t0 = time.perf_counter()
-        data_s = build_stagewise(prob, iterations=args.iterations)
-        build_s = time.perf_counter() - t0
-        L = float(data_s.L)
-
-        t0 = time.perf_counter()
-        qp = tpu_gpad.condense(prob)
-        data_c = tpu_gpad.dualize(
-            qp, iterations=args.iterations, paired="auto", L=L
-        )
-        build_c = time.perf_counter() - t0
-        operand_mb = (
-            (data_c.MG_T.size + data_c.GL_T.size)
-            * 4
-            * (2 if data_c.paired else 1)
-            / 2
-            / 1e6
-        )
-
-        cfg = SolverConfig(iterations=args.iterations)
-        rng = np.random.default_rng(0)
-        X0 = jnp.asarray(
-            rng.uniform(-0.3, 0.3, size=(batch, n)).astype(np.float32)
-        )
-
-        # parity guard before timing anything
-        uc = np.asarray(solve_batch(data_c, X0[:8], config=cfg).u)
-        us = np.asarray(solve_stagewise(data_s, X0[:8]).u)
-        u_err = float(np.abs(uc - us).max())
-        # chip cross-engine comparisons at fixed 100 iters diverge at relu
-        # boundaries to ~e-3 (CLAUDE.md calibration, conftest.backend_tol)
-        assert u_err < 5e-3, (n, N, u_err)
-
-        ab = interleaved_ab(
-            lambda: solve_stagewise(data_s, X0).u,
-            lambda: solve_batch(data_c, X0, config=cfg).u,
-            rounds=args.rounds,
-            k_large=10,
-        )
-        # second A/B: parallel-prefix sweeps vs lax.scan sweeps
-        ab_assoc = interleaved_ab(
-            lambda: solve_stagewise(data_s, X0, scan="associative").u,
-            lambda: solve_stagewise(data_s, X0).u,
-            rounds=args.rounds,
-            k_large=10,
-        )
-        row = {
-            "n_cells": n,
-            "N": N,
-            "batch": batch,
-            "m": int(data_s.m),
-            "L": L,
-            "u_parity_err": u_err,
-            "stagewise_solves_per_sec": batch / ab["t_a_median_s"],
-            "condensed_solves_per_sec": batch / ab["t_b_median_s"],
-            # ratio > 1 means stage-wise (A) is faster
-            "speedup_stagewise_over_condensed_median": ab[
-                "ratio_b_over_a_median"
-            ],
-            "speedup_iqr": ab["ratio_b_over_a_iqr"],
-            "per_round_ratios": ab["ratios"],
-            "assoc_solves_per_sec": batch / ab_assoc["t_a_median_s"],
-            # ratio > 1 means the associative sweeps are faster
-            "speedup_assoc_over_seq_median": ab_assoc[
-                "ratio_b_over_a_median"
-            ],
-            "assoc_iqr": ab_assoc["ratio_b_over_a_iqr"],
-            "condensed_engine": resolve_engine(data_c, cfg),
-            "condensed_form": resolve_form(data_c, cfg),
-            "condensed_operand_mb": operand_mb,
-            "stagewise_data_mb": sum(
-                np.prod(a.shape) for a in (data_s.K, data_s.Hi, data_s.E,
-                                           data_s.A_seq, data_s.B_seq)
-            ) * 4 / 1e6,
-            "condensed_build_s": build_c,
-            "stagewise_build_s": build_s,
-        }
-        out["rows"].append(row)
-        print(json.dumps(row), flush=True)
+        try:
+            _one_shape(out, args, n, N, batch)
+        except Exception as ex:  # keep the ladder going past a bad shape
+            out["rows"].append(
+                {"n_cells": n, "N": N, "batch": batch,
+                 "error": f"{type(ex).__name__}: {ex}"[:300]}
+            )
+            print(f"shape ({n},{N},{batch}) failed: {ex}", flush=True)
         Path(args.out).write_text(json.dumps(out, indent=1))
 
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(f"wrote {args.out}")
+
+
+def _one_shape(out, args, n, N, batch):
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_gpad
+    from tpu_gpad import problems
+    from tpu_gpad.solver import SolverConfig, solve_batch
+    from tpu_gpad.solver.core import resolve_engine, resolve_form
+    from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+    from tpu_gpad.utils import interleaved_ab
+
+    prob = problems.battery(n, N)
+    t0 = time.perf_counter()
+    data_s = build_stagewise(prob, iterations=args.iterations)
+    build_s = time.perf_counter() - t0
+    L = float(data_s.L)
+
+    t0 = time.perf_counter()
+    qp = tpu_gpad.condense(prob)
+    data_c = tpu_gpad.dualize(
+        qp, iterations=args.iterations, paired="auto", L=L
+    )
+    build_c = time.perf_counter() - t0
+    # stored fp32 bytes of the two condensed MVP operands, as-is;
+    # full-stack equivalent doubles a paired build (the paired stack
+    # stores half the rows of the +/- pair)
+    operand_mb = (data_c.MG_T.size + data_c.GL_T.size) * 4 / 1e6
+    operand_full_mb = operand_mb * (2 if data_c.paired else 1)
+
+    cfg = SolverConfig(iterations=args.iterations)
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(
+        rng.uniform(-0.3, 0.3, size=(batch, n)).astype(np.float32)
+    )
+
+    # parity guard before timing anything
+    uc = np.asarray(solve_batch(data_c, X0[:8], config=cfg).u)
+    us = np.asarray(solve_stagewise(data_s, X0[:8]).u)
+    u_err = float(np.abs(uc - us).max())
+    # chip cross-engine comparisons at fixed 100 iters diverge at relu
+    # boundaries to ~e-3 (CLAUDE.md calibration, conftest.backend_tol)
+    assert u_err < 5e-3, (n, N, u_err)
+
+    ab = interleaved_ab(
+        lambda: solve_stagewise(data_s, X0).u,
+        lambda: solve_batch(data_c, X0, config=cfg).u,
+        rounds=args.rounds,
+        k_large=10,
+    )
+    # second A/B: parallel-prefix sweeps vs lax.scan sweeps
+    ab_assoc = interleaved_ab(
+        lambda: solve_stagewise(data_s, X0, scan="associative").u,
+        lambda: solve_stagewise(data_s, X0).u,
+        rounds=args.rounds,
+        k_large=10,
+    )
+    row = {
+        "n_cells": n,
+        "N": N,
+        "batch": batch,
+        "m": int(data_s.m),
+        "L": L,
+        "u_parity_err": u_err,
+        "stagewise_solves_per_sec": batch / ab["t_a_median_s"],
+        "condensed_solves_per_sec": batch / ab["t_b_median_s"],
+        # ratio > 1 means stage-wise (A) is faster
+        "speedup_stagewise_over_condensed_median": ab[
+            "ratio_b_over_a_median"
+        ],
+        "speedup_iqr": ab["ratio_b_over_a_iqr"],
+        "per_round_ratios": ab["ratios"],
+        "rejected_rounds": ab["rejected_rounds"],
+        "unstable": ab["unstable"],
+        "assoc_rejected_rounds": ab_assoc["rejected_rounds"],
+        "assoc_unstable": ab_assoc["unstable"],
+        "assoc_solves_per_sec": batch / ab_assoc["t_a_median_s"],
+        # ratio > 1 means the associative sweeps are faster
+        "speedup_assoc_over_seq_median": ab_assoc[
+            "ratio_b_over_a_median"
+        ],
+        "assoc_iqr": ab_assoc["ratio_b_over_a_iqr"],
+        "condensed_engine": resolve_engine(data_c, cfg),
+        "condensed_form": resolve_form(data_c, cfg),
+        "condensed_operand_mb": operand_mb,
+        "condensed_operand_full_stack_mb": operand_full_mb,
+        "stagewise_data_mb": sum(
+            np.prod(a.shape) for a in (data_s.K, data_s.Hi, data_s.E,
+                                       data_s.A_seq, data_s.B_seq)
+        ) * 4 / 1e6,
+        "condensed_build_s": build_c,
+        "stagewise_build_s": build_s,
+    }
+    out["rows"].append(row)
+    print(json.dumps(row), flush=True)
+    Path(args.out).write_text(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

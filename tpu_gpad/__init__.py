@@ -46,7 +46,13 @@ from tpu_gpad.robust import (
     tube_tightened_problem,
 )
 from tpu_gpad.mhe import MovingHorizonEstimator
-from tpu_gpad.stagewise import StagewiseData, build_stagewise, solve_stagewise
+from tpu_gpad.stagewise import (
+    StagewiseData,
+    auto_solver,
+    build_stagewise,
+    solve_stagewise,
+    stagewise_compatible,
+)
 from tpu_gpad.estimator import (
     ExtendedKalmanFilter,
     KalmanFilter,
@@ -93,8 +99,10 @@ __all__ = [
     "KalmanFilter",
     "MovingHorizonEstimator",
     "StagewiseData",
+    "auto_solver",
     "build_stagewise",
     "solve_stagewise",
+    "stagewise_compatible",
     "OffsetFreeController",
     "TargetCalculator",
     "kalman_gain",

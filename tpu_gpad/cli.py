@@ -45,7 +45,11 @@ def _add_solver_args(p):
     p.add_argument("--mode", default="fixed", choices=["fixed", "eps"])
     p.add_argument("--eps-g", type=float, default=1e-6)
     p.add_argument("--eps-v", type=float, default=1e-6)
-    p.add_argument("--engine", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas", "stagewise"],
+                   help="condensed engines (auto/xla/pallas) or the O(N) "
+                        "non-condensed stage-wise engine (long horizons; "
+                        "docs/DESIGN.md section 11)")
     p.add_argument("--form", default="auto", choices=["auto", "mvp", "dual"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="operand dtype for the hot matmuls")
@@ -69,12 +73,15 @@ def _solver_config(args):
     a subset of the solver flags (e.g. ``info``) fall back to defaults."""
     from tpu_gpad.solver import SolverConfig
 
+    engine = getattr(args, "engine", "auto")
     return SolverConfig(
         iterations=args.iterations,
         mode=getattr(args, "mode", "fixed"),
         eps_g=getattr(args, "eps_g", 1e-6),
         eps_V=getattr(args, "eps_v", 1e-6),
-        engine=getattr(args, "engine", "auto"),
+        # the stage-wise engine is routed before condensation (cmd_solve);
+        # the condensed config never sees it
+        engine="auto" if engine == "stagewise" else engine,
         form=getattr(args, "form", "auto"),
         matmul_dtype=getattr(args, "dtype", "float32"),
         precision=getattr(args, "precision", "highest"),
@@ -118,6 +125,31 @@ def cmd_solve(args) -> int:
                 config, iterations=ds.num_iterations)
         data = dataset_to_gpad_data(ds)
         X0 = np.zeros((1, 1), dtype=np.float32)  # parameter baked into the file
+    elif args.engine == "stagewise":
+        from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+
+        problem = _build_problem(args)
+        data = build_stagewise(problem, iterations=args.iterations)
+        X0 = _scenarios(args, problem.n_x)
+        X0j = jnp.asarray(X0)
+        res = solve_stagewise(data, X0j, config=config)
+        out = {
+            "problem": data.name, "engine": "stagewise",
+            "n_u": data.n_u, "horizon": data.horizon, "m": data.m,
+            "batch": int(X0.shape[0]),
+            "iterations": int(np.max(np.asarray(res.iterations))),
+            "residual_max": float(np.max(np.asarray(res.residual))),
+            "converged_all": bool(np.all(np.asarray(res.converged))),
+            "u_star": np.asarray(res.u[0]).tolist(),
+        }
+        if args.time:
+            t = device_time_per_call(
+                lambda: solve_stagewise(data, X0j, config=config).u)
+            out["batch_device_us"] = t * 1e6
+            out["device_us_per_solve"] = t * 1e6 / X0.shape[0]
+            out["solves_per_sec"] = X0.shape[0] / t
+        _emit(out)
+        return 0
     else:
         problem = _build_problem(args)
         data = tpu_gpad.dualize(

@@ -11,6 +11,7 @@ on-device dtype.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -222,6 +223,30 @@ def condense(
     N = problem.horizon
     n_x, n_u = problem.n_x, problem.n_u
     n_z = n_u * N
+    # O(N^2) host-memory wall, with a redirect (the stage-wise engine is
+    # O(N) and exists for exactly this regime): project the dense float64
+    # intermediates (S, Qbar, H + the constraint stack) BEFORE allocating.
+    # Override with TPU_GPAD_CONDENSE_LIMIT_GB for hosts with more RAM.
+    est_gb = 8.0 * N * N * (n_x * n_u + n_x * n_x + n_u * n_u) / 1e9
+    limit_gb = float(os.environ.get("TPU_GPAD_CONDENSE_LIMIT_GB", "8"))
+    if est_gb > limit_gb:
+        from tpu_gpad.stagewise import stagewise_compatible
+
+        ok, why = stagewise_compatible(problem)
+        hint = (
+            "this problem IS stage-wise compatible: use "
+            "tpu_gpad.stagewise.build_stagewise/solve_stagewise (O(N) "
+            "memory, docs/DESIGN.md section 11) or "
+            "tpu_gpad.stagewise.auto_solver"
+            if ok
+            else f"the stage-wise engine cannot take it either ({why})"
+        )
+        raise ValueError(
+            f"condensing horizon={N} with n_x={n_x}, n_u={n_u} allocates "
+            f"~{est_gb:.1f} GB of dense host matrices (limit "
+            f"{limit_gb:.0f} GB; set TPU_GPAD_CONDENSE_LIMIT_GB to "
+            f"raise); {hint}"
+        )
     if problem.is_ltv:
         if np.asarray(problem.A).shape[0] != N:
             raise ValueError(

@@ -32,7 +32,7 @@ Per-iteration cost and memory are O(N) instead of O(N^2): the condensed
 operands for e.g. battery n=30, N=200 are ~300 MB and do not fit VMEM at
 any tiling, while the stage-wise data is ~2 MB at the same shape. The
 trade is sequential depth (2N scan steps per iteration vs one matmul), so
-condensed stays faster at short horizons — see docs/DESIGN.md section 10
+condensed stays faster at short horizons — see docs/DESIGN.md section 11
 for the measured crossover.
 
 Scope: hard per-stage constraints, LTI or LTV dynamics, per-stage Q/R and
@@ -245,6 +245,39 @@ def _lqr_np(mats, qx, ru, x0):
     return xs, us
 
 
+def _cert_L_np(A_seq, B_seq, Gx, Gu, R_seq) -> float:
+    """Certified upper bound on lambda_max(G M^-1 G') INCLUDING the
+    prediction-map gain.
+
+    In the dynamics-eliminated space the dual Hessian is
+    ``Gc Mc^-1 Gc'`` with ``Mc = R_total + Gamma' Q_total Gamma >=
+    lmin(R) I`` and ``Gc`` the condensed constraint matrix whose state
+    rows act through the prediction map ``Gamma``. Hence
+
+        lambda_max <= |Gc|_2^2 / lmin(R) <= |Gc|_F^2 / lmin(R),
+
+    and ``|Gc|_F^2`` is computed EXACTLY (no rollout sampling) by the
+    backward Gramian recursion ``S_s = Gx'Gx + A_s' S_{s+1} A_s`` with
+    ``S_N = Gx'Gx``: the u_j column block contributes
+    ``tr(B_j' S_{j+1} B_j)`` (states x_{j+1}..x_N through Phi_{t,j+1})
+    plus the direct input rows ``|Gu|_F^2``. O(N n^3) offline — the
+    naive ``N |G|_F^2 / lmin(R)`` bound that ignored Gamma was measured
+    2.3-300x BELOW the true spectral L on unstable plants (round-3
+    advisor finding) and is gone.
+    """
+    N = A_seq.shape[0]
+    lmin_R = min(float(np.linalg.eigvalsh(Rk)[0]) for Rk in R_seq)
+    GtG = Gx.T @ Gx
+    S = GtG.copy()  # S_N
+    fro2 = 0.0
+    for j in range(N - 1, -1, -1):
+        fro2 += float(np.trace(B_seq[j].T @ S @ B_seq[j]))  # S == S_{j+1}
+        if j > 0:
+            S = GtG + A_seq[j].T @ S @ A_seq[j]
+    fro2 += N * float((Gu * Gu).sum())
+    return fro2 / lmin_R
+
+
 def _power_lmax_np(mats, Gx, Gu, seed: int = 0, iters: int = 500):
     """lambda_max of the dual Hessian G M^-1 G' by power iteration on the
     matrix-free operator (one LQR solve per step). Returns (lmax, rel_res).
@@ -276,6 +309,46 @@ def _power_lmax_np(mats, Gx, Gu, seed: int = 0, iters: int = 500):
             break
         vx, vu = wx, wu
     return lam, (res / lam if lam > 0 else np.inf)
+
+
+def stagewise_compatible(problem: LinearMPCProblem) -> tuple:
+    """(ok, reason): can ``build_stagewise`` represent this problem?
+
+    The stage-wise oracle needs stage-separable data: rate limits couple
+    adjacent stages and affine offsets change the rollout, so those are
+    condensation-path features (the checks mirror ``build_stagewise``'s
+    own loud rejections)."""
+    if problem.du_min is not None or problem.du_max is not None:
+        return False, "rate limits couple adjacent stages"
+    if problem.c is not None:
+        return False, "affine dynamics offsets"
+    has_rows = any(
+        getattr(problem, f) is not None
+        for f in ("x_min", "x_max", "u_min", "u_max", "K_u", "H_x", "H_u")
+    )
+    if not has_rows:
+        return False, "no inequality constraints to dualize"
+    return True, ""
+
+
+def condensed_operand_mb(problem: LinearMPCProblem) -> float:
+    """Projected fp32 device bytes (MB) of the two condensed MVP operands
+    ``M_G``/``G_L`` at the FULL (unpaired-equivalent) stack — the O(N^2)
+    memory the stage-wise engine avoids. Closed form, nothing built."""
+    N, n, p = problem.horizon, problem.n_x, problem.n_u
+    m = 0
+    for lo, hi, q in (
+        (problem.x_min, problem.x_max, n),
+        (problem.u_min, problem.u_max, p),
+    ):
+        m += q * ((lo is not None) + (hi is not None))
+    if problem.K_u is not None:
+        m += 2 * np.asarray(problem.K_u).shape[0]
+    if problem.H_x is not None:
+        m += np.asarray(problem.H_x).shape[0]
+    if problem.H_u is not None:
+        m += np.asarray(problem.H_u).shape[0]
+    return 2 * (N * m) * (N * p) * 4 / 1e6
 
 
 def build_stagewise(
@@ -332,11 +405,11 @@ def build_stagewise(
         elif rel_res < 1e-3:
             L = lam * 1.1
         else:
-            # certified (loose) bound: lambda_max(G M^-1 G') <=
-            # |G|_F^2 / lambda_min(M) and lambda_min(M) >= min_k
-            # lambda_min(R_k) because the state-cost part of M is PSD.
-            lmin_R = min(float(np.linalg.eigvalsh(Rk)[0]) for Rk in R_seq)
-            L = N * (float((Gx * Gx).sum()) + float((Gu * Gu).sum())) / lmin_R
+            # power iteration failed to certify; lam (a Rayleigh quotient)
+            # is still a LOWER bound on lambda_max, so the certified
+            # Gramian bound >= lambda_max >= lam — the max is a floating-
+            # point belt-and-braces, not a semantic choice.
+            L = max(1.1 * lam, _cert_L_np(A_seq, B_seq, Gx, Gu, R_seq))
     L = float(L)
     if L <= 0:
         raise ValueError(f"Lipschitz constant must be positive; got {L}")
@@ -361,6 +434,57 @@ def build_stagewise(
         horizon=N,
         name=f"{problem.name}_stagewise",
     )
+
+
+# Provisional device-operand threshold above which the stage-wise engine
+# is preferred by auto_solver; the measured chip crossover (STAGEWISE.json,
+# DESIGN.md section 11) refines this.
+AUTO_STAGEWISE_ABOVE_MB = 256.0
+
+
+def auto_solver(
+    problem: LinearMPCProblem,
+    iterations: int = 100,
+    threshold_mb: Optional[float] = None,
+    **build_kw,
+):
+    """Problem-level engine routing: condensed for short horizons,
+    stage-wise where condensation's O(N^2) operands dominate.
+
+    Returns ``(solve_fn, data, kind)`` with ``kind`` in
+    {"condensed", "stagewise"} and ``solve_fn(x0, config=None, **kw)``
+    having the ``solve_batch``/``solve_stagewise`` calling convention
+    (both accept a ``SolverConfig``). The rule: stage-wise when the
+    projected condensed MVP operands exceed ``threshold_mb`` (default
+    ``AUTO_STAGEWISE_ABOVE_MB``) AND the problem is stage-wise
+    compatible; condensation-path-only features (rate limits, affine
+    offsets) always condense. This closes the routing gap the condensed
+    ``SolverConfig(engine="auto")`` cannot see (it routes AFTER
+    condensation already happened)."""
+    # NOTE: the package __init__ shadows the submodule name with the
+    # function, so import the functions, not the module
+    from tpu_gpad.condense import condense as _condense, dualize as _dualize
+
+    lim = AUTO_STAGEWISE_ABOVE_MB if threshold_mb is None else threshold_mb
+    ok, _reason = stagewise_compatible(problem)
+    if ok and condensed_operand_mb(problem) > lim:
+        data = build_stagewise(problem, iterations=iterations, **build_kw)
+
+        def solve_fn(x0, config=None, **kw):
+            return solve_stagewise(data, x0, config=config, **kw)
+
+        return solve_fn, data, "stagewise"
+    qp = _condense(problem)
+    data = _dualize(qp, iterations=iterations, **build_kw)
+
+    def solve_fn(x0, config=None, **kw):
+        from tpu_gpad.solver import solve_batch
+
+        if config is None:
+            return solve_batch(data, x0, **kw)
+        return solve_batch(data, x0, config=config, **kw)
+
+    return solve_fn, data, "condensed"
 
 
 def _affine_combine(a, b):
@@ -474,6 +598,21 @@ def _dual_oracle(
     return (xs, us), (gx, gu)
 
 
+def _restart_reset(th, th_prev, yx, yu, yx_n, yu_n, wx, wu):
+    """O'Donoghue-Candes adaptive restart on the stage-packed dual — the
+    same test as the condensed engines (``core._restart_update``): reset
+    the momentum recursion iff (w - y+) . (y+ - y) > 0."""
+    r = jnp.sum((wx - yx_n) * (yx_n - yx)) + jnp.sum(
+        (wu - yu_n) * (yu_n - yu)
+    )
+    mask = r > 0.0
+    th_next = jnp.where(mask, 1.0, th * (jnp.sqrt(th * th + 4.0) - th) * 0.5)
+    th_prev_next = jnp.where(mask, 1.0, th)
+    yx_prev = jnp.where(mask, yx_n, yx)
+    yu_prev = jnp.where(mask, yu_n, yu)
+    return yx_prev, yu_prev, th_next, th_prev_next
+
+
 def _solve_one(
     data: StagewiseData,
     x0: jax.Array,
@@ -481,14 +620,20 @@ def _solve_one(
     y0u: jax.Array,
     n_iters: int,
     scan: str,
+    restart: bool = False,
 ):
     N = data.horizon
     inv_L = 1.0 / data.L
+    one = jnp.ones((), dtype=data.hx.dtype)
 
     def body(i, carry):
-        yx, yu, yx_p, yu_p, zx, zu = carry
-        b = data.beta[i]
-        th = data.theta[i]
+        yx, yu, yx_p, yu_p, zx, zu, th_c, th_p = carry
+        if restart:
+            th = th_c
+            b = th_c * (1.0 / th_p - 1.0)
+        else:
+            b = data.beta[i]
+            th = data.theta[i]
         wx = yx + b * (yx - yx_p)
         wu = yu + b * (yu - yu_p)
         (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0, scan)
@@ -496,31 +641,175 @@ def _solve_one(
         zu = (1.0 - th) * zu + th * us
         yx_n = jnp.maximum(wx + inv_L * gx, 0.0)
         yu_n = jnp.maximum(wu + inv_L * gu, 0.0)
-        return yx_n, yu_n, yx, yu, zx, zu
+        if restart:
+            yx_p, yu_p, th_c, th_p = _restart_reset(
+                th_c, th_p, yx, yu, yx_n, yu_n, wx, wu
+            )
+        else:
+            yx_p, yu_p = yx, yu
+        return yx_n, yu_n, yx_p, yu_p, zx, zu, th_c, th_p
 
     zx0 = jnp.zeros((N, data.n_x), dtype=data.hx.dtype)
     zu0 = jnp.zeros((N, data.n_u), dtype=data.hu.dtype)
-    yx, yu, *_, zx, zu = jax.lax.fori_loop(
-        0, n_iters, body, (y0x, y0u, y0x, y0u, zx0, zu0)
+    yx, yu, _, _, zx, zu, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (y0x, y0u, y0x, y0u, zx0, zu0, one, one)
     )
     # epilogue diagnostics on the averaged primal (zx is the exact rollout
     # of zu from x0 — x is linear in u, and the convex combination step 3
     # preserves that)
     gx = jnp.einsum("kn,qn->kq", zx, data.Gx, precision=_HI) - data.hx
     gu = jnp.einsum("kp,qp->kq", zu, data.Gu, precision=_HI) - data.hu
-    viol = jnp.concatenate(
-        [jnp.maximum(gx, 0.0).reshape(-1), jnp.maximum(gu, 0.0).reshape(-1)]
+    # UNCLAMPED max(G z - h), matching core._residuals: negative values
+    # signal feasibility margin; build_stagewise guarantees m_x + m_u > 0
+    residual = jnp.max(
+        jnp.concatenate([gx.reshape(-1), gu.reshape(-1)])
     )
-    residual = jnp.max(viol)  # build_stagewise guarantees m_x + m_u > 0
     gap = -(jnp.sum(yx * gx) + jnp.sum(yu * gu))
     y_packed = jnp.concatenate([yx, yu], axis=-1)
     return (
         zu[0],
         zu.reshape(-1),
         y_packed,
+        jnp.asarray(n_iters, jnp.int32),
         residual,
         gap,
+        jnp.asarray(True),
     )
+
+
+def _max_rows(gx, gu):
+    """max over all constraint rows, tolerating an empty side (build
+    guarantees at least one side has rows)."""
+    if gx.shape[-1] and gu.shape[-1]:
+        return jnp.maximum(jnp.max(gx), jnp.max(gu))
+    return jnp.max(gx) if gx.shape[-1] else jnp.max(gu)
+
+
+def _stage_viol(data: StagewiseData, xs, us):
+    """max(G z - h) over all stage rows (unclamped, core._residuals
+    semantics) plus the raw per-row values for the gap."""
+    gx = jnp.einsum("kn,qn->kq", xs, data.Gx, precision=_HI) - data.hx
+    gu = jnp.einsum("kp,qp->kq", us, data.Gu, precision=_HI) - data.hu
+    return gx, gu, _max_rows(gx, gu)
+
+
+def _solve_one_eps(
+    data: StagewiseData,
+    x0: jax.Array,
+    y0x: jax.Array,
+    y0u: jax.Array,
+    n_iters: int,
+    scan: str,
+    eps_g: float,
+    eps_V: float,
+    check_every: int,
+    restart: bool,
+):
+    """Algorithm-1 epsilon termination for the stage-wise engine: the
+    check the reference comments out (``acceldualgrad.m:66-79``), run
+    every ``check_every`` iterations on the stage-local residuals. Same
+    exit criterion as ``core._solve_eps``: the averaged z primal-feasible
+    to eps_g, OR zhat feasible to eps_g with duality-gap surrogate
+    -w'g(zhat) <= eps_V (on that branch zhat is the eps-optimal point)."""
+    N = data.horizon
+    inv_L = 1.0 / data.L
+    one = jnp.ones((), dtype=data.hx.dtype)
+    zx0 = jnp.zeros((N, data.n_x), dtype=data.hx.dtype)
+    zu0 = jnp.zeros((N, data.n_u), dtype=data.hu.dtype)
+
+    def cond(carry):
+        k, done = carry[0], carry[1]
+        return jnp.logical_and(k < n_iters, jnp.logical_not(done))
+
+    def body(carry):
+        (k, conv, yx, yu, yx_p, yu_p, zx, zu, zu_out, u0_out, it,
+         th_c, th_p) = carry
+        if restart:
+            th = th_c
+            b = th_c * (1.0 / th_p - 1.0)
+        else:
+            b = data.beta[k]
+            th = data.theta[k]
+        wx = yx + b * (yx - yx_p)
+        wu = yu + b * (yu - yu_p)
+        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0, scan)
+        zx = (1.0 - th) * zx + th * xs
+        zu = (1.0 - th) * zu + th * us
+        yx_n = jnp.maximum(wx + inv_L * gx, 0.0)
+        yu_n = jnp.maximum(wu + inv_L * gu, 0.0)
+        if restart:
+            yx_p, yu_p, th_c, th_p = _restart_reset(
+                th_c, th_p, yx, yu, yx_n, yu_n, wx, wu
+            )
+        else:
+            yx_p, yu_p = yx, yu
+
+        def check(args):
+            conv, it, zu_out, u0_out = args
+            # zhat residuals come free from the oracle call above
+            viol_zhat = _max_rows(gx, gu)
+            gap = -(jnp.sum(wx * gx) + jnp.sum(wu * gu))
+            _, _, viol_z = _stage_viol(data, zx, zu)
+            ok_z = viol_z <= eps_g
+            ok_zhat = jnp.logical_and(viol_zhat <= eps_g, gap <= eps_V)
+            ok = jnp.logical_or(ok_z, ok_zhat)
+            newly = jnp.logical_and(ok, jnp.logical_not(conv))
+            it = jnp.where(newly, k + 1, it)
+            zu_sel = jnp.where(ok_z, zu, us)
+            zu_out = jnp.where(newly, zu_sel, zu_out)
+            u0_out = jnp.where(newly, zu_sel[0], u0_out)
+            return jnp.logical_or(conv, ok), it, zu_out, u0_out
+
+        do_check = jnp.logical_or(
+            (k + 1) % check_every == 0, k + 1 == n_iters
+        )
+        conv, it, zu_out, u0_out = jax.lax.cond(
+            do_check, check, lambda a: a, (conv, it, zu_out, u0_out)
+        )
+        return (k + 1, conv, yx_n, yu_n, yx_p, yu_p, zx, zu, zu_out,
+                u0_out, it, th_c, th_p)
+
+    carry = (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        y0x, y0u, y0x, y0u, zx0, zu0, zu0,
+        jnp.zeros((data.n_u,), dtype=data.hu.dtype),
+        jnp.full((), n_iters, jnp.int32),
+        one, one,
+    )
+    (_, conv, yx, yu, _, _, zx, zu, zu_out, u0_out, it, _, _) = (
+        jax.lax.while_loop(cond, body, carry)
+    )
+    zu_f = jnp.where(conv, zu_out, zu)
+    # exact rollout of the selected input trajectory for the residual
+    xs_f = _rollout(data, zu_f, x0)
+    gx, gu, residual = _stage_viol(data, xs_f, zu_f)
+    gap = -(jnp.sum(yx * gx) + jnp.sum(yu * gu))
+    y_packed = jnp.concatenate([yx, yu], axis=-1)
+    return (
+        jnp.where(conv, u0_out, zu[0]),
+        zu_f.reshape(-1),
+        y_packed,
+        it,
+        residual,
+        gap,
+        conv,
+    )
+
+
+def _rollout(data: StagewiseData, us: jax.Array, x0: jax.Array):
+    """States x_1..x_N from an input trajectory (exact, scanned)."""
+
+    def step(x, inp):
+        A_k, B_k, u_k = inp
+        x_n = (
+            jnp.einsum("ij,j->i", A_k, x, precision=_HI)
+            + jnp.einsum("ij,j->i", B_k, u_k, precision=_HI)
+        )
+        return x_n, x_n
+
+    _, xs = jax.lax.scan(step, x0, (data.A_seq, data.B_seq, us))
+    return xs
 
 
 def solve_stagewise(
@@ -529,12 +818,26 @@ def solve_stagewise(
     iterations: Optional[int] = None,
     y0: Optional[jax.Array] = None,
     scan: str = "sequential",
+    mode: str = "fixed",
+    eps_g: float = 1e-6,
+    eps_V: float = 1e-6,
+    check_every: int = 10,
+    restart: bool = False,
+    config=None,
 ) -> SolveResult:
     """Solve a batch of MPC QPs via stage-wise GPAD; ``x0`` is (..., n_x).
 
-    Fixed-iteration (hard-real-time) mode, matching the reference runtime's
-    only mode (``main.cu:87,160``); for epsilon-termination use the
-    condensed engines. ``y0`` warm-starts the dual: shape broadcastable to
+    ``mode="fixed"`` is the hard-real-time budget, matching the reference
+    runtime's only mode (``main.cu:87,160``); ``mode="eps"`` runs the
+    paper's Algorithm-1 epsilon-optimality exit every ``check_every``
+    iterations (the test the reference comments out,
+    ``acceldualgrad.m:66-79``) — same criterion as the condensed engines.
+    ``restart=True`` enables the O'Donoghue-Candes adaptive momentum
+    restart (identical dual dynamics to ``core._restart_update``). Passing
+    a ``SolverConfig`` as ``config`` reads iterations/mode/eps_g/eps_V/
+    check_every/restart from it (explicit kwargs are then ignored).
+
+    ``y0`` warm-starts the dual: shape broadcastable to
     (..., N, m_x + m_u) with state rows first per stage (the layout this
     function returns in ``SolveResult.y``).
 
@@ -548,13 +851,22 @@ def solve_stagewise(
     dual, ``residual`` the max primal violation of the averaged iterate and
     ``gap`` the complementarity surrogate -y'g(z).
     """
+    if config is not None:
+        iterations = config.iterations
+        mode = config.mode
+        eps_g, eps_V = config.eps_g, config.eps_V
+        check_every = config.check_every
+        restart = config.restart
     if scan not in ("sequential", "associative"):
         raise ValueError(f"scan must be 'sequential' or 'associative': {scan!r}")
+    if mode not in ("fixed", "eps"):
+        raise ValueError(f"mode must be 'fixed' or 'eps': {mode!r}")
     n_iters = int(iterations) if iterations is not None else data.max_iters
-    if n_iters > data.max_iters:
+    if n_iters > data.max_iters and not restart:
         raise ValueError(
             f"asked for {n_iters} iterations but the shipped schedule has "
-            f"{data.max_iters}; rebuild with a longer one"
+            f"{data.max_iters}; rebuild with a longer one (or use "
+            f"restart=True, whose momentum recursion is schedule-free)"
         )
     x0 = jnp.asarray(x0)
     batch_shape = x0.shape[:-1]
@@ -570,18 +882,24 @@ def solve_stagewise(
         ).reshape((B, N, m_x + m_u))
         y0x, y0u = y0[..., :m_x], y0[..., m_x:]
 
-    u, z, y, residual, gap = jax.vmap(
-        lambda x, yx, yu: _solve_one(data, x, yx, yu, n_iters, scan)
-    )(xb, y0x, y0u)
+    if mode == "eps":
+        one = lambda x, yx, yu: _solve_one_eps(
+            data, x, yx, yu, n_iters, scan, eps_g, eps_V, check_every,
+            restart,
+        )
+    else:
+        one = lambda x, yx, yu: _solve_one(
+            data, x, yx, yu, n_iters, scan, restart
+        )
+    u, z, y, iters, residual, gap, conv = jax.vmap(one)(xb, y0x, y0u)
 
     rs = lambda a: a.reshape((*batch_shape, *a.shape[1:]))
-    iters = jnp.full(batch_shape, n_iters, dtype=jnp.int32)
     return SolveResult(
         u=rs(u),
         z=rs(z),
         y=rs(y),
-        iterations=iters,
+        iterations=rs(iters),
         residual=rs(residual),
         gap=rs(gap),
-        converged=jnp.ones(batch_shape, dtype=bool),
+        converged=rs(conv),
     )

@@ -45,10 +45,19 @@ def device_time_per_call(
         k_large = k_small + max(int(min_window_s / max(t_probe, 1e-7)), 20)
         k_large = min(k_large, 20000)
     best = np.inf
-    for _ in range(repeats):
+    good = 0
+    for _ in range(2 * repeats):
+        if good == repeats:
+            break
         t_small = _run_chain(fn, k_small)
         t_large = _run_chain(fn, k_large)
-        best = min(best, (t_large - t_small) / (k_large - k_small))
+        slope = (t_large - t_small) / (k_large - k_small)
+        if slope <= 0:  # tunnel stall hit the small window; not a timing
+            continue
+        best = min(best, slope)
+        good += 1
+    if not np.isfinite(best):  # all windows stalled
+        best = t_large / k_large
     return float(max(best, 1e-9))
 
 
@@ -62,24 +71,42 @@ def device_time_stats(
     """Median-of-n slope-method timing with spread, for round-over-round
     benchmark comparability (a single min-of-3 reading on the tunneled chip
     drifts ~5% run to run; the median + IQR makes drift vs regression
-    distinguishable). Returns ``{"median_s", "iqr_s", "n", "samples_s"}``."""
+    distinguishable).
+
+    A slope window whose large-minus-small difference comes out <= 0 (a
+    tunnel stall landed on the small window) is physically meaningless —
+    the old clamp-to-1e-9 fabricated infinite rates under contention
+    (round-3 driver run: a per-round ratio of 988219). Such windows are
+    REJECTED and re-sampled (up to ``2n`` total attempts) and counted in
+    ``rejected``. Returns ``{"median_s", "iqr_s", "n", "samples_s",
+    "rejected"}``."""
     _run_chain(fn, 2)  # warm up compile + caches
     t_probe = _run_chain(fn, k_large) / k_large
     if t_probe * (k_large - k_small) < min_window_s:
         k_large = k_small + max(int(min_window_s / max(t_probe, 1e-7)), 20)
         k_large = min(k_large, 20000)
     samples = []
-    for _ in range(n):
+    rejected = 0
+    for _ in range(2 * n):
+        if len(samples) == n:
+            break
         t_small = _run_chain(fn, k_small)
         t_large = _run_chain(fn, k_large)
-        samples.append(max((t_large - t_small) / (k_large - k_small), 1e-9))
+        slope = (t_large - t_small) / (k_large - k_small)
+        if slope <= 0:
+            rejected += 1
+            continue
+        samples.append(slope)
+    if not samples:  # every window stalled: report the stall, loudly
+        samples = [max(t_large / k_large, 1e-9)]
     s = np.asarray(samples)
     q1, q3 = np.percentile(s, [25, 75])
     return {
         "median_s": float(np.median(s)),
         "iqr_s": float(q3 - q1),
-        "n": int(n),
+        "n": int(len(samples)),
         "samples_s": [float(x) for x in s],
+        "rejected": int(rejected),
     }
 
 
@@ -109,7 +136,10 @@ def device_time_percentiles(
         "p50_windowmean_s": float(np.percentile(s, 50)),
         "p90_windowmean_s": float(np.percentile(s, 90)),
         "p99_windowmean_s": float(np.percentile(s, 99)),
-        "n": int(n),
+        "n": int(stats["n"]),
+        # non-positive-slope windows (tunnel stalls) rejected and resampled;
+        # genuinely SLOW windows are kept — they ARE the measurable tail
+        "rejected_windows": int(stats["rejected"]),
     }
 
 
@@ -128,6 +158,9 @@ def interleaved_ab(
     k_small: int = 2,
     k_large: int = 22,
     min_window_s: float = 0.15,
+    t_a_floor_s: float = 0.0,
+    t_b_floor_s: float = 0.0,
+    gate_band: float = 3.0,
 ) -> dict:
     """Drift-cancelling A/B comparison: alternate slope-method windows.
 
@@ -136,33 +169,177 @@ def interleaved_ab(
     wins. Alternating A/B windows and reporting per-round ratios cancels
     the drift — both sides see the same chip/tunnel state each round.
 
+    VALIDITY GATING (the round-3 lesson): under heavy tunnel contention a
+    slope window can come out ~zero or negative — the old clamp produced a
+    per-round ratio of 988219 and a fabricated 53M solves/s serving rate
+    in the driver's r03 run. A round is REJECTED (never silently used)
+    when any of:
+
+    - either slope is <= 0 (stall landed on the small window);
+    - either side is faster than its physical floor (``t_a_floor_s`` /
+      ``t_b_floor_s``, e.g. the anchor matmul at the chip's measured
+      roofline — a faster reading is impossible, not lucky);
+    - either side deviates from its own cross-round median by more than
+      ``gate_band``x in either direction, or the ratio deviates from the
+      cross-round median ratio by more than ``gate_band``x (medians over
+      the floor-valid rounds are robust to <= half the rounds being
+      garbage).
+
+    Rejected rounds are replaced (up to ``2*rounds`` window pairs total)
+    and counted in ``rejected_rounds``; ``unstable`` is set when fewer
+    than ``max(3, rounds//2)`` valid rounds survive — treat the numbers
+    as weather, not measurements, when it is.
+
     Returns ``{"ratio_b_over_a_median", "ratio_b_over_a_iqr", "ratios",
-    "t_a_median_s", "t_b_median_s", "rounds"}``. ratio > 1 means A is
-    faster (B takes longer). Both fns must return a jax array that forces
-    the computation (e.g. ``res.u``, never a SolveResult)."""
+    "ratios_all", "t_a_median_s", "t_b_median_s", "rounds",
+    "rejected_rounds", "unstable"}``. ratio > 1 means A is faster (B
+    takes longer). Both fns must return a jax array that forces the
+    computation (e.g. ``res.u``, never a SolveResult)."""
     _run_chain(fn_a, 2)
     _run_chain(fn_b, 2)
     ka = _sized_k_large(fn_a, k_small, k_large, min_window_s)
     kb = _sized_k_large(fn_b, k_small, k_large, min_window_s)
-    t_as, t_bs, ratios = [], [], []
-    for _ in range(rounds):
-        ta = max((_run_chain(fn_a, ka) - _run_chain(fn_a, k_small))
-                 / (ka - k_small), 1e-9)
-        tb = max((_run_chain(fn_b, kb) - _run_chain(fn_b, k_small))
-                 / (kb - k_small), 1e-9)
-        t_as.append(ta)
-        t_bs.append(tb)
-        ratios.append(tb / ta)
-    r = np.asarray(ratios)
+    raw = []  # (ta, tb) with None for slope-invalid sides
+    for _ in range(2 * rounds):
+        valid = [p for p in raw if p[0] is not None and p[1] is not None]
+        if len(valid) >= rounds:
+            break
+        ta = (_run_chain(fn_a, ka) - _run_chain(fn_a, k_small)) / (ka - k_small)
+        tb = (_run_chain(fn_b, kb) - _run_chain(fn_b, k_small)) / (kb - k_small)
+        raw.append(
+            (
+                ta if ta > max(t_a_floor_s, 0.0) else None,
+                tb if tb > max(t_b_floor_s, 0.0) else None,
+            )
+        )
+    return _gate_ab_rounds(raw, rounds, gate_band)
+
+
+def _gate_ab_rounds(raw, rounds: int, gate_band: float = 3.0) -> dict:
+    """Pure gating/aggregation step of ``interleaved_ab`` (unit-testable:
+    feed it the raw (ta, tb) window pairs — including the round-3 driver
+    run's garbage — and assert what survives). ``raw`` entries use None
+    for a side whose slope failed the floor/positivity check."""
+    pairs = [p for p in raw if p[0] is not None and p[1] is not None]
+    n_attempted = len(raw)
+    if not pairs:  # hopeless weather; return a loud, unusable result
+        return {
+            "ratio_b_over_a_median": float("nan"),
+            "ratio_b_over_a_iqr": float("nan"),
+            "ratios": [],
+            "ratios_all": [],
+            "t_a_median_s": float("nan"),
+            "t_b_median_s": float("nan"),
+            "rounds": 0,
+            "rounds_attempted": n_attempted,
+            "rejected_rounds": n_attempted,
+            "unstable": True,
+        }
+    t_as = np.asarray([p[0] for p in pairs])
+    t_bs = np.asarray([p[1] for p in pairs])
+    ratios_all = t_bs / t_as
+    med_a, med_b = np.median(t_as), np.median(t_bs)
+    med_r = np.median(ratios_all)
+    keep = (
+        (t_as > med_a / gate_band)
+        & (t_as < med_a * gate_band)
+        & (t_bs > med_b / gate_band)
+        & (t_bs < med_b * gate_band)
+        & (ratios_all > med_r / gate_band)
+        & (ratios_all < med_r * gate_band)
+    )
+    r = ratios_all[keep]
+    n_valid = int(keep.sum())
+    if n_valid == 0:  # medians themselves corrupted; nothing trustworthy
+        return {
+            "ratio_b_over_a_median": float("nan"),
+            "ratio_b_over_a_iqr": float("nan"),
+            "ratios": [],
+            "ratios_all": [float(x) for x in ratios_all],
+            "t_a_median_s": float("nan"),
+            "t_b_median_s": float("nan"),
+            "rounds": 0,
+            "rounds_attempted": n_attempted,
+            "rejected_rounds": n_attempted,
+            "unstable": True,
+        }
     q1, q3 = np.percentile(r, [25, 75])
     return {
         "ratio_b_over_a_median": float(np.median(r)),
         "ratio_b_over_a_iqr": float(q3 - q1),
         "ratios": [float(x) for x in r],
-        "t_a_median_s": float(np.median(t_as)),
-        "t_b_median_s": float(np.median(t_bs)),
-        "rounds": int(rounds),
+        "ratios_all": [float(x) for x in ratios_all],
+        "t_a_median_s": float(np.median(t_as[keep])),
+        "t_b_median_s": float(np.median(t_bs[keep])),
+        "rounds": n_valid,
+        "rounds_attempted": n_attempted,
+        "rejected_rounds": n_attempted - n_valid,
+        "unstable": bool(n_valid < max(3, rounds // 2)),
     }
+
+
+# The chip's measured fp32-highest dense-matmul roofline (v5e via axon;
+# AB_FLAGSHIP.json roofline decomposition — every clean committed bench run
+# reproduces ~31). Anchor-NORMALIZED rates multiply the drift-free
+# solve/anchor ratio by this pinned speed so round-over-round numbers
+# compare solver code, not tunnel weather. Chip-specific by design.
+ANCHOR_REF_TFLOPS = 31.0
+# 1.5x the roofline: an anchor window faster than this is physically
+# impossible on this chip — the round is rejected, not recorded.
+ANCHOR_MAX_TFLOPS = 46.5
+
+
+def anchored_throughput(
+    fn,
+    batch: int,
+    rounds: int = 8,
+    k_large: int = 22,
+    anchor_n: int = 2048,
+    min_window_s: float = 0.15,
+) -> dict:
+    """Throughput of ``fn`` measured INTERLEAVED against the pinned
+    fp32-highest anchor matmul, with validity gating (``interleaved_ab``).
+
+    Returns the gated A/B dict plus ``solves_per_sec_anchor_normalized``
+    (the drift-free, round-over-round-comparable stat),
+    ``solves_per_sec_raw``, ``anchor_tflops`` (this session's anchor
+    speed — weather context), and ``iqr_rel`` (ratio IQR / median)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((anchor_n, anchor_n), dtype=jnp.float32)
+    mm = jax.jit(
+        lambda x, y: jnp.matmul(
+            x, y, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    )
+    anchor_flops = 2 * anchor_n**3
+    ab = interleaved_ab(
+        fn,
+        lambda: mm(a, a),
+        rounds=rounds,
+        k_large=k_large,
+        min_window_s=min_window_s,
+        t_b_floor_s=anchor_flops / (ANCHOR_MAX_TFLOPS * 1e12),
+    )
+    out = dict(ab)
+    out["anchor_n"] = anchor_n
+    anchor_ref_s = anchor_flops / (ANCHOR_REF_TFLOPS * 1e12)
+    if ab["rounds"]:
+        out["anchor_tflops"] = anchor_flops / ab["t_b_median_s"] / 1e12
+        out["solves_per_sec_raw"] = batch / ab["t_a_median_s"]
+        out["solves_per_sec_anchor_normalized"] = (
+            ab["ratio_b_over_a_median"] * batch / anchor_ref_s
+        )
+        out["iqr_rel"] = (
+            ab["ratio_b_over_a_iqr"] / ab["ratio_b_over_a_median"]
+        )
+    else:
+        for k in ("anchor_tflops", "solves_per_sec_raw",
+                  "solves_per_sec_anchor_normalized", "iqr_rel"):
+            out[k] = float("nan")
+    return out
 
 
 def matmul_peak_tflops(
