@@ -275,7 +275,21 @@ def run(args, t_start: float) -> int:
     detail["single_solve_device_ms_p99_windowmean"] = (
         pct["p99_windowmean_s"] * 1e3
     )
-    detail["single_solve_device_p_n"] = pct["n"]
+    # p99 context (VERDICT r03 item 8): the committed-vs-driver r03 runs
+    # differed 2.7x on this stat — it measures TUNNEL/CHIP CONTENTION
+    # tails, not solver regressions. The anchor ratio below is the
+    # session-weather normalizer: p99/p50 >> 1 with a normal anchor means
+    # a genuinely contended session, not slower code. Stall windows
+    # (slope <= 0) are rejected and counted; genuinely slow windows are
+    # kept — they ARE the measurable tail.
+    detail["single_solve_device_p"] = {
+        "n_windows": pct["n"],
+        "rejected_stall_windows": pct["rejected_windows"],
+        "p99_over_p50": pct["p99_windowmean_s"] / pct["p50_windowmean_s"],
+        "session_anchor_tflops": anchor_tflops,
+        "anchor_ref_tflops": ANCHOR_REF_TFLOPS,
+        "rule": "window-mean slope samples; stalls rejected, slow kept",
+    }
     lat = wall_times(single, warmup=2, iters=10 if args.quick else 50)
     detail["single_solve_client_ms_p50"] = float(np.percentile(lat, 50) * 1e3)
     detail["single_solve_client_ms_p99"] = float(np.percentile(lat, 99) * 1e3)

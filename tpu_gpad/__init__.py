@@ -61,7 +61,7 @@ from tpu_gpad.estimator import (
     kalman_gain,
 )
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 __all__ = [
     "LinearMPCProblem",

@@ -31,9 +31,11 @@ This module is that variant, TPU-first:
 Per-iteration cost and memory are O(N) instead of O(N^2): the condensed
 operands for e.g. battery n=30, N=200 are ~300 MB and do not fit VMEM at
 any tiling, while the stage-wise data is ~2 MB at the same shape. The
-trade is sequential depth (2N scan steps per iteration vs one matmul), so
-condensed stays faster at short horizons — see docs/DESIGN.md section 11
-for the measured crossover.
+trade is sequential depth (2N scan steps per iteration vs one matmul):
+chip-measured (STAGEWISE.json), condensed keeps winning throughput at
+every shape it can build (ratio 0.0003 at n8 N10 up to 0.18 at n8 N240
+B4096), so stage-wise is the *feasibility/memory/build-time* engine, not
+a throughput engine — see docs/DESIGN.md section 11.
 
 Scope: hard per-stage constraints, LTI or LTV dynamics, per-stage Q/R and
 ``Q_terminal``. Rate limits, soft constraints, tracking parameters and
