@@ -201,16 +201,36 @@ def run(args, t_start: float) -> int:
         # anchor windows beating the physical roofline are rejected rounds
         t_b_floor_s=anchor_flops / (ANCHOR_MAX_TFLOPS * 1e12),
     )
+    if ab["rounds"] == 0 or not np.isfinite(ab["t_a_median_s"]):
+        # every interleave round was gated out (the r03 contention
+        # regime): the contract is a structured failure line, never a
+        # NaN headline (json.dumps would emit a non-JSON NaN token)
+        _write_detail({"error": "measurement_unstable",
+                       "rejected_rounds": ab["rejected_rounds"],
+                       "ratios_all": ab["ratios_all"]})
+        return emit(None,
+                    "solves/s (battery n=3 N=10, %d iters, fp32, batch %d, "
+                    "%s)" % (iters, batch, args.engine),
+                    error="measurement_unstable",
+                    extra={"rejected_rounds": ab["rejected_rounds"]})
     t_call = ab["t_a_median_s"]
     t_anchor = ab["t_b_median_s"]
     solves_per_sec = batch / t_call
     anchor_tflops = anchor_flops / t_anchor / 1e12
     # the driver-parsed headline: solve/anchor ratio x the PINNED anchor
     # speed — drift-free round over round (same units as the raw rate;
-    # equal to it exactly when the session anchor runs at the pinned 31.0)
+    # equal to it exactly when the session anchor runs at the pinned 31.0).
+    # The pin is calibrated for the 2048 anchor ONLY: the quick mode's 1024
+    # anchor is dispatch-bound and swings 2x between sessions (measured
+    # 7.7-15.6 TFLOPs), so normalizing against it fabricates a 2-4x
+    # inflated headline — quick mode reports the raw rate instead (it is a
+    # smoke mode, never a record).
     anchor_ref_s = anchor_flops / (ANCHOR_REF_TFLOPS * 1e12)
     solves_per_anchor = ab["ratio_b_over_a_median"] * batch
-    headline_rate = solves_per_anchor / anchor_ref_s
+    if anchor_n == 2048:
+        headline_rate = solves_per_anchor / anchor_ref_s
+    else:
+        headline_rate = batch / ab["t_a_median_s"]
     detail["throughput_fp32_solves_per_sec_anchor_normalized"] = headline_rate
     detail["throughput_fp32_solves_per_sec"] = solves_per_sec
     detail["throughput_fp32_interleaved"] = {
@@ -413,23 +433,30 @@ def run(args, t_start: float) -> int:
     # FLAGGED in the output (and the offending row nulled), never shipped
     # as numbers — a reader of BENCH_DETAIL must not have to know which
     # rows a contended tunnel can corrupt. ---
+    # All comparisons in ONE unit system (raw same-session rates): the
+    # serving number published above is anchor-normalized, so rebuild its
+    # raw twin for cross-tier checks — mixing normalized vs raw rates
+    # would false-flag whenever the session drifts between sections.
     flags = []
-    srv = detail.get("throughput_serving_solves_per_sec")
+    srv_vs = detail.get("throughput_serving_vs_fixed") or {}
+    srv_raw = (solves_per_sec * srv_vs["speedup_median"]
+               if "speedup_median" in srv_vs else None)
     fast = detail.get("throughput_fast_precision_solves_per_sec")
     high = detail.get("throughput_high_precision_solves_per_sec")
     # serving is bit-identical HIGHEST-precision work: it cannot beat the
-    # 1-pass default tier, nor sit far above the fixed headline
-    if srv is not None and fast is not None and srv > fast * 1.1:
+    # 1-pass default tier, nor sit far above the fixed headline. Margins
+    # absorb cross-minute drift between raw sections; the r03 failure
+    # mode this guards (7.8x) is far outside them.
+    if srv_raw is not None and fast is not None and srv_raw > fast * 1.5:
         flags.append("serving_exceeds_default_tier")
         detail["throughput_serving_solves_per_sec"] = None
-    srv = detail.get("throughput_serving_solves_per_sec")
-    if srv is not None and srv > headline_rate * 1.5:
+    if srv_raw is not None and srv_raw > solves_per_sec * 1.5:
         flags.append("serving_far_above_headline")
         detail["throughput_serving_solves_per_sec"] = None
     # precision ladder must be monotone: highest <= high(3-pass) <= default
     if high is not None and fast is not None and high > fast * 1.15:
         flags.append("precision_ladder_inverted_high_vs_default")
-    if high is not None and high < headline_rate * 0.8:
+    if high is not None and high < solves_per_sec * 0.8:
         flags.append("high_tier_below_highest")
     if ab["unstable"]:
         flags.append("headline_interleave_unstable")

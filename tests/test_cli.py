@@ -131,3 +131,26 @@ def test_export_aot_artifact(capsys, tmp_path):
     solve = load_solver(path)
     res = solve(np.zeros((5, 3), dtype=np.float32))
     assert res["u"].shape == (5, 3)
+
+
+def test_stagewise_rejected_on_condensed_only_subcommands(capsys):
+    """Forced --engine stagewise must work or raise, never silently remap
+    to the condensed path (closedloop/sweep/solve --dataset are
+    condensation-only)."""
+    with pytest.raises(SystemExit, match="stagewise"):
+        main(["closedloop", "--problem", "battery", "--cells", "2",
+              "--horizon", "4", "--steps", "2", "--engine", "stagewise"])
+    with pytest.raises(SystemExit, match="stagewise"):
+        main(["sweep", "--problem", "battery", "--cells", "2",
+              "--horizon", "4", "--batch", "4", "--engine", "stagewise"])
+
+
+def test_info_stagewise(capsys):
+    (out,) = run_cli(
+        capsys, "info", "--problem", "battery", "--cells", "2",
+        "--horizon", "5", "--engine", "stagewise",
+    )
+    assert out["engine"] == "stagewise"
+    assert out["L"] > 0
+    assert out["stagewise_data_mb"] > 0
+    assert out["condensed_operand_mb"] > 0

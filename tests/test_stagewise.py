@@ -416,3 +416,28 @@ def test_cli_stagewise_engine(capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out["engine"] == "stagewise"
     assert out["converged_all"] is True
+
+
+def test_residual_clamped_like_condensed_public_results():
+    """Public SolveResult.residual is clamped at zero on EVERY engine
+    (core.py returns maximum(viol, 0) at all three sites); the stage-wise
+    path must match, so cross-engine consumers see one semantics for
+    strictly feasible solves."""
+    import tpu_gpad
+    from tpu_gpad import problems
+    from tpu_gpad.solver import SolverConfig, solve_batch
+    from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+    import jax.numpy as jnp
+
+    prob = problems.battery(n_cells=2, horizon=5)
+    x0 = np.full((1, 2), 0.01, dtype=np.float32)  # deep-interior state
+    sw = build_stagewise(prob, iterations=300)
+    r_sw = solve_stagewise(sw, jnp.asarray(x0))
+    data = tpu_gpad.dualize(tpu_gpad.condense(prob), iterations=300)
+    r_c = solve_batch(data, jnp.asarray(x0), config=SolverConfig(iterations=300))
+    for res in (r_sw, r_c):
+        assert float(np.min(np.asarray(res.residual))) >= 0.0
+    # eps path too
+    cfg = SolverConfig(mode="eps", eps_g=1e-4, eps_V=1e-4, iterations=300)
+    r_eps = solve_stagewise(sw, jnp.asarray(x0), config=cfg)
+    assert float(np.min(np.asarray(r_eps.residual))) >= 0.0

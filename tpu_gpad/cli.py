@@ -68,6 +68,18 @@ def _add_solver_args(p):
                    help="half-stack [P;-P] layout (halves MVP flops)")
 
 
+def _reject_stagewise(args, where: str) -> None:
+    """Condensed-only subcommands must not silently remap a FORCED
+    engine=stagewise to the condensed auto path (project invariant:
+    forced engines work or raise)."""
+    if getattr(args, "engine", "auto") == "stagewise":
+        raise SystemExit(
+            f"--engine stagewise is not supported by `{where}` (it is a "
+            "solve-time engine; use `solve --engine stagewise`, or drop "
+            "the flag to let the condensed auto engine route)"
+        )
+
+
 def _solver_config(args):
     """Build a SolverConfig from parsed args; subcommands that expose only
     a subset of the solver flags (e.g. ``info``) fall back to defaults."""
@@ -117,6 +129,7 @@ def cmd_solve(args) -> int:
 
     config = _solver_config(args)
     if args.dataset:
+        _reject_stagewise(args, "solve --dataset")
         from tpu_gpad.io import read_solver_dataset, dataset_to_gpad_data
 
         ds = read_solver_dataset(args.dataset)
@@ -188,6 +201,7 @@ def cmd_closedloop(args) -> int:
     from tpu_gpad.closed_loop import simulate, plot_closed_loop
     from tpu_gpad.problems.battery import default_x0
 
+    _reject_stagewise(args, "closedloop")
     problem = _build_problem(args)
     config = _solver_config(args)
     if args.x0 or args.batch > 1:
@@ -220,6 +234,7 @@ def cmd_sweep(args) -> int:
     import tpu_gpad
     from tpu_gpad.sweep import run_sweep
 
+    _reject_stagewise(args, "sweep")
     problem = _build_problem(args)
     data = tpu_gpad.dualize(
         tpu_gpad.condense(problem), iterations=args.iterations,
@@ -318,6 +333,27 @@ def cmd_info(args) -> int:
     from tpu_gpad.utils import solve_flops
 
     problem = _build_problem(args)
+    if getattr(args, "engine", "auto") == "stagewise":
+        from tpu_gpad.stagewise import (
+            build_stagewise, condensed_operand_mb, stagewise_compatible)
+
+        ok, reason = stagewise_compatible(problem)
+        if not ok:
+            raise SystemExit(f"--engine stagewise: {reason}")
+        sw = build_stagewise(problem, iterations=args.iterations)
+        _emit({
+            "problem": problem.name,
+            "n_x": problem.n_x, "n_u": problem.n_u,
+            "horizon": problem.horizon,
+            "engine": "stagewise", "m": sw.m, "L": float(np.asarray(sw.L)),
+            "stagewise_data_mb": round(sum(
+                np.asarray(getattr(sw, f.name)).nbytes
+                for f in __import__("dataclasses").fields(sw)
+                if hasattr(getattr(sw, f.name), "nbytes")) / 1e6, 4),
+            "condensed_operand_mb": round(condensed_operand_mb(problem), 4),
+            "devices": [str(d) for d in jax.devices()],
+        })
+        return 0
     qp = tpu_gpad.condense(problem)
     data = tpu_gpad.dualize(qp, iterations=args.iterations, paired=_paired(args))
     cfg = _solver_config(args)
@@ -425,6 +461,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="problem dims, L, flops, devices")
     _add_problem_args(p)
     p.add_argument("--iterations", type=int, default=100)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas", "stagewise"],
+                   help="report the condensed routing (auto/xla/pallas) "
+                        "or the stage-wise engine's data/L instead")
     p.add_argument("--paired", default="auto", choices=["auto", "on", "off"])
     p.add_argument("--bound", action="store_true",
                    help="compute the certified iteration bound")

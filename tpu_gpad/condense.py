@@ -227,7 +227,26 @@ def condense(
     # O(N) and exists for exactly this regime): project the dense float64
     # intermediates (S, Qbar, H + the constraint stack) BEFORE allocating.
     # Override with TPU_GPAD_CONDENSE_LIMIT_GB for hosts with more RAM.
-    est_gb = 8.0 * N * N * (n_x * n_u + n_x * n_x + n_u * n_u) / 1e9
+    m_stage = 0  # constraint rows per stage -> G and M_G are (N*m_stage, n_z)
+    if problem.x_max is not None:
+        m_stage += n_x
+    if problem.x_min is not None:
+        m_stage += n_x
+    if problem.H_x is not None:
+        m_stage += int(np.asarray(problem.H_x).shape[0])
+    if problem.u_max is not None:
+        m_stage += n_u
+    if problem.u_min is not None:
+        m_stage += n_u
+    if problem.K_u is not None:
+        m_stage += 2 * int(np.asarray(problem.K_u).shape[0])
+    if problem.H_u is not None:
+        m_stage += int(np.asarray(problem.H_u).shape[0])
+    est_gb = (
+        8.0 * N * N
+        * (n_x * n_u + n_x * n_x + n_u * n_u + 2 * m_stage * n_u)
+        / 1e9
+    )
     limit_gb = float(os.environ.get("TPU_GPAD_CONDENSE_LIMIT_GB", "8"))
     if est_gb > limit_gb:
         from tpu_gpad.stagewise import stagewise_compatible

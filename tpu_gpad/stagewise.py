@@ -368,7 +368,8 @@ def build_stagewise(
     matrix-free power-iteration estimate with a safety margin scaled by
     the iteration's convergence residual — an UNDERestimated L breaks the
     GPAD guarantee, so poor power-method convergence falls back to the
-    certified bound N (|Gx|_F^2 + |Gu|_F^2) / lambda_min(R).
+    certified backward-Gramian bound |Gc|_F^2 / lambda_min(R) computed by
+    ``_cert_L_np`` (includes the prediction-map gain; see its docstring).
     """
     if problem.du_min is not None or problem.du_max is not None:
         raise ValueError(
@@ -477,6 +478,7 @@ def auto_solver(
 
         return solve_fn, data, "stagewise"
     qp = _condense(problem)
+    build_kw.setdefault("paired", "auto")
     data = _dualize(qp, iterations=iterations, **build_kw)
 
     def solve_fn(x0, config=None, **kw):
@@ -512,7 +514,6 @@ def _lqr_solve_assoc(
     serial). The right choice is measured, not assumed: see
     STAGEWISE.json / DESIGN.md section 11 for the chip crossover.
     """
-    dot = lambda M, v: jnp.einsum("ij,...j->...i", M, v, precision=_HI)
     N = data.horizon
     s_N = qx[-1]
     if N > 1:
@@ -661,10 +662,11 @@ def _solve_one(
     # preserves that)
     gx = jnp.einsum("kn,qn->kq", zx, data.Gx, precision=_HI) - data.hx
     gu = jnp.einsum("kp,qp->kq", zu, data.Gu, precision=_HI) - data.hu
-    # UNCLAMPED max(G z - h), matching core._residuals: negative values
-    # signal feasibility margin; build_stagewise guarantees m_x + m_u > 0
-    residual = jnp.max(
-        jnp.concatenate([gx.reshape(-1), gu.reshape(-1)])
+    # core._residuals computes the unclamped max(G z - h) internally, but
+    # every public SolveResult clamps it (core.py: maximum(viol_z, 0)) —
+    # match that so cross-engine consumers see one semantics.
+    residual = jnp.maximum(
+        jnp.max(jnp.concatenate([gx.reshape(-1), gu.reshape(-1)])), 0.0
     )
     gap = -(jnp.sum(yx * gx) + jnp.sum(yu * gu))
     y_packed = jnp.concatenate([yx, yu], axis=-1)
@@ -688,8 +690,9 @@ def _max_rows(gx, gu):
 
 
 def _stage_viol(data: StagewiseData, xs, us):
-    """max(G z - h) over all stage rows (unclamped, core._residuals
-    semantics) plus the raw per-row values for the gap."""
+    """max(G z - h) over all stage rows (unclamped — the internal
+    core._residuals semantics used by the eps test; public results clamp)
+    plus the raw per-row values for the gap."""
     gx = jnp.einsum("kn,qn->kq", xs, data.Gx, precision=_HI) - data.hx
     gu = jnp.einsum("kp,qp->kq", us, data.Gu, precision=_HI) - data.hu
     return gx, gu, _max_rows(gx, gu)
@@ -785,7 +788,8 @@ def _solve_one_eps(
     zu_f = jnp.where(conv, zu_out, zu)
     # exact rollout of the selected input trajectory for the residual
     xs_f = _rollout(data, zu_f, x0)
-    gx, gu, residual = _stage_viol(data, xs_f, zu_f)
+    gx, gu, viol = _stage_viol(data, xs_f, zu_f)
+    residual = jnp.maximum(viol, 0.0)  # public SolveResult semantics
     gap = -(jnp.sum(yx * gx) + jnp.sum(yu * gu))
     y_packed = jnp.concatenate([yx, yu], axis=-1)
     return (

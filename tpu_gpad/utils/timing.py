@@ -107,6 +107,7 @@ def device_time_stats(
         "n": int(len(samples)),
         "samples_s": [float(x) for x in s],
         "rejected": int(rejected),
+        "window_calls": int(k_large - k_small),
     }
 
 
@@ -140,6 +141,7 @@ def device_time_percentiles(
         # non-positive-slope windows (tunnel stalls) rejected and resampled;
         # genuinely SLOW windows are kept — they ARE the measurable tail
         "rejected_windows": int(stats["rejected"]),
+        "window_calls": int(stats["window_calls"]),
     }
 
 
@@ -200,9 +202,14 @@ def interleaved_ab(
     ka = _sized_k_large(fn_a, k_small, k_large, min_window_s)
     kb = _sized_k_large(fn_b, k_small, k_large, min_window_s)
     raw = []  # (ta, tb) with None for slope-invalid sides
-    for _ in range(2 * rounds):
-        valid = [p for p in raw if p[0] is not None and p[1] is not None]
-        if len(valid) >= rounds:
+    for attempt in range(2 * rounds):
+        # stop when `rounds` rounds survive the FULL gate (floor + band):
+        # band-rejected rounds consume attempt budget and get replaced
+        # too, not just floor-rejected ones
+        if (
+            len(raw) >= rounds
+            and _gate_ab_rounds(raw, rounds, gate_band)["rounds"] >= rounds
+        ):
             break
         ta = (_run_chain(fn_a, ka) - _run_chain(fn_a, k_small)) / (ka - k_small)
         tb = (_run_chain(fn_b, kb) - _run_chain(fn_b, k_small)) / (kb - k_small)
