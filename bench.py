@@ -336,19 +336,53 @@ def run(args, t_start: float) -> int:
         detail[name + "_routing"] = routing(d, c)
         return t
 
+    def _rate_vs_headline(name, d, c, fn, batch_n):
+        """Tier row measured as a gated INTERLEAVED ratio against the
+        headline config (same treatment as serving): the published rate
+        is headline_rate x ratio, so every ladder row shares the
+        headline's anchor normalization and a contended minute cannot
+        swing a tier ±15% against the others. Raw ratio stats and
+        rejected-round counts ride along."""
+        ab_t = interleaved_ab(fn, headline_fn,
+                              rounds=max(rounds // 2, 3), k_large=k_large)
+        if ab_t["rounds"] == 0:
+            detail[name + "_solves_per_sec"] = None
+            detail[name + "_vs_headline"] = {"unstable": True,
+                                             "rejected_rounds":
+                                             ab_t["rejected_rounds"]}
+            return
+        detail[name + "_solves_per_sec"] = (
+            headline_rate * ab_t["ratio_b_over_a_median"])
+        detail[name + "_vs_headline"] = {
+            "speedup_median": ab_t["ratio_b_over_a_median"],
+            "speedup_iqr": ab_t["ratio_b_over_a_iqr"],
+            "rejected_rounds": ab_t["rejected_rounds"],
+            "unstable": ab_t["unstable"],
+            # IQR/median > 0.25: the rounds disagree too much to read a
+            # ±15% tier difference off this session — treat as weather
+            "wide_variance": bool(
+                ab_t["ratio_b_over_a_iqr"]
+                > 0.25 * ab_t["ratio_b_over_a_median"]
+            ),
+        }
+        detail[name + "_routing"] = routing(d, c)
+
     def _fast_modes():
         # the precision ladder (docs/DESIGN.md section 8): "high" = 3-pass
         # bf16x3 fp32 (2x the MXU rate of "highest", u* within a few e-3);
         # "default" = 1-pass bf16 (~1e-2); bf16 operands the loosest
         cfg_high = SolverConfig(iterations=iters, engine=args.engine, precision="high")
-        _rate("throughput_high_precision", data, cfg_high,
-              lambda: solve_batch(data, X0, config=cfg_high).u, batch)
+        _rate_vs_headline("throughput_high_precision", data, cfg_high,
+                          lambda: solve_batch(data, X0, config=cfg_high).u,
+                          batch)
         cfg_fast = SolverConfig(iterations=iters, engine=args.engine, precision="default")
-        _rate("throughput_fast_precision", data, cfg_fast,
-              lambda: solve_batch(data, X0, config=cfg_fast).u, batch)
+        _rate_vs_headline("throughput_fast_precision", data, cfg_fast,
+                          lambda: solve_batch(data, X0, config=cfg_fast).u,
+                          batch)
         cfg_bf16 = SolverConfig(iterations=iters, engine=args.engine, matmul_dtype="bfloat16")
-        _rate("throughput_bf16", data, cfg_bf16,
-              lambda: solve_batch(data, X0, config=cfg_bf16).u, batch)
+        _rate_vs_headline("throughput_bf16", data, cfg_bf16,
+                          lambda: solve_batch(data, X0, config=cfg_bf16).u,
+                          batch)
 
     def _serving_mode():
         # diagnostics=False: residual-free serving — the kernels drop their
@@ -376,8 +410,9 @@ def run(args, t_start: float) -> int:
 
     def _xla_engine():
         cfg_xla = SolverConfig(iterations=iters, engine="xla")
-        _rate("throughput_xla_engine", data, cfg_xla,
-              lambda: solve_batch(data, X0, config=cfg_xla).u, batch)
+        _rate_vs_headline("throughput_xla_engine", data, cfg_xla,
+                          lambda: solve_batch(data, X0, config=cfg_xla).u,
+                          batch)
 
     def _eps_restart():
         # adaptive restart: eps-mode throughput at a real accuracy target
@@ -433,30 +468,32 @@ def run(args, t_start: float) -> int:
     # FLAGGED in the output (and the offending row nulled), never shipped
     # as numbers — a reader of BENCH_DETAIL must not have to know which
     # rows a contended tunnel can corrupt. ---
-    # All comparisons in ONE unit system (raw same-session rates): the
-    # serving number published above is anchor-normalized, so rebuild its
-    # raw twin for cross-tier checks — mixing normalized vs raw rates
-    # would false-flag whenever the session drifts between sections.
+    # All cross-stat checks compare the INTERLEAVED speedup ratios vs the
+    # shared headline config — unit-free and drift-free by construction
+    # (every tier and serving measured against the same A side), so a
+    # session drifting between sections cannot false-flag.
     flags = []
-    srv_vs = detail.get("throughput_serving_vs_fixed") or {}
-    srv_raw = (solves_per_sec * srv_vs["speedup_median"]
-               if "speedup_median" in srv_vs else None)
-    fast = detail.get("throughput_fast_precision_solves_per_sec")
-    high = detail.get("throughput_high_precision_solves_per_sec")
+
+    def _ratio(key):
+        d = detail.get(key) or {}
+        return d.get("speedup_median")
+
+    srv_r = _ratio("throughput_serving_vs_fixed")
+    fast_r = _ratio("throughput_fast_precision_vs_headline")
+    high_r = _ratio("throughput_high_precision_vs_headline")
     # serving is bit-identical HIGHEST-precision work: it cannot beat the
-    # 1-pass default tier, nor sit far above the fixed headline. Margins
-    # absorb cross-minute drift between raw sections; the r03 failure
-    # mode this guards (7.8x) is far outside them.
-    if srv_raw is not None and fast is not None and srv_raw > fast * 1.5:
+    # 1-pass default tier, nor sit far above the fixed headline (the r03
+    # failure mode this guards was 7.8x).
+    if srv_r is not None and fast_r is not None and srv_r > fast_r * 1.25:
         flags.append("serving_exceeds_default_tier")
         detail["throughput_serving_solves_per_sec"] = None
-    if srv_raw is not None and srv_raw > solves_per_sec * 1.5:
+    if srv_r is not None and srv_r > 1.5:
         flags.append("serving_far_above_headline")
         detail["throughput_serving_solves_per_sec"] = None
     # precision ladder must be monotone: highest <= high(3-pass) <= default
-    if high is not None and fast is not None and high > fast * 1.15:
+    if high_r is not None and fast_r is not None and high_r > fast_r * 1.15:
         flags.append("precision_ladder_inverted_high_vs_default")
-    if high is not None and high < solves_per_sec * 0.8:
+    if high_r is not None and high_r < 0.8:
         flags.append("high_tier_below_highest")
     if ab["unstable"]:
         flags.append("headline_interleave_unstable")
