@@ -123,27 +123,60 @@ def _one_shape(out, args, n, N, batch):
         rng.uniform(-0.3, 0.3, size=(batch, n)).astype(np.float32)
     )
 
+    from tpu_gpad.stagewise_kernel import (
+        stagewise_kernel_compatible, stagewise_kernel_wins)
+
+    # JIT every timed engine ONCE: an un-jitted solve_stagewise RETRACES
+    # per call, and tracing a 2N-step scan costs more than executing it —
+    # the round-4 session measured the same shape at 1.5k solves/s
+    # un-jitted vs 10.9k jitted (the committed r4 big-batch row was
+    # polluted by exactly this)
+    f_auto = jax.jit(lambda x: solve_stagewise(data_s, x).u)
+    f_xla = jax.jit(lambda x: solve_stagewise(data_s, x, engine="xla").u)
+    f_cond = jax.jit(lambda x: solve_batch(data_c, x, config=cfg).u)
+    f_assoc = jax.jit(
+        lambda x: solve_stagewise(data_s, x, scan="associative").u)
+    kernel_ok = (stagewise_kernel_compatible(data_s)[0]
+                 and jax.default_backend() == "tpu")
+    f_kern = (jax.jit(
+        lambda x: solve_stagewise(data_s, x, engine="pallas").u)
+        if kernel_ok else None)
+
     # parity guard before timing anything
     uc = np.asarray(solve_batch(data_c, X0[:8], config=cfg).u)
-    us = np.asarray(solve_stagewise(data_s, X0[:8]).u)
+    us = np.asarray(f_auto(X0[:8]))
     u_err = float(np.abs(uc - us).max())
     # chip cross-engine comparisons at fixed 100 iters diverge at relu
     # boundaries to ~e-3 (CLAUDE.md calibration, conftest.backend_tol)
     assert u_err < 5e-3, (n, N, u_err)
+    u_kernel_err = None
+    if kernel_ok:
+        u_kernel_err = float(np.abs(
+            np.asarray(f_kern(X0[:8])) - np.asarray(f_xla(X0[:8]))).max())
+        assert u_kernel_err < 5e-4, (n, N, u_kernel_err)
 
     ab = interleaved_ab(
-        lambda: solve_stagewise(data_s, X0).u,
-        lambda: solve_batch(data_c, X0, config=cfg).u,
+        lambda: f_auto(X0),
+        lambda: f_cond(X0),
         rounds=args.rounds,
         k_large=10,
     )
     # second A/B: parallel-prefix sweeps vs lax.scan sweeps
     ab_assoc = interleaved_ab(
-        lambda: solve_stagewise(data_s, X0, scan="associative").u,
-        lambda: solve_stagewise(data_s, X0).u,
+        lambda: f_assoc(X0),
+        lambda: f_xla(X0),
         rounds=args.rounds,
         k_large=10,
     )
+    # third A/B: the fused stage-wise kernel vs the XLA stage-wise path
+    ab_kern = None
+    if kernel_ok:
+        ab_kern = interleaved_ab(
+            lambda: f_kern(X0),
+            lambda: f_xla(X0),
+            rounds=args.rounds,
+            k_large=10,
+        )
     row = {
         "n_cells": n,
         "N": N,
@@ -169,6 +202,20 @@ def _one_shape(out, args, n, N, batch):
             "ratio_b_over_a_median"
         ],
         "assoc_iqr": ab_assoc["ratio_b_over_a_iqr"],
+        "stagewise_auto_is_kernel": bool(
+            kernel_ok and stagewise_kernel_wins(N, batch, data_s)),
+        "kernel_u_err_vs_xla_sw": u_kernel_err,
+        "kernel_solves_per_sec": (
+            batch / ab_kern["t_a_median_s"] if ab_kern else None),
+        "xla_sw_solves_per_sec": (
+            batch / ab_kern["t_b_median_s"] if ab_kern else None),
+        # ratio > 1 means the kernel (A) is faster than the XLA sw path
+        "speedup_kernel_over_xla_sw_median": (
+            ab_kern["ratio_b_over_a_median"] if ab_kern else None),
+        "kernel_iqr": (
+            ab_kern["ratio_b_over_a_iqr"] if ab_kern else None),
+        "kernel_rejected_rounds": (
+            ab_kern["rejected_rounds"] if ab_kern else None),
         "condensed_engine": resolve_engine(data_c, cfg),
         "condensed_form": resolve_form(data_c, cfg),
         "condensed_operand_mb": operand_mb,

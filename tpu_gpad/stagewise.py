@@ -546,7 +546,8 @@ def _lqr_solve_assoc(
     return xs, us
 
 
-def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array):
+def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array,
+               unroll: int = 1):
     """Jitted LQR solve with linear-cost perturbations (qx, ru).
 
     Two ``lax.scan``s over the horizon; all contractions run at HIGHEST
@@ -567,6 +568,7 @@ def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array)
         s_N,
         (data.E[1:], data.K[1:], qx[:-1], ru[1:]),
         reverse=True,
+        unroll=unroll,
     )
     # stilde[k] = stilde_{k+1}, the value-function slope the k-th stage sees
     stilde = jnp.concatenate([s_1[None], stilde_tail], axis=0)
@@ -579,7 +581,8 @@ def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array)
         return x_next, (x_next, u)
 
     _, (xs, us) = jax.lax.scan(
-        fwd, x0, (data.A_seq, data.B_seq, data.K, data.Hi, stilde, ru)
+        fwd, x0, (data.A_seq, data.B_seq, data.K, data.Hi, stilde, ru),
+        unroll=unroll,
     )
     return xs, us
 
@@ -590,12 +593,15 @@ def _dual_oracle(
     wu: jax.Array,
     x0: jax.Array,
     scan: str = "sequential",
+    unroll: int = 1,
 ):
     """zhat(w) and the dual gradient g(w) = G zhat - h, stage-local."""
     qx = jnp.einsum("kq,qn->kn", wx, data.Gx, precision=_HI)
     ru = jnp.einsum("kq,qp->kp", wu, data.Gu, precision=_HI)
-    lqr = _lqr_solve_assoc if scan == "associative" else _lqr_solve
-    xs, us = lqr(data, qx, ru, x0)
+    if scan == "associative":
+        xs, us = _lqr_solve_assoc(data, qx, ru, x0)
+    else:
+        xs, us = _lqr_solve(data, qx, ru, x0, unroll=unroll)
     gx = jnp.einsum("kn,qn->kq", xs, data.Gx, precision=_HI) - data.hx
     gu = jnp.einsum("kp,qp->kq", us, data.Gu, precision=_HI) - data.hu
     return (xs, us), (gx, gu)
@@ -624,6 +630,7 @@ def _solve_one(
     n_iters: int,
     scan: str,
     restart: bool = False,
+    unroll: int = 1,
 ):
     N = data.horizon
     inv_L = 1.0 / data.L
@@ -639,7 +646,7 @@ def _solve_one(
             th = data.theta[i]
         wx = yx + b * (yx - yx_p)
         wu = yu + b * (yu - yu_p)
-        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0, scan)
+        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0, scan, unroll)
         zx = (1.0 - th) * zx + th * xs
         zu = (1.0 - th) * zu + th * us
         yx_n = jnp.maximum(wx + inv_L * gx, 0.0)
@@ -709,6 +716,7 @@ def _solve_one_eps(
     eps_V: float,
     check_every: int,
     restart: bool,
+    unroll: int = 1,
 ):
     """Algorithm-1 epsilon termination for the stage-wise engine: the
     check the reference comments out (``acceldualgrad.m:66-79``), run
@@ -737,7 +745,7 @@ def _solve_one_eps(
             th = data.theta[k]
         wx = yx + b * (yx - yx_p)
         wu = yu + b * (yu - yu_p)
-        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0, scan)
+        (xs, us), (gx, gu) = _dual_oracle(data, wx, wu, x0, scan, unroll)
         zx = (1.0 - th) * zx + th * xs
         zu = (1.0 - th) * zu + th * us
         yx_n = jnp.maximum(wx + inv_L * gx, 0.0)
@@ -829,6 +837,8 @@ def solve_stagewise(
     eps_V: float = 1e-6,
     check_every: int = 10,
     restart: bool = False,
+    unroll: int = 1,
+    engine: str = "auto",
     config=None,
 ) -> SolveResult:
     """Solve a batch of MPC QPs via stage-wise GPAD; ``x0`` is (..., n_x).
@@ -863,6 +873,14 @@ def solve_stagewise(
         eps_g, eps_V = config.eps_g, config.eps_V
         check_every = config.check_every
         restart = config.restart
+        # config.engine selects WHICH stage-wise executor ("stagewise"
+        # itself arrives here as the condensed-level routing choice and
+        # maps to auto)
+        if engine == "auto" and config.engine in ("pallas", "xla"):
+            engine = config.engine
+    if engine not in ("auto", "pallas", "xla"):
+        raise ValueError(
+            f"engine must be 'auto', 'pallas' or 'xla': {engine!r}")
     if scan not in ("sequential", "associative"):
         raise ValueError(f"scan must be 'sequential' or 'associative': {scan!r}")
     if mode not in ("fixed", "eps"):
@@ -888,14 +906,62 @@ def solve_stagewise(
         ).reshape((B, N, m_x + m_u))
         y0x, y0u = y0[..., :m_x], y0[..., m_x:]
 
+    # fused-kernel fast path (docs/DESIGN.md section 11b): whole solve in
+    # VMEM per batch tile, scenario-minor layout. Auto takes it on TPU for
+    # fixed-mode cold starts whenever it fits; forcing engine="pallas"
+    # runs interpret mode off-TPU (slow, for tests).
+    if engine in ("auto", "pallas") and mode == "fixed":
+        from tpu_gpad.stagewise_kernel import (
+            solve_stagewise_pallas,
+            stagewise_kernel_compatible,
+            stagewise_kernel_wins,
+        )
+
+        ok, why = stagewise_kernel_compatible(data)
+        cold = y0 is None
+        on_tpu = jax.default_backend() == "tpu"
+        if engine == "pallas":
+            if not ok:
+                raise ValueError(f"stagewise kernel cannot take this: {why}")
+            if not cold:
+                raise ValueError(
+                    "stagewise kernel is cold-start only (v1); warm starts "
+                    "ride the XLA stage-wise path (engine='xla'/'auto')")
+            if scan != "sequential":
+                raise ValueError("stagewise kernel implies sequential scan")
+        use_kernel = (
+            ok and cold and scan == "sequential"
+            and (
+                engine == "pallas"
+                or (on_tpu and stagewise_kernel_wins(
+                    data.horizon, xb.shape[0], data))
+            )
+        )
+        if use_kernel:
+            u0k, zuk, yk, residk, gapk = solve_stagewise_pallas(
+                data, xb, iterations=n_iters, restart=restart,
+                interpret=not on_tpu,
+            )
+            rs = lambda a: a.reshape((*batch_shape, *a.shape[1:]))
+            return SolveResult(
+                u=rs(u0k),
+                z=rs(zuk.reshape(B, -1)),
+                y=rs(yk),
+                iterations=rs(
+                    jnp.full((B,), n_iters, dtype=jnp.int32)),
+                residual=rs(residk),
+                gap=rs(gapk),
+                converged=rs(jnp.ones((B,), dtype=bool)),
+            )
+
     if mode == "eps":
         one = lambda x, yx, yu: _solve_one_eps(
             data, x, yx, yu, n_iters, scan, eps_g, eps_V, check_every,
-            restart,
+            restart, unroll,
         )
     else:
         one = lambda x, yx, yu: _solve_one(
-            data, x, yx, yu, n_iters, scan, restart
+            data, x, yx, yu, n_iters, scan, restart, unroll
         )
     u, z, y, iters, residual, gap, conv = jax.vmap(one)(xb, y0x, y0u)
 
