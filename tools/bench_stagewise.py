@@ -56,7 +56,8 @@ def main():
     # sequential scan steps are latency-bound no-ops, while the condensed
     # engine pays O(N^2) matmul flops at ANY batch.
     shapes = [(8, 10, 1024), (8, 60, 256), (8, 120, 256), (8, 240, 128),
-              (30, 200, 64), (8, 240, 4096), (30, 200, 1024)]
+              (30, 200, 64), (8, 60, 4096), (8, 120, 4096), (8, 240, 4096),
+              (30, 200, 1024)]
     if args.quick:
         shapes = [(8, 10, 256), (8, 120, 128)]
 
@@ -131,16 +132,28 @@ def _one_shape(out, args, n, N, batch):
     # the round-4 session measured the same shape at 1.5k solves/s
     # un-jitted vs 10.9k jitted (the committed r4 big-batch row was
     # polluted by exactly this)
-    f_auto = jax.jit(lambda x: solve_stagewise(data_s, x).u)
-    f_xla = jax.jit(lambda x: solve_stagewise(data_s, x, engine="xla").u)
-    f_cond = jax.jit(lambda x: solve_batch(data_c, x, config=cfg).u)
-    f_assoc = jax.jit(
-        lambda x: solve_stagewise(data_s, x, scan="associative").u)
+    # data passed as a jit ARGUMENT, never a closure: captured operands
+    # become baked-in constants and the 585 MB n30 N200 condensed
+    # matrices blow the tunnel's compile-request size limit (HTTP 413)
+    j_auto = jax.jit(lambda d, x: solve_stagewise(d, x).u)
+    j_xla = jax.jit(lambda d, x: solve_stagewise(
+        d, x, engine="xla", scan="sequential").u)
+    j_cond = jax.jit(lambda d, x: solve_batch(d, x, config=cfg).u)
+    j_assoc = jax.jit(
+        lambda d, x: solve_stagewise(
+            d, x, engine="xla", scan="associative").u)
+    f_auto = lambda x: j_auto(data_s, x)
+    f_xla = lambda x: j_xla(data_s, x)
+    f_cond = lambda x: j_cond(data_c, x)
+    f_assoc = lambda x: j_assoc(data_s, x)
     kernel_ok = (stagewise_kernel_compatible(data_s)[0]
                  and jax.default_backend() == "tpu")
-    f_kern = (jax.jit(
-        lambda x: solve_stagewise(data_s, x, engine="pallas").u)
-        if kernel_ok else None)
+    if kernel_ok:
+        j_kern = jax.jit(
+            lambda d, x: solve_stagewise(d, x, engine="pallas").u)
+        f_kern = lambda x: j_kern(data_s, x)
+    else:
+        f_kern = None
 
     # parity guard before timing anything
     uc = np.asarray(solve_batch(data_c, X0[:8], config=cfg).u)

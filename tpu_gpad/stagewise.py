@@ -31,11 +31,17 @@ This module is that variant, TPU-first:
 Per-iteration cost and memory are O(N) instead of O(N^2): the condensed
 operands for e.g. battery n=30, N=200 are ~300 MB and do not fit VMEM at
 any tiling, while the stage-wise data is ~2 MB at the same shape. The
-trade is sequential depth (2N scan steps per iteration vs one matmul):
-chip-measured (STAGEWISE.json), condensed keeps winning throughput at
-every shape it can build (ratio 0.0003 at n8 N10 up to 0.18 at n8 N240
-B4096), so stage-wise is the *feasibility/memory/build-time* engine, not
-a throughput engine — see docs/DESIGN.md section 11.
+trade is sequential depth (2N sweep steps per iteration vs one matmul),
+answered by three executors behind one auto-routed API (chip-measured,
+STAGEWISE.json; docs/DESIGN.md section 11): a fused whole-solve Pallas
+kernel (``stagewise_kernel``, big-batch/moderate-N), parallel-prefix
+``associative_scan`` sweeps (small state, latency regime) and the plain
+``lax.scan`` path (large state). Measured outcome: stage-wise BEATS the
+condensed engines at long horizons — battery n8 at N=240 for every batch
+(1.41x at B=128, 1.30x at B=4096), from N>=60 at B=4096 (1.09-1.18x),
+and battery n30 N200 at every batch (1.9x at B=64, 3.2x at B=1024) —
+while condensed keeps short horizons (N=10: 5.3x) and mid-horizon small
+batch.
 
 Scope: hard per-stage constraints, LTI or LTV dynamics, per-stage Q/R and
 ``Q_terminal``. Rate limits, soft constraints, tracking parameters and
@@ -831,7 +837,7 @@ def solve_stagewise(
     x0: jax.Array,
     iterations: Optional[int] = None,
     y0: Optional[jax.Array] = None,
-    scan: str = "sequential",
+    scan: str = "auto",
     mode: str = "fixed",
     eps_g: float = 1e-6,
     eps_V: float = 1e-6,
@@ -857,10 +863,12 @@ def solve_stagewise(
     (..., N, m_x + m_u) with state rows first per stage (the layout this
     function returns in ``SolveResult.y``).
 
-    ``scan``: "sequential" (``lax.scan`` sweeps, work-optimal) or
-    "associative" (parallel-prefix sweeps, depth log2(N) at an O(log N)
-    work premium — wins when the sequential scans are latency-bound; see
-    STAGEWISE.json for the measured chip crossover).
+    ``scan``: "auto" (default — chip-measured routing, STAGEWISE.json:
+    parallel-prefix sweeps when the per-stage matrices are small,
+    n_x + n_u <= 24, where the sequential scans are latency-bound — up
+    to 12x at N=240 B=128; sequential for larger state, n30: 0.4-0.7x),
+    "sequential" (``lax.scan`` sweeps, work-optimal) or "associative"
+    (parallel-prefix, depth log2(N) at an O(log N) work premium).
 
     Returns a ``SolveResult`` with ``u`` = first move, ``z`` the full input
     trajectory (N*n_u, the condensed z convention), ``y`` the stage-packed
@@ -881,8 +889,9 @@ def solve_stagewise(
     if engine not in ("auto", "pallas", "xla"):
         raise ValueError(
             f"engine must be 'auto', 'pallas' or 'xla': {engine!r}")
-    if scan not in ("sequential", "associative"):
-        raise ValueError(f"scan must be 'sequential' or 'associative': {scan!r}")
+    if scan not in ("auto", "sequential", "associative"):
+        raise ValueError(
+            f"scan must be 'auto', 'sequential' or 'associative': {scan!r}")
     if mode not in ("fixed", "eps"):
         raise ValueError(f"mode must be 'fixed' or 'eps': {mode!r}")
     n_iters = int(iterations) if iterations is not None else data.max_iters
@@ -927,13 +936,13 @@ def solve_stagewise(
                 raise ValueError(
                     "stagewise kernel is cold-start only (v1); warm starts "
                     "ride the XLA stage-wise path (engine='xla'/'auto')")
-            if scan != "sequential":
+            if scan == "associative":
                 raise ValueError("stagewise kernel implies sequential scan")
         use_kernel = (
-            ok and cold and scan == "sequential"
+            ok and cold and scan in ("auto", "sequential")
             and (
                 engine == "pallas"
-                or (on_tpu and stagewise_kernel_wins(
+                or (scan == "auto" and on_tpu and stagewise_kernel_wins(
                     data.horizon, xb.shape[0], data))
             )
         )
@@ -953,6 +962,16 @@ def solve_stagewise(
                 gap=rs(gapk),
                 converged=rs(jnp.ones((B,), dtype=bool)),
             )
+
+    if scan == "auto":
+        # chip-measured executor rule (STAGEWISE.json round-4 ladder):
+        # with small per-stage matrices the parallel-prefix sweeps beat
+        # the latency-bound sequential scans at every benched (N, B)
+        # (1.03-12.5x); at n_x + n_u = 60 (battery n30) the log-depth
+        # combine's O(log N) extra matmul work loses (0.40-0.68x)
+        scan = (
+            "associative" if data.n_x + data.n_u <= 24 else "sequential"
+        )
 
     if mode == "eps":
         one = lambda x, yx, yu: _solve_one_eps(

@@ -104,7 +104,7 @@ def pick_stagewise_tile(N: int, n_p: int, p_p: int, mx_p: int, mu_p: int):
         + 2 * (n_p + p_p + 8)
         + 4 * SUBLANE
     )
-    r_max = max(n_p + p_p, mx_p + mu_p)
+    r_max = n_p + p_p  # CP rows; h folds into extra CP columns
     consts = 4 * N * r_max * LANE + 4 * (
         2 * (mx_p + mu_p) * (n_p + p_p)
     )
@@ -116,10 +116,15 @@ def pick_stagewise_tile(N: int, n_p: int, p_p: int, mx_p: int, mu_p: int):
 
 def stagewise_kernel_wins(N: int, B: int, data) -> bool:
     """Chip-measured routing rule for engine='auto' (STAGEWISE.json,
-    round-4 kernel ladder at battery n=8, B=4096): the kernel wins while
-    the grid stays short — per-(tile, stage) cost is latency-bound and
-    roughly lane-count-independent, so many serialized batch tiles lose
-    to the XLA scan's whole-batch amortization."""
+    round-4 executor ladder at battery n=8). The kernel's per-(tile,
+    stage) cost is latency-bound and lane-count-independent, so it wins
+    when lanes are full and the grid short (big B, moderate N: 1.2-2.1x
+    the sequential XLA scan and ahead of the parallel-prefix path), and
+    loses both to the XLA scan's whole-batch amortization at many
+    serialized tiles (32 tiles: 0.71x) and to the log-depth
+    associative-scan path in the latency regime (N=240 B=128: kernel
+    8.4k vs assoc 14.1k solves/s). Measured boundary: B/N >= 24 AND
+    <= 16 tiles."""
     n_p = _round_up(data.n_x, SUBLANE)
     p_p = _round_up(data.n_u, SUBLANE)
     mx_p = _round_up(data.m_x, SUBLANE)
@@ -127,7 +132,7 @@ def stagewise_kernel_wins(N: int, B: int, data) -> bool:
     b_t = pick_stagewise_tile(N, n_p, p_p, mx_p, mu_p)
     if b_t is None:
         return False
-    return -(-B // b_t) <= 16
+    return B >= 24 * N and -(-B // b_t) <= 16
 
 
 def _dotg(M, x):
@@ -145,7 +150,12 @@ def _stagewise_kernel(
     invl_ref,
     # inputs
     x0_ref,  # (n_p, B_t)
-    CP_ref,  # (N, r_max, C) packed per-stage constants: [R | HB | M | h]
+    CP_ref,  # (N, np_pp, C) packed per-stage constants: [R|HB|M|h-cols]
+    #          h's m_sp rows fold into ceil(m_sp/np_pp) EXTRA COLUMNS of
+    #          the same tile (a (N, m_sp, 1) h array would pay the
+    #          physical 128-lane tile per stage — 4.9 MB at n8 N240 — and
+    #          a (m_sp, N) stage-on-lanes layout needs a dynamic-lane
+    #          vector load Mosaic cannot lower)
     GT_ref,  # (n_p + p_p, m_sp) block-diag [[Gx', 0], [0, Gu']]
     G_ref,  # (m_sp, n_p + p_p) block-diag [[Gx, 0], [0, Gu]]
     # outputs
@@ -180,6 +190,16 @@ def _stagewise_kernel(
     o_HB = o_R + np_pp
     o_M = o_HB + np_pp
     o_h = o_M + np_pp
+    m_sp = mx_p + mu_p
+    n_hcols = -(-m_sp // np_pp)
+    # h chunks: chunk j holds rows [j*np_pp, min((j+1)*np_pp, m_sp)) of
+    # the stage's h as CP column o_h + j. Mosaic cannot concatenate
+    # vector slices living at different lane offsets, so h is never
+    # assembled into one (m_sp, 1) column — every consumer applies it
+    # chunk-by-chunk over the matching sublane rows.
+    h_chunks = [
+        (j * np_pp, min((j + 1) * np_pp, m_sp)) for j in range(n_hcols)
+    ]
 
     # cold start, PER STAGE (a whole-array jnp.zeros temporary would land
     # on the scoped-vmem stack and OOM)
@@ -228,7 +248,6 @@ def _stagewise_kernel(
             Ck = CP_ref[k]
             HB_k = Ck[:p_p, o_HB:o_HB + np_pp]
             M_k = Ck[:np_pp, o_M:o_M + np_pp]
-            h_k = Ck[:mx_p + mu_p, o_h:o_h + 1]
             wk = w_at(k, b)
             ru_k = _dotg(GT, wk)[n_p:]
             kff = _dotg(HB_k, jnp.concatenate([st_ref[k], ru_k], axis=0))
@@ -240,16 +259,23 @@ def _stagewise_kernel(
             # rolling zu through the dynamics (x is linear in u and the
             # convex-combination step 3 preserves it)
             zu_ref[k] = (1.0 - th) * zu_ref[k] + th * u
-            # dual gradient rows and projected ascent
-            g = _dotg(G, xu) - h_k
+            # dual gradient rows and projected ascent, h chunk-wise
+            gh = _dotg(G, xu)
             y_old = y_ref[k]
-            y_new = jnp.maximum(wk + inv_L * g, 0.0)
-            if restart:
-                racc = racc + jnp.sum(
-                    (wk - y_new) * (y_new - y_old), axis=0, keepdims=True
-                )
             yp_ref[k] = y_old
-            y_ref[k] = y_new
+            for lo, hi in h_chunks:
+                h_j = Ck[: hi - lo, o_h + (lo // np_pp):o_h
+                         + (lo // np_pp) + 1]
+                y_new = jnp.maximum(
+                    wk[lo:hi] + inv_L * (gh[lo:hi] - h_j), 0.0
+                )
+                if restart:
+                    racc = racc + jnp.sum(
+                        (wk[lo:hi] - y_new) * (y_new - y_old[lo:hi]),
+                        axis=0,
+                        keepdims=True,
+                    )
+                y_ref[k, lo:hi, :] = y_new
             return x_next, racc
 
         _, racc = jax.lax.fori_loop(0, N, fwd, (x0, zero_row))
@@ -279,15 +305,19 @@ def _stagewise_kernel(
         x, vmax, gap = carry_e
         Ck = CP_ref[k]
         M_k = Ck[:np_pp, o_M:o_M + np_pp]
-        h_k = Ck[:mx_p + mu_p, o_h:o_h + 1]
         u = zu_ref[k]
         Kx = -_dotg(M_k[n_p:, :n_p], x)
         kff = -(u + Kx)
         xu = _dotg(M_k, jnp.concatenate([x, kff], axis=0))
         x_next = xu[:n_p]
-        g = _dotg(G, jnp.concatenate([x_next, u], axis=0)) - h_k
-        vmax = jnp.maximum(vmax, jnp.max(g, axis=0, keepdims=True))
-        gap = gap + jnp.sum(y_ref[k] * g, axis=0, keepdims=True)
+        gh = _dotg(G, jnp.concatenate([x_next, u], axis=0))
+        yk = y_ref[k]
+        for lo, hi in h_chunks:
+            h_j = Ck[: hi - lo, o_h + (lo // np_pp):o_h
+                     + (lo // np_pp) + 1]
+            gj = gh[lo:hi] - h_j
+            vmax = jnp.maximum(vmax, jnp.max(gj, axis=0, keepdims=True))
+            gap = gap + jnp.sum(yk[lo:hi] * gj, axis=0, keepdims=True)
         return x_next, vmax, gap
 
     _, vmax, gap = jax.lax.fori_loop(
@@ -321,7 +351,8 @@ def stagewise_kernel_compatible(data) -> tuple:
     p_p = _round_up(data.n_u, SUBLANE)
     mx_p = _round_up(data.m_x, SUBLANE)
     mu_p = _round_up(data.m_u, SUBLANE)
-    if 3 * (n_p + p_p) + 1 > LANE:
+    np_pp = n_p + p_p
+    if 3 * np_pp + -(-(mx_p + mu_p) // np_pp) > LANE:
         return False, "stage constants exceed one packed 128-lane tile"
     if pick_stagewise_tile(data.horizon, n_p, p_p, mx_p, mu_p) is None:
         return False, "VMEM budget exceeded (horizon too long for the tile)"
@@ -359,7 +390,7 @@ def solve_stagewise_pallas(
     B_p = _round_up(B, B_t)
 
     f32 = jnp.float32
-    r_max = max(np_pp, m_sp)  # the packed h column has m_sp rows
+    r_max = np_pp
     pad_r = lambda M: _pad_axis(M.astype(f32), r_max, 1)
     KT = jnp.swapaxes(data.K.astype(f32), 1, 2)  # (N, n, p)
     ET = jnp.swapaxes(data.E.astype(f32), 1, 2)
@@ -395,14 +426,19 @@ def solve_stagewise_pallas(
     )
     # h pads are ZERO: padded G rows are zero so g_pad = -h_pad = 0 keeps
     # padded duals at relu(0 + 0) = 0 (inert), contributing nothing to
-    # qx/ru, the clamped residual max or the gap
-    h_col = jnp.concatenate(
+    # qx/ru, the clamped residual max or the gap. Fold h's m_sp rows into
+    # extra columns of the np_pp-row CP tile (see the kernel comment).
+    n_hcols = -(-m_sp // np_pp)
+    h_flat = jnp.concatenate(
         [_pad_axis(data.hx.astype(f32), mx_p, 1),
          _pad_axis(data.hu.astype(f32), mu_p, 1)],
         axis=1,
-    )[..., None]  # (N, m_sp, 1)
+    )  # (N, m_sp)
+    h_cols = _pad_axis(h_flat, n_hcols * np_pp, 1).reshape(
+        N, n_hcols, np_pp
+    ).transpose(0, 2, 1)  # (N, np_pp, n_hcols)
     CP = jnp.concatenate(
-        [pad_r(R), pad_r(HB), pad_r(M_pack), pad_r(h_col)], axis=2
+        [pad_r(R), pad_r(HB), pad_r(M_pack), h_cols], axis=2
     )
     # block-diagonal constraint maps (stage-invariant)
     Gx = _pad_axis(_pad_axis(data.Gx.astype(f32), mx_p, 0), n_p, 1)
