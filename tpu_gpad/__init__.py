@@ -49,6 +49,7 @@ from tpu_gpad.mhe import MovingHorizonEstimator
 from tpu_gpad.stagewise import (
     StagewiseData,
     auto_solver,
+    StagewiseController,
     build_stagewise,
     solve_stagewise,
     stagewise_compatible,
@@ -100,6 +101,7 @@ __all__ = [
     "MovingHorizonEstimator",
     "StagewiseData",
     "auto_solver",
+    "StagewiseController",
     "build_stagewise",
     "solve_stagewise",
     "stagewise_compatible",

@@ -865,10 +865,16 @@ def solve_stagewise(
 
     ``scan``: "auto" (default — chip-measured routing, STAGEWISE.json:
     parallel-prefix sweeps when the per-stage matrices are small,
-    n_x + n_u <= 24, where the sequential scans are latency-bound — up
-    to 12x at N=240 B=128; sequential for larger state, n30: 0.4-0.7x),
-    "sequential" (``lax.scan`` sweeps, work-optimal) or "associative"
-    (parallel-prefix, depth log2(N) at an O(log N) work premium).
+    n_x + n_u <= 24, where the sequential scans are latency-bound —
+    2.0-3.3x at n8 small batch; sequential for larger state, n30:
+    0.4-0.7x), "sequential" (``lax.scan`` sweeps, work-optimal) or
+    "associative" (parallel-prefix, depth log2(N) at an O(log N) work
+    premium). ``engine``: "auto" (default; additionally takes the fused
+    Pallas kernel for fixed-mode cold starts when ``B >= 24 N`` and the
+    batch fits <= 16 VMEM tiles), "pallas" (force the kernel — raises
+    where it cannot apply) or "xla". ``unroll`` unrolls the sequential
+    scan bodies (chip-measured ~7% at 8 on the n8 N240 flagship — the
+    scan overhead is not loop bookkeeping; kept as a knob).
 
     Returns a ``SolveResult`` with ``u`` = first move, ``z`` the full input
     trajectory (N*n_u, the condensed z convention), ``y`` the stage-packed
@@ -994,3 +1000,63 @@ def solve_stagewise(
         gap=rs(gap),
         converged=rs(conv),
     )
+
+
+class StagewiseController:
+    """Stateful long-horizon MPC controller on the stage-wise engine:
+    build once, then ``step(x) -> u`` with dual warm starts.
+
+    The stage-wise twin of ``closed_loop.Controller`` (which condenses):
+    for horizons past the condensation wall — or simply past the
+    measured crossover (STAGEWISE.json; battery-class plants win from
+    N~240 at any batch) — this serves the same embedded-MPC contract
+    with O(N) data. Warm starts ride the XLA stage-wise path
+    (consecutive MPC QPs differ only in x0, so the previous sample's
+    stage-packed dual is the right initializer; the fused kernel is
+    cold-start-only and keeps serving ``solve_batch``-style cold fleets).
+
+    ``step`` accepts one state (n_x,) or a batch (B, n_x) of independent
+    plants and returns the first move(s) as float32 NumPy. ``reset()``
+    drops the warm start on a plant/setpoint discontinuity.
+    """
+
+    def __init__(
+        self,
+        problem: LinearMPCProblem,
+        iterations: int = 100,
+        config=None,
+        warm_start: bool = True,
+        L: Optional[float] = None,
+        schedule: str = "paper",
+    ):
+        from tpu_gpad.solver import SolverConfig
+
+        if config is None:
+            config = SolverConfig(iterations=iterations)
+        if config.iterations is None:
+            config = dataclasses.replace(config, iterations=iterations)
+        self.problem = problem
+        self.data = build_stagewise(
+            problem, iterations=config.iterations, L=L, schedule=schedule
+        )
+        self.config = config
+        self.warm_start = warm_start
+        self._y = None
+        self.last_result = None
+
+    def reset(self) -> None:
+        self._y = None
+
+    def step(self, x) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32)
+        single = x.ndim == 1
+        xb = x[None, :] if single else x
+        y0 = self._y if self.warm_start else None
+        res = solve_stagewise(
+            self.data, jnp.asarray(xb), y0=y0, config=self.config
+        )
+        if self.warm_start:
+            self._y = res.y
+        self.last_result = res
+        u = np.asarray(res.u, dtype=np.float32)
+        return u[0] if single else u
