@@ -303,3 +303,39 @@ def test_nmpc_preview_shapes_and_batch():
     assert U.shape == (3, 2)
     U2 = ctrl.step_batch(np.zeros((3, 4)), np.zeros((3, 6, 4)))
     assert U2.shape == (3, 2)
+
+
+def test_nmpc_stagewise_engine_matches_condensed():
+    """NMPC(engine='stagewise'): the O(N) long-horizon SQP path produces
+    the same plans as the condensed path (same linearization, same dual
+    problem — affine offsets ride the stage-wise dtl/qoff constants),
+    and swings the pendulum the same way."""
+    pendulum_f = rk4(pendulum_dynamics(), dt=0.05)
+    kw = dict(
+        f=pendulum_f,
+        n_x=2,
+        n_u=1,
+        horizon=12,
+        Q=np.diag([5.0, 0.5]),
+        R=np.eye(1) * 0.1,
+        u_min=np.array([-2.0]),
+        u_max=np.array([2.0]),
+        iterations=300,
+        sqp_iters=2,
+    )
+    nm_c = NMPC(**kw)
+    nm_s = NMPC(engine="stagewise", **kw)
+    x = np.array([np.pi * 0.8, 0.0], dtype=np.float32)
+    ref = np.zeros(2, dtype=np.float32)
+    for t in range(4):
+        us_c = nm_c.plan(x, ref)
+        us_s = nm_s.plan(x, ref)
+        np.testing.assert_allclose(us_s, us_c, atol=2e-3)
+        x = np.asarray(
+            pendulum_f(jnp.asarray(x), jnp.asarray(us_c[0])),
+            dtype=np.float32,
+        ).reshape(2)
+
+    with pytest.raises(ValueError, match="rate limits"):
+        NMPC(engine="stagewise", du_min=np.array([-0.1]),
+             du_max=np.array([0.1]), **kw)

@@ -195,8 +195,9 @@ def test_rejects_condensation_only_features():
                 base, du_min=np.full(3, -0.1), du_max=np.full(3, 0.1)
             )
         )
-    with pytest.raises(ValueError, match="affine dynamics"):
-        build_stagewise(dataclasses.replace(base, c=np.full(3, 0.01)))
+    # affine offsets are SUPPORTED since round 4 (successive
+    # linearization needs them); parity is covered in
+    # test_affine_offsets_match_condensed
     with pytest.raises(ValueError, match="no inequality constraints"):
         build_stagewise(
             LinearMPCProblem(
@@ -474,3 +475,67 @@ def test_stagewise_controller_closed_loop():
     assert ub.shape == (2, 3)
     ctl.reset()
     assert ctl._y is None
+
+
+def test_affine_offsets_match_condensed():
+    """x+ = Ax + Bu + c: the stage-wise oracle's affine Riccati constants
+    (dtl = Ptilde c, folded qoff) reproduce the condensed engine's
+    iterates exactly (same dual problem, shared L/schedule)."""
+    import dataclasses
+
+    base = problems.battery(3, 7)
+    prob = dataclasses.replace(base, c=np.array([0.02, -0.01, 0.015]))
+    qp = condense(prob)
+    L = lipschitz_constant(qp)
+    data_c = dualize(qp, iterations=150, L=L)
+    data_s = build_stagewise(prob, iterations=150, L=L)
+    rng = np.random.default_rng(11)
+    X0 = rng.uniform(-0.3, 0.3, size=(6, 3)).astype(np.float32)
+    res_c = solve_batch(data_c, X0)
+    res_s = solve_stagewise(data_s, X0, scan="sequential")
+    np.testing.assert_allclose(res_s.u, res_c.u, atol=5e-6)
+    np.testing.assert_allclose(res_s.z, res_c.z, atol=5e-6)
+    # the associative executor agrees too
+    res_a = solve_stagewise(data_s, X0, scan="associative")
+    np.testing.assert_allclose(res_a.u, res_c.u, atol=5e-6)
+    # and per-stage LTV offsets
+    prob2 = dataclasses.replace(
+        problems.random_ltv(n_x=3, n_u=2, horizon=5, seed=8),
+        c=rng.normal(scale=0.02, size=(5, 3)),
+    )
+    qp2 = condense(prob2)
+    L2 = lipschitz_constant(qp2)
+    d_c2 = dualize(qp2, iterations=150, L=L2)
+    d_s2 = build_stagewise(prob2, iterations=150, L=L2)
+    X2 = rng.uniform(-0.4, 0.4, size=(4, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        solve_stagewise(d_s2, X2).u, solve_batch(d_c2, X2).u, atol=5e-6
+    )
+
+
+def test_fixed_reference_matches_condensed_tracking():
+    """build_stagewise(x_ref=...) bakes a FIXED setpoint into qoff; the
+    condensed twin passes the same reference as its runtime tracking
+    parameter — iterates must agree."""
+    prob = problems.double_integrator(horizon=8)
+    ref = np.array([0.25, 0.0])
+    qp = condense(prob, tracking=True)
+    L = lipschitz_constant(qp)
+    data_c = dualize(qp, iterations=200, L=L)
+    data_s = build_stagewise(prob, iterations=200, L=L, x_ref=ref)
+    rng = np.random.default_rng(12)
+    X0 = rng.uniform(-0.4, 0.4, size=(5, 2)).astype(np.float32)
+    P = np.concatenate(
+        [X0, np.tile(ref[None, :], (5, 1))], axis=1
+    ).astype(np.float32)
+    res_c = solve_batch(data_c, P)
+    res_s = solve_stagewise(data_s, X0)
+    np.testing.assert_allclose(res_s.u, res_c.u, atol=5e-6)
+    # the tracked closed loop actually goes to the setpoint
+    x = np.asarray(X0[0], dtype=np.float32)
+    A = np.asarray(prob.A, dtype=np.float32)
+    B = np.asarray(prob.B, dtype=np.float32)
+    for _ in range(60):
+        u = np.asarray(solve_stagewise(data_s, x[None]).u)[0]
+        x = A @ x + B @ u
+    assert abs(x[0] - ref[0]) < 0.05

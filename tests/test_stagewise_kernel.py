@@ -141,3 +141,29 @@ def test_kernel_under_shard_map_dp():
     np.testing.assert_allclose(
         np.asarray(resid), np.asarray(ref.residual), atol=1e-6
     )
+
+
+def test_kernel_affine_offsets_and_fixed_ref():
+    """The kernel's packed [dtl | qoff | c] columns reproduce the XLA
+    stage-wise path exactly for affine dynamics and a baked reference."""
+    import dataclasses
+
+    prob = dataclasses.replace(
+        problems.battery(3, 7), c=np.array([0.02, -0.01, 0.015])
+    )
+    data = build_stagewise(prob, iterations=100)
+    rng = np.random.default_rng(13)
+    X0 = jnp.asarray(rng.uniform(-0.3, 0.3, size=(4, 3)).astype(np.float32))
+    ref = solve_stagewise(data, X0, engine="xla", scan="sequential")
+    res = solve_stagewise(data, X0, engine="pallas")
+    np.testing.assert_allclose(res.u, ref.u, atol=2e-6)
+    np.testing.assert_allclose(res.z, ref.z, atol=2e-6)
+    np.testing.assert_allclose(res.y, ref.y, atol=5e-6)
+    np.testing.assert_allclose(res.residual, ref.residual, atol=2e-6)
+
+    di = problems.double_integrator(horizon=8)
+    data2 = build_stagewise(di, iterations=100, x_ref=np.array([0.25, 0.0]))
+    X2 = jnp.asarray(rng.uniform(-0.4, 0.4, size=(3, 2)).astype(np.float32))
+    ref2 = solve_stagewise(data2, X2, engine="xla", scan="sequential")
+    res2 = solve_stagewise(data2, X2, engine="pallas")
+    np.testing.assert_allclose(res2.u, ref2.u, atol=2e-6)

@@ -156,6 +156,7 @@ class NMPC:
         warm_start: bool = True,
         preview: bool = False,
         device_condense: bool = False,
+        engine: str = "condensed",
         name: str = "nmpc",
     ):
         if config is None:
@@ -196,6 +197,28 @@ class NMPC:
         self._u_prev_b: np.ndarray | None = None
         self.last_result = None
 
+        self.engine = engine
+        if engine not in ("condensed", "stagewise"):
+            raise ValueError(
+                f"engine must be 'condensed' or 'stagewise': {engine!r}")
+        if engine == "stagewise":
+            # the O(N) long-horizon path: per SQP pass, linearize on
+            # device, build the stage-wise LQR constants on host (O(N n^3)
+            # float64, like _qp_for's condense) and solve with the
+            # stage-wise engine. Affine offsets c_k from the
+            # linearization and the (fixed-per-plan) reference ride the
+            # precomputed dtl/qoff constants (tpu_gpad.stagewise).
+            if device_condense:
+                raise ValueError(
+                    "engine='stagewise' and device_condense are exclusive")
+            if soft_state is not None:
+                raise ValueError(
+                    "engine='stagewise' does not take soft_state (a "
+                    "condensation-path feature)")
+            if self.rate:
+                raise ValueError(
+                    "engine='stagewise' does not take rate limits (they "
+                    "couple adjacent stages; condensation-path feature)")
         self.device_condense = device_condense
         self._dev_pass = self._dev_pass_batch = None
         if device_condense:
@@ -355,6 +378,55 @@ class NMPC:
             self.last_result = res
             if self.rate:
                 self._u_prev = us[0]
+            return us
+        if self.engine == "stagewise":
+            from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+
+            res = None
+            ref_bake = (
+                x_ref.reshape(self.horizon, self.n_x)
+                if self.preview
+                else x_ref
+            )
+            for _ in range(self.sqp_iters):
+                xs_next = rollout(
+                    self.f, jnp.asarray(x, dtype=jnp.float32),
+                    jnp.asarray(us, dtype=jnp.float32),
+                )
+                xs_lin = jnp.concatenate(
+                    [jnp.asarray(x, dtype=jnp.float32)[None], xs_next[:-1]],
+                    axis=0,
+                )
+                A, B, c = linearize(
+                    self.f, xs_lin, jnp.asarray(us, dtype=jnp.float32)
+                )
+                problem = LinearMPCProblem(
+                    A=np.asarray(A, dtype=np.float64),
+                    B=np.asarray(B, dtype=np.float64),
+                    Q=self.Q,
+                    R=self.R,
+                    horizon=self.horizon,
+                    Q_terminal=self.Q_terminal,
+                    c=np.asarray(c, dtype=np.float64),
+                    name=self.name,
+                    **self.bounds,
+                )
+                data = build_stagewise(
+                    problem, iterations=self.config.iterations,
+                    x_ref=ref_bake,
+                )
+                y0 = self._y if self.warm_start else None
+                res = solve_stagewise(
+                    data, jnp.asarray(x[None], dtype=jnp.float32),
+                    y0=y0, config=self.config,
+                )
+                self._y = res.y
+                us_new = np.asarray(
+                    res.z[0], dtype=np.float32
+                ).reshape(self.horizon, self.n_u)
+                us = us + self.damping * (us_new - us)
+            self._us = us
+            self.last_result = res
             return us
         res = None
         for _ in range(self.sqp_iters):

@@ -44,9 +44,11 @@ while condensed keeps short horizons (N=10: 5.3x) and mid-horizon small
 batch.
 
 Scope: hard per-stage constraints, LTI or LTV dynamics, per-stage Q/R and
-``Q_terminal``. Rate limits, soft constraints, tracking parameters and
-affine dynamics offsets are condensation-path features; ``build_stagewise``
-rejects them loudly.
+``Q_terminal``, affine dynamics offsets ``c_k`` and a build-time-fixed
+tracking reference (both ride precomputed dtl/qoff constants — this is
+what ``NMPC(engine="stagewise")`` linearizes onto for long-horizon SQP).
+Rate limits, soft constraints and RUNTIME tracking parameters are
+condensation-path features; ``build_stagewise`` rejects them loudly.
 """
 
 from __future__ import annotations
@@ -97,6 +99,10 @@ class StagewiseData:
     L: jax.Array  # () Lipschitz constant of the dual gradient
     theta: jax.Array  # (max_iters,) shipped momentum schedule
     beta: jax.Array  # (max_iters,)
+    # affine-dynamics / linear-cost constants (zeros when unused):
+    c_seq: jax.Array = None  # (N, n) dynamics offsets c_k
+    dtl: jax.Array = None  # (N, n) Ptilde_{k+1} c_k (adds to stilde at kff)
+    qoff: jax.Array = None  # (N, n) E'dtl shift + fixed-reference -Q x_ref
     n_x: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_u: int = dataclasses.field(metadata=dict(static=True), default=0)
     horizon: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -135,6 +141,9 @@ _register_pytree_dataclass(
         "L",
         "theta",
         "beta",
+        "c_seq",
+        "dtl",
+        "qoff",
     ),
     meta_fields=("n_x", "n_u", "horizon", "name"),
 )
@@ -214,11 +223,13 @@ def _riccati_np(A_seq, B_seq, Q_seq, R_seq, Q_terminal):
     K = np.zeros((N, p, n))
     Hi = np.zeros((N, p, p))
     E = np.zeros((N, n, n))
+    Pt_seq = np.zeros((N, n, n))  # Pt_seq[k] = Ptilde_{k+1}
     # Ptilde_{k+1} = Q_{k+1} + P_{k+1}: value-function Hessian INCLUDING
     # stage k+1's own cost, the quantity the k-th minimization sees.
     Pt = (Q_terminal if Q_terminal is not None else Q_seq[N - 1]).copy()
     for k in range(N - 1, -1, -1):
         A, B = A_seq[k], B_seq[k]
+        Pt_seq[k] = Pt
         Hk = R_seq[k] + B.T @ Pt @ B
         Hk = 0.5 * (Hk + Hk.T)
         BtPtA = B.T @ Pt @ A
@@ -229,7 +240,7 @@ def _riccati_np(A_seq, B_seq, Q_seq, R_seq, Q_terminal):
         P = 0.5 * (P + P.T)
         if k > 0:
             Pt = Q_seq[k - 1] + P
-    return K, Hi, E
+    return K, Hi, E, Pt_seq
 
 
 def _lqr_np(mats, qx, ru, x0):
@@ -328,8 +339,6 @@ def stagewise_compatible(problem: LinearMPCProblem) -> tuple:
     own loud rejections)."""
     if problem.du_min is not None or problem.du_max is not None:
         return False, "rate limits couple adjacent stages"
-    if problem.c is not None:
-        return False, "affine dynamics offsets"
     has_rows = any(
         getattr(problem, f) is not None
         for f in ("x_min", "x_max", "u_min", "u_max", "K_u", "H_x", "H_u")
@@ -364,9 +373,19 @@ def build_stagewise(
     iterations: int = 100,
     L: Optional[float] = None,
     schedule: str = "paper",
+    x_ref=None,
     dtype=jnp.float32,
 ) -> StagewiseData:
     """Precompute the stage-wise GPAD constants (O(N) data, float64 offline).
+
+    Affine dynamics offsets (``problem.c``) and a FIXED tracking
+    reference (``x_ref``, constant or (N, n) per-stage) are supported as
+    precomputed per-stage constants: the LQR oracle's affine sweep gains
+    ``dtl_k = Ptilde_{k+1} c_k`` (enters the feedforward) and a folded
+    linear-cost shift ``qoff_k = E_{k+1}' dtl_{k+1} - Q_{k+1} r_{k+1}``
+    — both w-independent, so the online cost is two adds. (A per-solve
+    runtime reference remains a condensation-path feature; rebuild for a
+    new setpoint, like the reference rebuilds its problem file.)
 
     ``L``: Lipschitz constant of the dual gradient; pass one (e.g.
     ``condense.lipschitz_constant`` on the condensed twin, for exact
@@ -382,11 +401,6 @@ def build_stagewise(
             "rate limits couple adjacent stages; use the condensation path "
             "(condense + dualize), which augments the parameter with u_prev"
         )
-    if problem.c is not None:
-        raise ValueError(
-            "affine dynamics offsets are a condensation-path feature; "
-            "build_stagewise supports x_{k+1} = A_k x_k + B_k u_k"
-        )
     if (problem.H_x is None) != (problem.h_x is None) or (
         problem.H_u is None
     ) != (problem.h_u is None):
@@ -401,7 +415,7 @@ def build_stagewise(
         if problem.Q_terminal is not None
         else None
     )
-    K, Hi, E = _riccati_np(A_seq, B_seq, Q_seq, R_seq, Q_term)
+    K, Hi, E, Pt_seq = _riccati_np(A_seq, B_seq, Q_seq, R_seq, Q_term)
     Gx, hx, Gu, hu = _constraint_rows(problem)
     if Gx.shape[0] == 0 and Gu.shape[0] == 0:
         raise ValueError("problem has no inequality constraints to dualize")
@@ -423,6 +437,26 @@ def build_stagewise(
     if L <= 0:
         raise ValueError(f"Lipschitz constant must be positive; got {L}")
 
+    # affine-dynamics + fixed-reference constants (zeros when absent)
+    c_seq = (
+        _stage_rhs(problem.c, N, n, "c")
+        if problem.c is not None
+        else np.zeros((N, n))
+    )
+    dtl = np.einsum("kij,kj->ki", Pt_seq, c_seq)  # Ptilde_{k+1} c_k
+    ecorr = np.einsum("kji,kj->ki", E, dtl)  # E_k' dtl_k
+    qoff = np.zeros((N, n))
+    qoff[:-1] += ecorr[1:]  # the bwd recursion's shift, folded into qx
+    if x_ref is not None:
+        ref = _stage_rhs(np.asarray(x_ref, dtype=np.float64), N, n, "x_ref")
+        for k in range(N):
+            Qk = (
+                Q_term
+                if (k == N - 1 and Q_term is not None)
+                else Q_seq[k]
+            )
+            qoff[k] -= Qk @ ref[k]  # linear term of 0.5||x - r||_Q^2
+
     theta, beta = momentum_schedule(iterations, variant=schedule)
     as_dev = lambda a: jnp.asarray(a, dtype=dtype)
     return StagewiseData(
@@ -438,6 +472,9 @@ def build_stagewise(
         L=jnp.asarray(L, dtype=dtype),
         theta=jnp.asarray(theta, dtype=dtype),
         beta=jnp.asarray(beta, dtype=dtype),
+        c_seq=as_dev(c_seq),
+        dtl=as_dev(dtl),
+        qoff=as_dev(qoff),
         n_x=n,
         n_u=p,
         horizon=N,
@@ -537,14 +574,16 @@ def _lqr_solve_assoc(
         stilde = jnp.concatenate([jnp.flip(s_vals, axis=0), s_N[None]], axis=0)
     else:
         stilde = s_N[None]
-    # feedforwards are elementwise once stilde is known
+    # feedforwards are elementwise once stilde is known; affine dynamics
+    # shift the slope by Ptilde_{k+1} c_k and the rollout by c_k
+    stilde = stilde + data.dtl
     kff = jnp.einsum(
         "kpq,kq->kp",
         data.Hi,
         jnp.einsum("knp,kn->kp", data.B_seq, stilde, precision=_HI) + ru,
         precision=_HI,
     )
-    d = -jnp.einsum("knp,kp->kn", data.B_seq, kff, precision=_HI)
+    d = -jnp.einsum("knp,kp->kn", data.B_seq, kff, precision=_HI) + data.c_seq
     prefA, prefv = jax.lax.associative_scan(_affine_combine, (data.E, d))
     xs = jnp.einsum("kij,j->ki", prefA, x0, precision=_HI) + prefv
     x_lin = jnp.concatenate([x0[None], xs[:-1]], axis=0)
@@ -578,16 +617,20 @@ def _lqr_solve(data: StagewiseData, qx: jax.Array, ru: jax.Array, x0: jax.Array,
     )
     # stilde[k] = stilde_{k+1}, the value-function slope the k-th stage sees
     stilde = jnp.concatenate([s_1[None], stilde_tail], axis=0)
+    # affine dynamics: the feedforward sees stilde + Ptilde_{k+1} c_k
+    # (the bwd recursion's shift is folded into qx via data.qoff)
+    stilde = stilde + data.dtl
 
     def fwd(x, inp):
-        A_k, B_k, K_k, Hi_k, st_k, ru_k = inp
+        A_k, B_k, K_k, Hi_k, st_k, ru_k, c_k = inp
         kff = dot(Hi_k, dot(B_k.T, st_k) + ru_k)
         u = -dot(K_k, x) - kff
-        x_next = dot(A_k, x) + dot(B_k, u)
+        x_next = dot(A_k, x) + dot(B_k, u) + c_k
         return x_next, (x_next, u)
 
     _, (xs, us) = jax.lax.scan(
-        fwd, x0, (data.A_seq, data.B_seq, data.K, data.Hi, stilde, ru),
+        fwd, x0,
+        (data.A_seq, data.B_seq, data.K, data.Hi, stilde, ru, data.c_seq),
         unroll=unroll,
     )
     return xs, us
@@ -602,7 +645,7 @@ def _dual_oracle(
     unroll: int = 1,
 ):
     """zhat(w) and the dual gradient g(w) = G zhat - h, stage-local."""
-    qx = jnp.einsum("kq,qn->kn", wx, data.Gx, precision=_HI)
+    qx = jnp.einsum("kq,qn->kn", wx, data.Gx, precision=_HI) + data.qoff
     ru = jnp.einsum("kq,qp->kp", wu, data.Gu, precision=_HI)
     if scan == "associative":
         xs, us = _lqr_solve_assoc(data, qx, ru, x0)
@@ -821,14 +864,16 @@ def _rollout(data: StagewiseData, us: jax.Array, x0: jax.Array):
     """States x_1..x_N from an input trajectory (exact, scanned)."""
 
     def step(x, inp):
-        A_k, B_k, u_k = inp
+        A_k, B_k, u_k, c_k = inp
         x_n = (
             jnp.einsum("ij,j->i", A_k, x, precision=_HI)
             + jnp.einsum("ij,j->i", B_k, u_k, precision=_HI)
+            + c_k
         )
         return x_n, x_n
 
-    _, xs = jax.lax.scan(step, x0, (data.A_seq, data.B_seq, us))
+    _, xs = jax.lax.scan(
+        step, x0, (data.A_seq, data.B_seq, us, data.c_seq))
     return xs
 
 

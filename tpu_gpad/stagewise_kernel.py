@@ -192,6 +192,9 @@ def _stagewise_kernel(
     o_h = o_M + np_pp
     m_sp = mx_p + mu_p
     n_hcols = -(-m_sp // np_pp)
+    o_dtl = o_h + n_hcols  # Ptilde_{k+1} c_k (n_p rows)
+    o_qoff = o_dtl + 1  # folded E'dtl shift + fixed-ref linear cost
+    o_c = o_qoff + 1  # dynamics offset c_k
     # h chunks: chunk j holds rows [j*np_pp, min((j+1)*np_pp, m_sp)) of
     # the stage's h as CP column o_h + j. Mosaic cannot concatenate
     # vector slices living at different lane offsets, so h is never
@@ -228,16 +231,25 @@ def _stagewise_kernel(
             b = beta_ref[i]
 
         # ---- backward sweep: st[k] = s_{k+1} ---------------------------
+        # (qoff folds the affine-dynamics shift E'dtl and any fixed-ref
+        # linear cost into the qx part, mirroring data.qoff)
         qr_last = _dotg(GT, w_at(N - 1, b))  # [qx; ru] at stage N-1
-        st_ref[N - 1] = qr_last[:n_p]
+        st_ref[N - 1] = (
+            qr_last[:n_p] + CP_ref[N - 1][:n_p, o_qoff:o_qoff + 1]
+        )
 
         def bwd(t, qr_next):
             # qr_next = [qx; ru] at stage k+1; recursion uses ru_{k+1}
             k = N - 2 - t
             qr_k = _dotg(GT, w_at(k, b))
             sru = jnp.concatenate([st_ref[k + 1], qr_next[n_p:]], axis=0)
+            Ck = CP_ref[k]
             R_k1 = CP_ref[k + 1][:n_p, o_R:o_R + np_pp]
-            st_ref[k] = qr_k[:n_p] + _dotg(R_k1, sru)
+            st_ref[k] = (
+                qr_k[:n_p]
+                + Ck[:n_p, o_qoff:o_qoff + 1]
+                + _dotg(R_k1, sru)
+            )
             return qr_k
 
         jax.lax.fori_loop(0, N - 1, bwd, qr_last)
@@ -250,9 +262,10 @@ def _stagewise_kernel(
             M_k = Ck[:np_pp, o_M:o_M + np_pp]
             wk = w_at(k, b)
             ru_k = _dotg(GT, wk)[n_p:]
-            kff = _dotg(HB_k, jnp.concatenate([st_ref[k], ru_k], axis=0))
+            st_k = st_ref[k] + Ck[:n_p, o_dtl:o_dtl + 1]
+            kff = _dotg(HB_k, jnp.concatenate([st_k, ru_k], axis=0))
             xu = _dotg(M_k, jnp.concatenate([x, kff], axis=0))
-            x_next = xu[:n_p]
+            x_next = xu[:n_p] + Ck[:n_p, o_c:o_c + 1]
             u = xu[n_p:]
             # primal averaging (z = (1-th) z + th zhat); the averaged
             # states are NOT stored — the epilogue recomputes them by
@@ -260,7 +273,7 @@ def _stagewise_kernel(
             # convex-combination step 3 preserves it)
             zu_ref[k] = (1.0 - th) * zu_ref[k] + th * u
             # dual gradient rows and projected ascent, h chunk-wise
-            gh = _dotg(G, xu)
+            gh = _dotg(G, jnp.concatenate([x_next, u], axis=0))
             y_old = y_ref[k]
             yp_ref[k] = y_old
             for lo, hi in h_chunks:
@@ -309,7 +322,7 @@ def _stagewise_kernel(
         Kx = -_dotg(M_k[n_p:, :n_p], x)
         kff = -(u + Kx)
         xu = _dotg(M_k, jnp.concatenate([x, kff], axis=0))
-        x_next = xu[:n_p]
+        x_next = xu[:n_p] + Ck[:n_p, o_c:o_c + 1]
         gh = _dotg(G, jnp.concatenate([x_next, u], axis=0))
         yk = y_ref[k]
         for lo, hi in h_chunks:
@@ -352,7 +365,7 @@ def stagewise_kernel_compatible(data) -> tuple:
     mx_p = _round_up(data.m_x, SUBLANE)
     mu_p = _round_up(data.m_u, SUBLANE)
     np_pp = n_p + p_p
-    if 3 * np_pp + -(-(mx_p + mu_p) // np_pp) > LANE:
+    if 3 * np_pp + -(-(mx_p + mu_p) // np_pp) + 3 > LANE:
         return False, "stage constants exceed one packed 128-lane tile"
     if pick_stagewise_tile(data.horizon, n_p, p_p, mx_p, mu_p) is None:
         return False, "VMEM budget exceeded (horizon too long for the tile)"
@@ -437,8 +450,18 @@ def solve_stagewise_pallas(
     h_cols = _pad_axis(h_flat, n_hcols * np_pp, 1).reshape(
         N, n_hcols, np_pp
     ).transpose(0, 2, 1)  # (N, np_pp, n_hcols)
+    extra_cols = jnp.stack(
+        [
+            _pad_axis(data.dtl.astype(f32), n_p, 1),
+            _pad_axis(data.qoff.astype(f32), n_p, 1),
+            _pad_axis(data.c_seq.astype(f32), n_p, 1),
+        ],
+        axis=2,
+    )  # (N, n_p, 3): [dtl | qoff | c]
     CP = jnp.concatenate(
-        [pad_r(R), pad_r(HB), pad_r(M_pack), h_cols], axis=2
+        [pad_r(R), pad_r(HB), pad_r(M_pack), h_cols,
+         _pad_axis(extra_cols, np_pp, 1)],
+        axis=2,
     )
     # block-diagonal constraint maps (stage-invariant)
     Gx = _pad_axis(_pad_axis(data.Gx.astype(f32), mx_p, 0), n_p, 1)
