@@ -398,6 +398,13 @@ def run(args, t_start: float) -> int:
             lambda: solve_batch(data, X0, config=cfg_srv).u,
             headline_fn, rounds=max(rounds // 2, 3), k_large=k_large,
         )
+        if ab_srv["rounds"] == 0:  # fully gated out: null, never NaN
+            detail["throughput_serving_solves_per_sec"] = None
+            detail["throughput_serving_vs_fixed"] = {
+                "unstable": True,
+                "rejected_rounds": ab_srv["rejected_rounds"],
+            }
+            return
         detail["throughput_serving_solves_per_sec"] = (
             headline_rate * ab_srv["ratio_b_over_a_median"])
         detail["throughput_serving_vs_fixed"] = {
@@ -500,10 +507,13 @@ def run(args, t_start: float) -> int:
     detail["sanity_flags"] = flags
 
     _write_detail(detail)
+    unit_kind = (
+        "anchor-normalized" if anchor_n == 2048 else "raw (quick mode)"
+    )
     return emit(
         round(headline_rate, 1),
-        "solves/s anchor-normalized (battery n=3 N=10, %d iters, fp32, "
-        "batch %d, %s)" % (iters, batch, args.engine),
+        "solves/s %s (battery n=3 N=10, %d iters, fp32, "
+        "batch %d, %s)" % (unit_kind, iters, batch, args.engine),
         vs_baseline=round(headline_rate / cpu_solves_per_sec, 1),
         extra={
             "raw_solves_per_sec": round(solves_per_sec, 1),

@@ -339,3 +339,17 @@ def test_nmpc_stagewise_engine_matches_condensed():
     with pytest.raises(ValueError, match="rate limits"):
         NMPC(engine="stagewise", du_min=np.array([-0.1]),
              du_max=np.array([0.1]), **kw)
+
+
+def test_nmpc_stagewise_plan_batch_rejected():
+    """plan_batch is condensation-path only; a forced stage-wise NMPC
+    must raise loudly instead of silently condensing (or crashing into
+    the memory wall at the long horizons the engine exists for)."""
+    pendulum_f = rk4(pendulum_dynamics(), dt=0.05)
+    nm = NMPC(
+        f=pendulum_f, n_x=2, n_u=1, horizon=8, Q=np.eye(2),
+        R=np.eye(1) * 0.1, u_min=np.array([-2.0]), u_max=np.array([2.0]),
+        iterations=100, engine="stagewise",
+    )
+    with pytest.raises(ValueError, match="condensation-path only"):
+        nm.plan_batch(np.zeros((3, 2), dtype=np.float32))

@@ -65,11 +65,17 @@ def test_kernel_declines_warm_start_and_eps():
     y0 = jnp.zeros((2, 6, data.m_x + data.m_u), dtype=jnp.float32)
     with pytest.raises(ValueError, match="cold-start only"):
         solve_stagewise(data, X0, iterations=40, engine="pallas", y0=y0)
-    # eps mode with a forced pallas engine: the kernel path only covers
-    # fixed mode, so the request falls through to the XLA eps solver
+    # forced engines work or raise: the kernel covers fixed mode only,
+    # so a forced pallas + eps request raises instead of silently
+    # measuring the XLA path
+    with pytest.raises(ValueError, match="fixed"):
+        solve_stagewise(
+            data, X0, iterations=40, engine="pallas", mode="eps",
+            eps_g=1e-3, eps_V=1e-3,
+        )
+    # auto still serves eps (XLA path)
     res = solve_stagewise(
-        data, X0, iterations=40, engine="pallas", mode="eps",
-        eps_g=1e-3, eps_V=1e-3,
+        data, X0, iterations=40, mode="eps", eps_g=1e-3, eps_V=1e-3,
     )
     assert bool(np.all(np.asarray(res.converged)))
 

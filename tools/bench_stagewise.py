@@ -190,6 +190,8 @@ def _one_shape(out, args, n, N, batch):
             rounds=args.rounds,
             k_large=10,
         )
+        if ab_kern["rounds"] == 0:  # fully gated out: null fields, no NaN
+            ab_kern = None
     row = {
         "n_cells": n,
         "N": N,
@@ -229,6 +231,7 @@ def _one_shape(out, args, n, N, batch):
             ab_kern["ratio_b_over_a_iqr"] if ab_kern else None),
         "kernel_rejected_rounds": (
             ab_kern["rejected_rounds"] if ab_kern else None),
+        "kernel_unstable": (ab_kern["unstable"] if ab_kern else None),
         "condensed_engine": resolve_engine(data_c, cfg),
         "condensed_form": resolve_form(data_c, cfg),
         "condensed_operand_mb": operand_mb,

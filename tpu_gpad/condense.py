@@ -242,6 +242,10 @@ def condense(
         m_stage += 2 * int(np.asarray(problem.K_u).shape[0])
     if problem.H_u is not None:
         m_stage += int(np.asarray(problem.H_u).shape[0])
+    if problem.du_min is not None:
+        m_stage += n_u  # slew rows are dense over TWO stages' inputs
+    if problem.du_max is not None:
+        m_stage += n_u
     est_gb = (
         8.0 * N * N
         * (n_x * n_u + n_x * n_x + n_u * n_u + 2 * m_stage * n_u)

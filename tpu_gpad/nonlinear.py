@@ -287,15 +287,16 @@ class NMPC:
 
         return jax.jit(one_pass), jax.jit(jax.vmap(one_pass))
 
-    def _qp_for(self, us: np.ndarray, x: np.ndarray):
-        """Linearize along the rollout of ``us`` from ``x`` and condense."""
+    def _linearized_problem(self, us: np.ndarray, x: np.ndarray):
+        """Linearize along the rollout of ``us`` from ``x`` (the shared
+        front half of every SQP pass: condensed, stage-wise and batch)."""
         xs_next = rollout(self.f, jnp.asarray(x, dtype=jnp.float32),
                           jnp.asarray(us, dtype=jnp.float32))
         xs_lin = jnp.concatenate(
             [jnp.asarray(x, dtype=jnp.float32)[None], xs_next[:-1]], axis=0
         )
         A, B, c = linearize(self.f, xs_lin, jnp.asarray(us, dtype=jnp.float32))
-        problem = LinearMPCProblem(
+        return LinearMPCProblem(
             A=np.asarray(A, dtype=np.float64),
             B=np.asarray(B, dtype=np.float64),
             Q=self.Q,
@@ -306,6 +307,10 @@ class NMPC:
             name=self.name,
             **self.bounds,
         )
+
+    def _qp_for(self, us: np.ndarray, x: np.ndarray):
+        """Linearize along the rollout of ``us`` from ``x`` and condense."""
+        problem = self._linearized_problem(us, x)
         qp = condense(
             problem,
             tracking="preview" if self.preview else True,
@@ -389,28 +394,7 @@ class NMPC:
                 else x_ref
             )
             for _ in range(self.sqp_iters):
-                xs_next = rollout(
-                    self.f, jnp.asarray(x, dtype=jnp.float32),
-                    jnp.asarray(us, dtype=jnp.float32),
-                )
-                xs_lin = jnp.concatenate(
-                    [jnp.asarray(x, dtype=jnp.float32)[None], xs_next[:-1]],
-                    axis=0,
-                )
-                A, B, c = linearize(
-                    self.f, xs_lin, jnp.asarray(us, dtype=jnp.float32)
-                )
-                problem = LinearMPCProblem(
-                    A=np.asarray(A, dtype=np.float64),
-                    B=np.asarray(B, dtype=np.float64),
-                    Q=self.Q,
-                    R=self.R,
-                    horizon=self.horizon,
-                    Q_terminal=self.Q_terminal,
-                    c=np.asarray(c, dtype=np.float64),
-                    name=self.name,
-                    **self.bounds,
-                )
+                problem = self._linearized_problem(us, x)
                 data = build_stagewise(
                     problem, iterations=self.config.iterations,
                     x_ref=ref_bake,
@@ -472,6 +456,14 @@ class NMPC:
         from the single-plant ``plan``; batch-size changes reset it."""
         from tpu_gpad.solver.multi import solve_multi, stack_data
 
+        if self.engine == "stagewise":
+            raise ValueError(
+                "plan_batch is condensation-path only (it stacks B "
+                "condensed QPs into one vmapped solve); with "
+                "engine='stagewise' call plan() per scenario, or batch "
+                "initial states of a SHARED linearization via "
+                "solve_stagewise directly"
+            )
         X = np.atleast_2d(np.asarray(X, dtype=np.float32))
         B = X.shape[0]
         ref_width = self.horizon * self.n_x if self.preview else self.n_x

@@ -334,9 +334,9 @@ def stagewise_compatible(problem: LinearMPCProblem) -> tuple:
     """(ok, reason): can ``build_stagewise`` represent this problem?
 
     The stage-wise oracle needs stage-separable data: rate limits couple
-    adjacent stages and affine offsets change the rollout, so those are
-    condensation-path features (the checks mirror ``build_stagewise``'s
-    own loud rejections)."""
+    adjacent stages, so they are a condensation-path feature (the checks
+    mirror ``build_stagewise``'s own loud rejections). Affine dynamics
+    offsets ARE supported (precomputed dtl/qoff constants)."""
     if problem.du_min is not None or problem.du_max is not None:
         return False, "rate limits couple adjacent stages"
     has_rows = any(
@@ -970,6 +970,10 @@ def solve_stagewise(
     # VMEM per batch tile, scenario-minor layout. Auto takes it on TPU for
     # fixed-mode cold starts whenever it fits; forcing engine="pallas"
     # runs interpret mode off-TPU (slow, for tests).
+    if engine == "pallas" and mode != "fixed":
+        raise ValueError(
+            "stagewise kernel covers mode='fixed' only (v1); eps mode "
+            "rides the XLA stage-wise path (engine='xla'/'auto')")
     if engine in ("auto", "pallas") and mode == "fixed":
         from tpu_gpad.stagewise_kernel import (
             solve_stagewise_pallas,
@@ -1016,12 +1020,17 @@ def solve_stagewise(
 
     if scan == "auto":
         # chip-measured executor rule (STAGEWISE.json round-4 ladder):
-        # with small per-stage matrices the parallel-prefix sweeps beat
-        # the latency-bound sequential scans at every benched (N, B)
-        # (1.03-12.5x); at n_x + n_u = 60 (battery n30) the log-depth
-        # combine's O(log N) extra matmul work loses (0.40-0.68x)
+        # with small per-stage matrices (n_x + n_u <= 24) the parallel-
+        # prefix sweeps beat the latency-bound sequential scans at small
+        # batch (2.0-3.3x at B <= 256) but sit slightly BEHIND them once
+        # the batch amortizes the scan (0.84-0.94x at B >= 1024); at
+        # n_x + n_u = 60 (battery n30) the log-depth combine's O(log N)
+        # extra matmul work loses at every batch (0.40-0.68x). Boundary
+        # taken between the measured B=256 and B=1024 rows.
         scan = (
-            "associative" if data.n_x + data.n_u <= 24 else "sequential"
+            "associative"
+            if (data.n_x + data.n_u <= 24 and xb.shape[0] < 1024)
+            else "sequential"
         )
 
     if mode == "eps":
