@@ -61,3 +61,27 @@ def test_aot_eps_mode():
     np.testing.assert_array_equal(
         np.asarray(out["iterations"]), np.asarray(ref.iterations)
     )
+
+
+def test_aot_stagewise_export_roundtrip(tmp_path):
+    """The long-horizon deployable: a StagewiseData artifact serves any
+    batch via the XLA stage-wise executor after reload (symbolic batch),
+    matching the live engine."""
+    from tpu_gpad.aot import export_stagewise_solver
+    from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+
+    prob = problems.battery(n_cells=3, horizon=12)
+    data = build_stagewise(prob, iterations=120)
+    cfg = SolverConfig(iterations=120)
+    path = tmp_path / "stagewise.bin"
+    export_stagewise_solver(data, cfg, path=path)
+    solve = load_solver(path)
+    rng = np.random.default_rng(1)
+    for B in (1, 5):
+        X0 = rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32)
+        out = solve(X0)
+        ref = solve_stagewise(data, X0, config=cfg, engine="xla")
+        np.testing.assert_allclose(
+            np.asarray(out["u"]), np.asarray(ref.u), atol=2e-6
+        )
+    assert out["y"].shape == (5, 12, data.m_x + data.m_u)

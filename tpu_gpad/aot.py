@@ -92,3 +92,52 @@ def load_solver(src: bytes | str | Path):
         return exported.call(jnp.asarray(x0, dtype=jnp.float32))
 
     return solve
+
+
+def export_stagewise_solver(
+    data,
+    config: SolverConfig = SolverConfig(),
+    batch_size: int | None = None,
+    path: str | Path | None = None,
+) -> bytes:
+    """:func:`export_solver` for the STAGE-WISE engine: one deployable
+    long-horizon controller artifact with the O(N) Riccati constants
+    baked in (``StagewiseData`` from ``build_stagewise``).
+
+    Same two batch conventions: symbolic batch pins the XLA stage-wise
+    executor (the fused kernel's grid and the measured routing rules
+    need a concrete B); a concrete ``batch_size`` resolves routing
+    exactly as a live ``solve_stagewise`` would."""
+    from jax import export as jexport
+
+    from tpu_gpad.stagewise import solve_stagewise
+
+    engine, scan = "auto", "auto"
+    if batch_size is None:
+        # symbolic batch: no branch on B is possible, so pin the XLA
+        # executor with sequential sweeps (the batch-dependent kernel
+        # and associative routing rules need a concrete B)
+        engine, scan = "xla", "sequential"
+        (b,) = jexport.symbolic_shape("b")
+        x_spec = jax.ShapeDtypeStruct((b, data.n_x), jnp.float32)
+    else:
+        x_spec = jax.ShapeDtypeStruct((batch_size, data.n_x), jnp.float32)
+
+    def fn(x0):
+        res = solve_stagewise(
+            data, x0, config=config, engine=engine, scan=scan)
+        return {
+            "u": res.u,
+            "z": res.z,
+            "y": res.y,
+            "iterations": res.iterations,
+            "residual": res.residual,
+            "gap": res.gap,
+            "converged": res.converged,
+        }
+
+    exported = jexport.export(jax.jit(fn))(x_spec)
+    blob = exported.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
