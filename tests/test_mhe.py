@@ -8,6 +8,8 @@ squares). Then the constrained cases do what the filter cannot.
 """
 
 import numpy as np
+
+from conftest import backend_tol
 import pytest
 
 from tpu_gpad.estimator import kalman_gain

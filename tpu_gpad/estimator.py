@@ -316,10 +316,22 @@ class ExtendedKalmanFilter:
 
         self.f, self.h = f, h
         self.n_x, self.n_y = n_x, n_y
-        self._f_and_jac = jax.jit(
-            lambda x, u: (f(x, u), jax.jacfwd(f, argnums=0)(x, u))
-        )
-        self._h_and_jac = jax.jit(lambda x: (h(x), jax.jacfwd(h)(x)))
+
+        # fp32-HIGHEST matmul context: on TPU the DEFAULT precision
+        # lowers the user's f/h matmuls (and their jacfwd duals) to
+        # 1-pass bf16 — the ~1e-2 Jacobian error then corrupts the
+        # float64 covariance recursion this filter feeds (the same rule
+        # as the device condenser's forced precision, DESIGN.md 9)
+        def _fj(x, u):
+            with jax.default_matmul_precision("highest"):
+                return f(x, u), jax.jacfwd(f, argnums=0)(x, u)
+
+        def _hj(x):
+            with jax.default_matmul_precision("highest"):
+                return h(x), jax.jacfwd(h)(x)
+
+        self._f_and_jac = jax.jit(_fj)
+        self._h_and_jac = jax.jit(_hj)
         self.W = (
             np.eye(n_x) * 1e-3 if W is None else np.asarray(W, dtype=np.float64)
         )

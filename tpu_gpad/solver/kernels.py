@@ -1941,6 +1941,16 @@ def gpad_pallas_fixed_flat_tiled(
     B_p = _round_up(B, B_t)
     R_A = S_hf // T
     R_B = S_s // T
+    if not interpret and T % LANE != 0 and R_A > 1:
+        # Mosaic lane-block rule: a streamed MGf column chunk must be a
+        # 128-multiple (or the full width). Small tiles exist to exercise
+        # the multi-chunk grid in interpret mode; on hardware they fail
+        # to lower (chip-verified), so refuse them loudly here.
+        raise ValueError(
+            f"tile={T} is interpret-only: on hardware the streamed chunk "
+            f"width must be a multiple of {LANE} (or cover the full "
+            f"padded dual height {S_hf})"
+        )
     mm_dtype = jnp.dtype(matmul_dtype)
 
     def to_flat(x2):  # (B, m_h) -> (S_hf, B_p) in flat padded layout
