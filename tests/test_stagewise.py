@@ -406,6 +406,99 @@ def test_auto_solver_routes_by_operand_size():
     assert condensed_operand_mb(prob_small) > 0
 
 
+def test_auto_routing_table_pins_measured_crossover():
+    """The STAGEWISE.json chip crossover, encoded: every measured row
+    routes to its measured-fastest engine (VERDICT r04 item 1)."""
+    from tpu_gpad.stagewise import stagewise_preferred
+
+    # (n_cells, N, batch, expected) for all 9 measured rows
+    table = [
+        (8, 10, 1024, False),   # condensed 5.4x
+        (8, 60, 256, False),    # condensed 2.3x
+        (8, 120, 256, False),   # condensed 1.35x
+        (8, 240, 128, True),    # stage-wise 1.41x
+        (30, 200, 64, True),    # stage-wise 1.9x (also past the backstop)
+        (8, 60, 4096, True),    # stage-wise 1.09x (kernel-carried)
+        (8, 120, 4096, True),   # stage-wise 1.18x (kernel-carried)
+        (8, 240, 4096, True),   # stage-wise 1.30x
+        (30, 200, 1024, True),  # stage-wise 3.2x
+    ]
+    for n, N, B, expect in table:
+        prob = problems.battery(n, N)
+        got, reason = stagewise_preferred(prob, batch_hint=B)
+        assert got == expect, (n, N, B, reason)
+    # batch-agnostic calls keep condensed below the any-batch crossover
+    assert not stagewise_preferred(problems.battery(8, 120))[0]
+    assert stagewise_preferred(problems.battery(8, 240))[0]
+
+
+def test_auto_solver_batch_hint_and_x_ref():
+    """batch_hint enables the large-batch branch; x_ref (a stage-wise-only
+    build option) forces the stage-wise route instead of a TypeError on
+    the condensed branch (r04 advisor finding)."""
+    from tpu_gpad.stagewise import auto_solver
+
+    prob = problems.battery(3, 8)
+    _, _, kind = auto_solver(prob, iterations=50)
+    assert kind == "condensed"
+    # x_ref on a condensed-routed problem: feature-routes stage-wise
+    fn, data, kind = auto_solver(
+        prob, iterations=50, x_ref=np.zeros(prob.n_x)
+    )
+    assert kind == "stagewise"
+    X0 = np.zeros((2, prob.n_x), dtype=np.float32)
+    fn(X0)  # solves without error
+    # large-batch branch at the measured kernel-win region
+    _, _, kind = auto_solver(
+        problems.battery(3, 60), iterations=50, batch_hint=4096
+    )
+    assert kind == "stagewise"
+    _, _, kind = auto_solver(
+        problems.battery(3, 60), iterations=50, batch_hint=256
+    )
+    assert kind == "condensed"
+
+
+def test_stagewise_controller_batch_shape_change_resets_warm_start():
+    """A stored (B1, N, m) dual neither crashes nor silently broadcasts
+    onto a different batch (r04 advisor finding): the controller drops
+    the warm start on a batch-shape change."""
+    from tpu_gpad.stagewise import StagewiseController
+
+    ctrl = StagewiseController(problems.battery(3, 6), iterations=40)
+    rng = np.random.default_rng(3)
+    u1 = ctrl.step(rng.uniform(-0.3, 0.3, size=(4, 3)).astype(np.float32))
+    assert u1.shape == (4, 3)
+    assert ctrl._y is not None and ctrl._y.shape[0] == 4
+    # shrink, grow, and single-state calls all work
+    u2 = ctrl.step(rng.uniform(-0.3, 0.3, size=(2, 3)).astype(np.float32))
+    assert u2.shape == (2, 3) and ctrl._y.shape[0] == 2
+    u3 = ctrl.step(rng.uniform(-0.3, 0.3, size=(8, 3)).astype(np.float32))
+    assert u3.shape == (8, 3) and ctrl._y.shape[0] == 8
+    u4 = ctrl.step(rng.uniform(-0.3, 0.3, size=3).astype(np.float32))
+    assert u4.shape == (3,)
+
+
+def test_solve_stagewise_jit_matches_unjitted():
+    from tpu_gpad.stagewise import solve_stagewise_jit
+    from tpu_gpad.solver import SolverConfig
+
+    prob = problems.battery(3, 6)
+    data = build_stagewise(prob, iterations=50)
+    rng = np.random.default_rng(5)
+    X0 = rng.uniform(-0.3, 0.3, size=(4, 3)).astype(np.float32)
+    cfg = SolverConfig(iterations=50)
+    ref = solve_stagewise(data, X0, config=cfg)
+    res = solve_stagewise_jit(data, X0, config=cfg)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u),
+                               atol=1e-6)
+    # warm-started entry agrees with the functional path too
+    ref_w = solve_stagewise(data, X0, y0=ref.y, config=cfg)
+    res_w = solve_stagewise_jit(data, X0, y0=ref.y, config=cfg)
+    np.testing.assert_allclose(np.asarray(res_w.u), np.asarray(ref_w.u),
+                               atol=1e-6)
+
+
 def test_cli_stagewise_engine(capsys):
     import json as _json
 

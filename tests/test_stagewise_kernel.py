@@ -127,9 +127,10 @@ def test_kernel_under_shard_map_dp():
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device (virtual CPU) mesh")
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     from tpu_gpad.parallel import make_mesh
+
+    shard_map = jax.shard_map
 
     data = build_stagewise(problems.battery(3, 6), iterations=50)
     rng = np.random.default_rng(9)
@@ -144,7 +145,7 @@ def test_kernel_under_shard_map_dp():
 
     u, resid = shard_map(
         shard_fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )(X0)
     np.testing.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-6)
     np.testing.assert_allclose(

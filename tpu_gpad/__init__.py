@@ -52,7 +52,9 @@ from tpu_gpad.stagewise import (
     StagewiseController,
     build_stagewise,
     solve_stagewise,
+    solve_stagewise_jit,
     stagewise_compatible,
+    stagewise_preferred,
 )
 from tpu_gpad.estimator import (
     ExtendedKalmanFilter,
@@ -104,7 +106,9 @@ __all__ = [
     "StagewiseController",
     "build_stagewise",
     "solve_stagewise",
+    "solve_stagewise_jit",
     "stagewise_compatible",
+    "stagewise_preferred",
     "OffsetFreeController",
     "TargetCalculator",
     "kalman_gain",

@@ -156,8 +156,14 @@ def cmd_solve(args) -> int:
             "u_star": np.asarray(res.u[0]).tolist(),
         }
         if args.time:
-            t = device_time_per_call(
-                lambda: solve_stagewise(data, X0j, config=config).u)
+            import jax as _jax
+
+            # time a JITTED wrapper with X0 as an argument: the un-jitted
+            # path re-traces the 2N-step scan per call (~7x understated,
+            # DESIGN.md §11 post-mortem)
+            jsolve = _jax.jit(
+                lambda X: solve_stagewise(data, X, config=config).u)
+            t = device_time_per_call(lambda: jsolve(X0j))
             out["batch_device_us"] = t * 1e6
             out["device_us_per_solve"] = t * 1e6 / X0.shape[0]
             out["solves_per_sec"] = X0.shape[0] / t

@@ -385,7 +385,7 @@ class NMPC:
                 self._u_prev = us[0]
             return us
         if self.engine == "stagewise":
-            from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+            from tpu_gpad.stagewise import build_stagewise, solve_stagewise_jit
 
             res = None
             ref_bake = (
@@ -400,7 +400,11 @@ class NMPC:
                     x_ref=ref_bake,
                 )
                 y0 = self._y if self.warm_start else None
-                res = solve_stagewise(
+                # jit-cached entry: SQP re-linearizes (new data every
+                # iteration) but shapes are constant, so one trace serves
+                # the whole closed loop (un-jitted solve_stagewise would
+                # re-trace the 2N-step scan per call — DESIGN.md §11)
+                res = solve_stagewise_jit(
                     data, jnp.asarray(x[None], dtype=jnp.float32),
                     y0=y0, config=self.config,
                 )

@@ -54,6 +54,7 @@ condensation-path features; ``build_stagewise`` rejects them loudly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -482,38 +483,108 @@ def build_stagewise(
     )
 
 
-# Provisional device-operand threshold above which the stage-wise engine
-# is preferred by auto_solver; the measured chip crossover (STAGEWISE.json,
-# DESIGN.md section 11) refines this.
+# Hard memory backstop above which auto_solver always prefers the
+# stage-wise engine (projected condensed MVP operand MB); the THROUGHPUT
+# crossover below it is chip-measured (STAGEWISE.json, DESIGN.md §11) and
+# encoded in `stagewise_preferred`.
 AUTO_STAGEWISE_ABOVE_MB = 256.0
+
+# Chip-measured throughput crossover (STAGEWISE.json, 9-row gated ladder,
+# battery-class plants): stage-wise beats condensed at every measured
+# batch from N=240 (1.30-1.41x at n8; 1.9-3.2x at n30 N200) while losing
+# at N=120 small batch (0.74x at B=256); boundary taken at the geometric
+# midpoint of the measured 120-loss / 240-win rows.
+AUTO_STAGEWISE_HORIZON = 170
+# Large-batch branch: the N=60/120 B=4096 stage-wise wins (1.09x/1.18x)
+# are carried by the fused kernel, whose eligibility rule is B >= 24N
+# (DESIGN.md §11b) — the routing reuses that boundary; below N=60 the
+# kernel no longer saves it (N=10 B=1024: 0.18x).
+AUTO_STAGEWISE_MIN_HORIZON_BATCHED = 60
+
+
+def stagewise_preferred(
+    problem: LinearMPCProblem,
+    batch_hint: Optional[int] = None,
+    threshold_mb: Optional[float] = None,
+) -> tuple:
+    """(prefer, reason): should auto routing take the stage-wise engine?
+
+    Encodes the chip-measured STAGEWISE.json throughput crossover, not
+    just feasibility: stage-wise when (a) the projected condensed MVP
+    operands exceed the ``threshold_mb`` memory backstop (default
+    ``AUTO_STAGEWISE_ABOVE_MB``), (b) the horizon is past the any-batch
+    crossover (``AUTO_STAGEWISE_HORIZON``), or (c) the batch is known
+    (``batch_hint``) and large enough for the fused stage-wise kernel's
+    measured win region (``B >= 24 N`` at ``N >= 60``). Problems the
+    stage-wise engine cannot represent never prefer it."""
+    ok, reason = stagewise_compatible(problem)
+    if not ok:
+        return False, reason
+    lim = AUTO_STAGEWISE_ABOVE_MB if threshold_mb is None else threshold_mb
+    mb = condensed_operand_mb(problem)
+    if mb > lim:
+        return True, f"projected condensed operands {mb:.1f} MB > {lim:g} MB"
+    N = problem.horizon
+    if N >= AUTO_STAGEWISE_HORIZON:
+        return True, (
+            f"horizon {N} >= {AUTO_STAGEWISE_HORIZON} (measured any-batch "
+            "crossover, STAGEWISE.json)")
+    if (
+        batch_hint is not None
+        and N >= AUTO_STAGEWISE_MIN_HORIZON_BATCHED
+        and batch_hint >= 24 * N
+    ):
+        return True, (
+            f"batch {batch_hint} >= 24*N at N={N} (measured kernel-carried "
+            "large-batch win, STAGEWISE.json)")
+    return False, "condensed wins at this (N, batch) per STAGEWISE.json"
 
 
 def auto_solver(
     problem: LinearMPCProblem,
     iterations: int = 100,
     threshold_mb: Optional[float] = None,
+    batch_hint: Optional[int] = None,
     **build_kw,
 ):
-    """Problem-level engine routing: condensed for short horizons,
-    stage-wise where condensation's O(N^2) operands dominate.
+    """Problem-level engine routing to the measured-FASTEST engine.
 
     Returns ``(solve_fn, data, kind)`` with ``kind`` in
     {"condensed", "stagewise"} and ``solve_fn(x0, config=None, **kw)``
     having the ``solve_batch``/``solve_stagewise`` calling convention
-    (both accept a ``SolverConfig``). The rule: stage-wise when the
-    projected condensed MVP operands exceed ``threshold_mb`` (default
-    ``AUTO_STAGEWISE_ABOVE_MB``) AND the problem is stage-wise
-    compatible; condensation-path-only features (rate limits, affine
-    offsets) always condense. This closes the routing gap the condensed
-    ``SolverConfig(engine="auto")`` cannot see (it routes AFTER
-    condensation already happened)."""
+    (both accept a ``SolverConfig``). Routing is ``stagewise_preferred``:
+    the chip-measured STAGEWISE.json throughput crossover (stage-wise at
+    N >= 170 any batch, or N >= 60 with ``batch_hint >= 24 N``), with
+    ``threshold_mb`` (default ``AUTO_STAGEWISE_ABOVE_MB``) as the hard
+    memory backstop; condensation-path-only features (rate limits)
+    always condense, and stage-wise-only build options (``x_ref``) force
+    the stage-wise route. Pass ``batch_hint`` (the expected solve batch
+    size) to enable the large-batch branch — without it routing is
+    batch-agnostic and keeps the condensed engine below N=170. This
+    closes the routing gap the condensed ``SolverConfig(engine="auto")``
+    cannot see (it routes AFTER condensation already happened).
+
+    Reference anchor: the condensation decision itself (``gpad.m:50-63``)
+    — the reference has one formulation; this framework has both and
+    chooses by measurement."""
     # NOTE: the package __init__ shadows the submodule name with the
     # function, so import the functions, not the module
     from tpu_gpad.condense import condense as _condense, dualize as _dualize
 
-    lim = AUTO_STAGEWISE_ABOVE_MB if threshold_mb is None else threshold_mb
-    ok, _reason = stagewise_compatible(problem)
-    if ok and condensed_operand_mb(problem) > lim:
+    prefer, _reason = stagewise_preferred(
+        problem, batch_hint=batch_hint, threshold_mb=threshold_mb
+    )
+    if "x_ref" in build_kw and not prefer:
+        # a baked tracking reference is a stage-wise-only build option
+        # (condense() has no x_ref); route by feature, loudly failing only
+        # where the engine truly cannot take the problem
+        ok, reason = stagewise_compatible(problem)
+        if not ok:
+            raise ValueError(
+                f"x_ref is a stage-wise build option but this problem "
+                f"cannot route stage-wise: {reason}")
+        prefer = True
+    if prefer:
         data = build_stagewise(problem, iterations=iterations, **build_kw)
 
         def solve_fn(x0, config=None, **kw):
@@ -1056,6 +1127,38 @@ def solve_stagewise(
     )
 
 
+# Module-level jitted solve entries for stateful serving (controller /
+# SQP): an UN-jitted solve_stagewise re-traces the 2N-step scan on every
+# call — the exact ~7x measurement trap DESIGN.md §11's post-mortem
+# records (1.5k vs 10.9k solves/s at n8 N240 B4096). `data` rides as a
+# pytree ARGUMENT (constant shapes -> one trace), `config` is static
+# (hashable frozen dataclass, same pattern as core.solve_batch).
+@functools.partial(jax.jit, static_argnames=("config",))
+def _jit_solve_cold(data: StagewiseData, x0: jax.Array, config):
+    return solve_stagewise(data, x0, config=config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _jit_solve_warm(data: StagewiseData, x0: jax.Array, y0: jax.Array,
+                    config):
+    return solve_stagewise(data, x0, y0=y0, config=config)
+
+
+def solve_stagewise_jit(data, x0, y0=None, config=None):
+    """Jit-cached ``solve_stagewise`` for repeated same-shape calls.
+
+    The serving entry: one trace per (shapes, config), then pure device
+    execution. ``config`` must be a ``SolverConfig`` (or None for the
+    defaults); per-call kwargs beyond ``y0`` want the functional
+    ``solve_stagewise`` under your own ``jax.jit``."""
+    from tpu_gpad.solver import SolverConfig
+
+    config = config or SolverConfig()
+    if y0 is None:
+        return _jit_solve_cold(data, x0, config)
+    return _jit_solve_warm(data, x0, y0, config)
+
+
 class StagewiseController:
     """Stateful long-horizon MPC controller on the stage-wise engine:
     build once, then ``step(x) -> u`` with dual warm starts.
@@ -1106,7 +1209,15 @@ class StagewiseController:
         single = x.ndim == 1
         xb = x[None, :] if single else x
         y0 = self._y if self.warm_start else None
-        res = solve_stagewise(
+        if y0 is not None and y0.shape[: xb.ndim - 1] != xb.shape[:-1]:
+            # batch shape changed between steps: the stored dual neither
+            # broadcasts (larger -> smaller) nor should it (a (1, N, m)
+            # dual silently warm-starting ALL plants of a larger batch
+            # from plant 0's dual) — drop it, same documented behavior as
+            # closed_loop.Controller
+            y0 = None
+            self._y = None
+        res = solve_stagewise_jit(
             self.data, jnp.asarray(xb), y0=y0, config=self.config
         )
         if self.warm_start:
