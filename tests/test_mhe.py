@@ -168,6 +168,80 @@ def test_batched_windows_match_streaming():
         )
 
 
+def test_stagewise_engine_matches_condensed():
+    """engine='stagewise' solves the SAME MAP problem through the O(T)
+    stage-wise engine (pre-stage change of variables + runtime q_lin/c)
+    and must agree with the condensed window solve (VERDICT r04 item 2)."""
+    kw = dict(
+        W=W, V=V, w_min=np.full(2, -0.05), w_max=np.full(2, 0.05),
+        x0=np.zeros(2), iterations=600,
+    )
+    est_c = MovingHorizonEstimator(A, B, C, window=6, engine="condensed",
+                                   **kw)
+    est_s = MovingHorizonEstimator(A, B, C, window=6, engine="stagewise",
+                                   **kw)
+    assert est_s.engine == "stagewise"
+    xbars, Ys, Us = [], [], []
+    for seed in (0, 5, 9):
+        _, ys, us = _simulate(6, seed=seed)
+        xbars.append(np.random.default_rng(seed).normal(0, 0.1, 2))
+        Ys.append(ys)
+        Us.append(us[:5])
+    xc, rc = est_c.solve_window(np.stack(xbars), np.stack(Ys), np.stack(Us))
+    xs_, rs = est_s.solve_window(np.stack(xbars), np.stack(Ys), np.stack(Us))
+    np.testing.assert_allclose(
+        np.asarray(xs_), np.asarray(xc), atol=backend_tol(5e-4, 2e-3)
+    )
+    # streaming interface rides the same engine (incl. warm starts)
+    _, ys, us = _simulate(16, seed=3)
+    est_c2 = MovingHorizonEstimator(A, B, C, window=6, engine="condensed",
+                                    **kw)
+    est_s2 = MovingHorizonEstimator(A, B, C, window=6, engine="stagewise",
+                                    **kw)
+    for k in range(len(ys)):
+        xh_c = est_c2.update(ys[k], us[k - 1] if k > 0 else None)
+        xh_s = est_s2.update(ys[k], us[k - 1] if k > 0 else None)
+        np.testing.assert_allclose(
+            xh_s, xh_c, atol=backend_tol(1e-3, 5e-3)
+        )
+
+
+def test_stagewise_long_window_kalman_equivalence():
+    """A T=60 window (condensation-hostile: the condensed MHE QP would be
+    (120, 120) operands with 1440 rows here, and O(T^2) beyond) solved
+    stage-wise with inactive bounds == steady-state KF."""
+    T = 60
+    xs, ys, us = _simulate(T, seed=1)
+    kf = _ss_kf(ys, us, x0=np.zeros(2))
+    est = MovingHorizonEstimator(
+        A, B, C, window=T, W=W, V=V,
+        w_min=np.full(2, -1e3), w_max=np.full(2, 1e3),
+        x0=np.zeros(2), iterations=1500, engine="stagewise",
+    )
+    x_hat, res = est.solve_window(
+        np.zeros((1, 2)), ys[None], us[:-1][None]
+    )
+    assert np.all(np.asarray(res.residual) < 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(x_hat)[0], kf[-1], atol=backend_tol(2e-3, 5e-3)
+    )
+
+
+def test_mhe_auto_routes_long_windows_stagewise():
+    from tpu_gpad.stagewise import AUTO_STAGEWISE_HORIZON
+
+    est = MovingHorizonEstimator(
+        A, B, C, window=AUTO_STAGEWISE_HORIZON, W=W, V=V,
+        w_min=np.full(2, -1.0), w_max=np.full(2, 1.0), iterations=10,
+    )
+    assert est.engine == "stagewise"
+    est2 = MovingHorizonEstimator(
+        A, B, C, window=5, W=W, V=V,
+        w_min=np.full(2, -1.0), w_max=np.full(2, 1.0), iterations=10,
+    )
+    assert est2.engine == "condensed"
+
+
 def test_validation():
     with pytest.raises(ValueError, match="Kalman"):
         mhe_qp(A, B, C, 5, np.eye(2), W, V)

@@ -499,6 +499,72 @@ def test_solve_stagewise_jit_matches_unjitted():
                                atol=1e-6)
 
 
+def test_runtime_q_lin_matches_baked_x_ref():
+    """solve_stagewise(q_lin=-Q r) == build_stagewise(x_ref=r): the
+    runtime linear-cost parameter reproduces the build-time baked
+    reference exactly (same algebra, device-side)."""
+    import jax.numpy as jnp
+
+    prob = problems.battery(3, 7)
+    rng = np.random.default_rng(8)
+    ref = rng.uniform(-0.2, 0.2, size=(7, 3))
+    baked = build_stagewise(prob, iterations=60, x_ref=ref)
+    plain = build_stagewise(prob, iterations=60)
+    X0 = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    q_lin = -np.einsum("ij,kj->ki", np.asarray(prob.Q, float), ref)
+    res_b = solve_stagewise(baked, X0)
+    res_q = solve_stagewise(plain, X0, q_lin=jnp.asarray(q_lin, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(res_q.u), np.asarray(res_b.u), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_q.y), np.asarray(res_b.y), atol=5e-6)
+    # per-example q_lin: scenario 0 tracks ref, scenario 1 tracks zero
+    qb = np.stack([q_lin, np.zeros_like(q_lin)]).astype(np.float32)
+    res_mix = solve_stagewise(plain, X0[:2], q_lin=jnp.asarray(qb))
+    res_z = solve_stagewise(plain, X0[1:2])
+    np.testing.assert_allclose(
+        np.asarray(res_mix.u[0]), np.asarray(res_b.u[0]), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_mix.u[1]), np.asarray(res_z.u[0]), atol=2e-6)
+
+
+def test_runtime_c_matches_baked_affine():
+    """solve_stagewise(c=...) == build_stagewise on a problem with the
+    same build-time affine offsets, in both fixed and eps modes."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    prob = problems.battery(3, 7)
+    rng = np.random.default_rng(9)
+    cs = rng.uniform(-0.02, 0.02, size=(7, 3))
+    prob_c = _dc.replace(prob, c=cs)
+    baked = build_stagewise(prob_c, iterations=60)
+    plain = build_stagewise(prob, iterations=60)
+    X0 = rng.uniform(-0.3, 0.3, size=(4, 3)).astype(np.float32)
+    res_b = solve_stagewise(baked, X0)
+    res_c = solve_stagewise(plain, X0, c=jnp.asarray(cs, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(res_c.u), np.asarray(res_b.u), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_c.z), np.asarray(res_b.z), atol=2e-6)
+    # eps mode rides the same per-solve constants (incl. _rollout's c)
+    res_be = solve_stagewise(baked, X0, mode="eps", eps_g=1e-5,
+                             eps_V=1e-5, iterations=60)
+    res_ce = solve_stagewise(plain, X0, mode="eps", eps_g=1e-5,
+                             eps_V=1e-5, iterations=60,
+                             c=jnp.asarray(cs, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(res_ce.u), np.asarray(res_be.u), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_ce.iterations), np.asarray(res_be.iterations))
+    # associative executor sees the same effective constants
+    res_ca = solve_stagewise(plain, X0, scan="associative",
+                             c=jnp.asarray(cs, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(res_ca.u), np.asarray(res_b.u), atol=5e-6)
+
+
 def test_cli_stagewise_engine(capsys):
     import json as _json
 

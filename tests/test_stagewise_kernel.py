@@ -59,12 +59,31 @@ def test_batch_shape_and_metadata():
     assert bool(np.all(np.asarray(res.converged)))
 
 
-def test_kernel_declines_warm_start_and_eps():
+def test_kernel_warm_start_matches_xla():
+    """v2: a warm dual start rides the kernel and reproduces the XLA
+    warm-started path exactly (same init semantics: y_prev = y0)."""
+    data = build_stagewise(problems.battery(3, 6), iterations=40)
+    rng = np.random.default_rng(7)
+    X0 = jnp.asarray(rng.uniform(-0.3, 0.3, size=(3, 3)).astype(np.float32))
+    # a realistic warm start: the dual of a nearby solve
+    warm = solve_stagewise(data, X0 * 0.9, iterations=40, engine="xla")
+    ref = solve_stagewise(data, X0, iterations=40, engine="xla", y0=warm.y)
+    res = solve_stagewise(data, X0, iterations=40, engine="pallas",
+                          y0=warm.y)
+    np.testing.assert_allclose(res.u, ref.u, atol=2e-6)
+    np.testing.assert_allclose(res.y, ref.y, atol=5e-6)
+    np.testing.assert_allclose(res.residual, ref.residual, atol=2e-6)
+    # warm + restart compose
+    ref_r = solve_stagewise(data, X0, iterations=40, engine="xla",
+                            y0=warm.y, restart=True)
+    res_r = solve_stagewise(data, X0, iterations=40, engine="pallas",
+                            y0=warm.y, restart=True)
+    np.testing.assert_allclose(res_r.u, ref_r.u, atol=2e-6)
+
+
+def test_kernel_declines_eps():
     data = build_stagewise(problems.battery(3, 6), iterations=40)
     X0 = jnp.zeros((2, 3), dtype=jnp.float32)
-    y0 = jnp.zeros((2, 6, data.m_x + data.m_u), dtype=jnp.float32)
-    with pytest.raises(ValueError, match="cold-start only"):
-        solve_stagewise(data, X0, iterations=40, engine="pallas", y0=y0)
     # forced engines work or raise: the kernel covers fixed mode only,
     # so a forced pallas + eps request raises instead of silently
     # measuring the XLA path

@@ -274,6 +274,201 @@ def make_differentiable_solver(
     return solve_u
 
 
+# ---------------------------------------------------------------------------
+# Stage-wise engine: implicit KKT differentiation WITHOUT condensed operands.
+#
+# Past the condensation wall (the regime the stage-wise engine exists for,
+# DESIGN.md section 11) there is no (S, n_z) MG_T/GL_T to build the masked
+# system from — but the same dual-space KKT algebra only ever needs two
+# linear maps, and the stage-wise LQR oracle IS both of them:
+#
+#   Hd v   = G H^-1 G' v   -> one LQR solve with (qx, ru) = (Gx'vx, Gu'vu)
+#                             from x0 = 0 and zeroed affine constants,
+#                             then the stage-local constraint evaluation
+#   dg/dx0 -> the closed-loop rollout's x0 dependence (an affine map whose
+#             VJP jax.vjp extracts exactly from the same scans)
+#
+# so the backward pass is matrix-free CG against the SAME oracle the
+# forward solve iterates — per CG step one O(N (n+p)^2) sweep instead of a
+# condensed O(N^2 n p) MVP. Reference anchor: the parameter maps being
+# differentiated, ``acceldualgrad.m:20-23``.
+# ---------------------------------------------------------------------------
+
+
+def _sw_zeroed(data):
+    """StagewiseData with its affine constants zeroed: the pure LINEAR
+    maps v -> -H^-1 G' v and x0 -> closed-loop rollout, shared by every
+    helper below (derivatives never see the affine offsets)."""
+    return dataclasses.replace(
+        data,
+        c_seq=jnp.zeros_like(data.c_seq),
+        dtl=jnp.zeros_like(data.dtl),
+        qoff=jnp.zeros_like(data.qoff),
+    )
+
+
+def _sw_gz(d0, xs, us):
+    """Stage-local constraint evaluation G zeta (no -h), packed (N, m)."""
+    gx = jnp.einsum("kn,qn->kq", xs, d0.Gx,
+                    precision=jax.lax.Precision.HIGHEST)
+    gu = jnp.einsum("kp,qp->kq", us, d0.Gu,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([gx, gu], axis=-1)
+
+
+def _sw_apply_GHiG(d0, v):
+    """G H^-1 G' v for one stage-packed dual vector v (N, m_x + m_u)."""
+    from tpu_gpad.stagewise import _lqr_solve
+
+    hi = jax.lax.Precision.HIGHEST
+    mx = d0.m_x
+    qx = jnp.einsum("kq,qn->kn", v[..., :mx], d0.Gx, precision=hi)
+    ru = jnp.einsum("kq,qp->kp", v[..., mx:], d0.Gu, precision=hi)
+    xs, us = _lqr_solve(d0, qx, ru, jnp.zeros((d0.n_x,), d0.hx.dtype))
+    return -_sw_gz(d0, xs, us)  # zeta = -H^-1 G'v, so G zeta = -Hd v
+
+
+def _sw_masked_cg(d0, m_b, ridge, rhs, cg_iters):
+    """Batched matrix-free CG on (M Hd M + (I - M) + ridge M) w = rhs.
+
+    ``m_b``/``rhs`` are (B, N, m_x + m_u); same SPD structure as the
+    condensed ``_solve_masked_system`` CG path, with the matrix applied
+    through the stage-wise LQR oracle (one backward+forward sweep per
+    iteration) instead of a shared (S, S) matmul."""
+
+    def apply_one(v, mb):
+        vm = mb * v
+        return mb * _sw_apply_GHiG(d0, vm) + (1.0 - mb) * v + ridge * vm
+
+    mv = jax.vmap(apply_one)
+    X0 = jnp.zeros_like(rhs)
+    R0 = rhs
+    rs0 = jnp.sum(R0 * R0, axis=(-2, -1), keepdims=True)
+    tol2 = 1e-14 * jnp.maximum(rs0, 1e-30)
+
+    def cond(carry):
+        i, _, _, _, rs = carry
+        return jnp.logical_and(i < cg_iters, jnp.any(rs > tol2))
+
+    def body(carry):
+        i, X, R, P, rs = carry
+        Ap = mv(P, m_b)
+        alpha = rs / (jnp.sum(P * Ap, axis=(-2, -1), keepdims=True) + 1e-30)
+        X = X + alpha * P
+        R = R - alpha * Ap
+        rs_new = jnp.sum(R * R, axis=(-2, -1), keepdims=True)
+        P = R + (rs_new / (rs + 1e-30)) * P
+        return i + 1, X, R, P, rs_new
+
+    _, X, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X0, R0, R0, rs0)
+    )
+    return X
+
+
+def make_differentiable_stagewise_solver(
+    data,
+    config=None,
+    tol: float = 1e-7,
+    ridge: float = 0.0,
+    full_trajectory: bool = False,
+    cg_iters: "int | None" = None,
+):
+    """A x0 -> u*(x0) function differentiable through the STAGE-WISE solve.
+
+    The long-horizon twin of ``make_differentiable_solver``: forward =
+    ``solve_stagewise`` (kernel/assoc/seq auto routing, restart, eps —
+    whatever ``config`` selects), backward = the implicit KKT adjoint in
+    stage-packed dual space, with every operator applied matrix-free
+    through the LQR oracle (module docstring above). Nothing O(N^2) is
+    ever built, so this differentiates at condensation-infeasible shapes
+    (e.g. battery n30 N200, where the condensed operands are ~586 MB).
+
+    ``cg_iters`` caps the adjoint CG (default ``N n_u + 40``: the active
+    set holds at most n_z rows under LICQ, bounding the Krylov dimension).
+    Caveats as the condensed version: gradients assume a CONVERGED solve
+    and a strict active set; ``ridge > 0`` regularizes LICQ-degenerate
+    actives. ``full_trajectory=True`` returns the whole input trajectory
+    z* (B, N n_u) instead of the first move."""
+    from tpu_gpad.solver import SolverConfig
+    from tpu_gpad.stagewise import _lqr_solve, solve_stagewise
+
+    config = config or SolverConfig()
+    d0 = _sw_zeroed(data)
+    hi = jax.lax.Precision.HIGHEST
+    N, n_u, mx = data.horizon, data.n_u, data.m_x
+    n_cg = cg_iters if cg_iters is not None else N * n_u + 40
+
+    @jax.custom_vjp
+    def solve_u(x0):
+        res = solve_stagewise(data, x0, config=config)
+        z = res.z if full_trajectory else res.u
+        return jax.lax.stop_gradient(z)
+
+    def fwd(x0):
+        res = solve_stagewise(
+            data, jax.lax.stop_gradient(x0), config=config)
+        z = res.z if full_trajectory else res.u
+        m_b = (res.y > tol).astype(res.y.dtype)  # (..., N, m) active mask
+        return jax.lax.stop_gradient(z), jax.lax.stop_gradient(m_b)
+
+    def bwd(m_b, z_bar):
+        n_keep = N * n_u if full_trajectory else n_u
+        lead = z_bar.shape[:-1]
+        zb = z_bar.reshape((-1, n_keep))
+        m_b = m_b.reshape((-1,) + m_b.shape[-2:])
+        B = zb.shape[0]
+        ru_bar = jnp.zeros((B, N, n_u), zb.dtype)
+        if full_trajectory:
+            ru_bar = zb.reshape(B, N, n_u)
+        else:
+            ru_bar = ru_bar.at[:, 0].set(zb)
+        with jax.default_matmul_precision("highest"):
+            # t = (dzhat/dw)' zbar = -G H^-1 zbar: one linear LQR solve
+            zero_q = jnp.zeros((N, data.n_x), zb.dtype)
+            zero_x = jnp.zeros((data.n_x,), zb.dtype)
+
+            def tmap(rb):
+                xs, us = _lqr_solve(d0, zero_q, rb, zero_x)
+                return _sw_gz(d0, xs, us)  # G(-H^-1 zbar) directly
+
+            t = jax.vmap(tmap)(ru_bar)
+            w = m_b * _sw_masked_cg(d0, m_b, ridge, m_b * t, n_cg)
+            # cotangent on zeta for the x0-map VJP: the active condition
+            # is g_A = (-Hd y + G zeta_x0 + const)_A = 0, so
+            # dy = +Msys^-1 M G zeta_x0(dx) and the correction enters
+            # POSITIVE: x rows +Gx' w_x, u rows zbar + Gu' w_u
+            cot_x = jnp.einsum("bkq,qn->bkn", w[..., :mx], d0.Gx,
+                               precision=hi)
+            cot_u = ru_bar + jnp.einsum("bkq,qp->bkp", w[..., mx:], d0.Gu,
+                                        precision=hi)
+
+            def x0_vjp(cx, cu):
+                f = lambda x: _lqr_solve(d0, zero_q,
+                                         jnp.zeros((N, n_u), zb.dtype), x)
+                _, vjp = jax.vjp(f, zero_x)  # linear map: point-free
+                (xb,) = vjp((cx, cu))
+                return xb
+
+            x_bar = jax.vmap(x0_vjp)(cot_x, cot_u)
+        return (x_bar.reshape(*lead, data.n_x),)
+
+    solve_u.defvjp(fwd, bwd)
+    return solve_u
+
+
+def stagewise_feedback_gain(data, x0, config=None, tol: float = 1e-7,
+                            ridge: float = 0.0, cg_iters=None):
+    """Local MPC feedback gain du*/dx0 on the stage-wise engine
+    (rows of the implicit VJP via ``jax.jacrev``)."""
+    f = make_differentiable_stagewise_solver(
+        data, config=config, tol=tol, ridge=ridge, cg_iters=cg_iters)
+    single = jnp.ndim(x0) == 1
+    xb = jnp.atleast_2d(jnp.asarray(x0))
+    Kmat = jax.vmap(jax.jacrev(lambda x: f(x[None])[0]))(xb)
+    return Kmat[0] if single else Kmat
+
+
 def make_data_differentiable_solver(
     config: "_core.SolverConfig | None" = None,
     tol: float = 1e-7,

@@ -41,7 +41,7 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from tpu_gpad.types import CondensedQP
+from tpu_gpad.types import CondensedQP, LinearMPCProblem
 from tpu_gpad.condense import dualize
 from tpu_gpad.solver.core import SolverConfig, solve_batch
 
@@ -175,6 +175,122 @@ def mhe_qp(
                         n_y=n_y)
 
 
+@dataclass(frozen=True)
+class StagewiseMHEStructure:
+    """Static byproducts of the stage-wise MHE build."""
+
+    data: object  # StagewiseData
+    A: np.ndarray
+    B: np.ndarray
+    CtVinv: np.ndarray  # (n_x, n_y): forms q_lin_k = -(C'V^-1) y_k
+    window: int
+    n_x: int
+    n_u: int
+    n_y: int
+
+
+# Inert bound for the unconstrained window-start shift v (stage 0 of the
+# stage-wise MHE problem): rows evaluate to ~-1e30 violation, projecting
+# their duals to exactly 0 (finite so 0 * g stays 0, never NaN).
+_MHE_FREE_BOUND = 1e30
+
+
+def mhe_stagewise(
+    A: np.ndarray,
+    B: np.ndarray,
+    C: np.ndarray,
+    window: int,
+    P_arrival: np.ndarray,
+    W: np.ndarray,
+    V: np.ndarray,
+    x_min: Optional[np.ndarray] = None,
+    x_max: Optional[np.ndarray] = None,
+    w_min: Optional[np.ndarray] = None,
+    w_max: Optional[np.ndarray] = None,
+    iterations: int = 200,
+    name: str = "mhe",
+) -> StagewiseMHEStructure:
+    """The O(T) stage-wise twin of ``mhe_qp`` for LONG estimation windows.
+
+    ``mhe_qp`` condenses the window — its prediction matrices and
+    constraint stack grow O(T^2), the exact wall the stage-wise MPC
+    engine removes (DESIGN.md section 11). This maps the same MAP
+    problem onto that engine via an affine change of variables: a
+    pre-stage chooses the window start, and each later stage's control
+    IS the process disturbance —
+
+        stage 0:       x_1 = xbar + v,          cost 1/2 v' P^-1 v
+        stage k>=1:    x_{k+1} = A x_k + w_{k-1} + [B u_{k-1}],
+                                                 cost 1/2 w' W^-1 w
+        every state:   cost 1/2 x' (C'V^-1 C) x - (C'V^-1 y) . x
+
+    so stage-wise state k equals estimation state x_{k-1}, the arrival
+    cost is exact (v = x_0 - xbar), the measurement terms ride the
+    runtime ``q_lin`` parameter, and the known-input forcing rides the
+    runtime ``c`` parameter — per-solve data, like the condensed QP's
+    parameter vector p = [xbar; Y; U]. State bounds map verbatim;
+    disturbance bounds become input bounds on stages >= 1 (stage 0's v
+    is unbounded via inert +/-1e30 rows). Solves run
+    ``solve_stagewise(data, xbar, q_lin=..., c=...)``.
+
+    No reference analogue (the reference has no estimation layer); the
+    formulation is the ``nmpc12-gpad.pdf`` p.3 non-condensed variant
+    pointed at estimation."""
+    from tpu_gpad.stagewise import build_stagewise
+
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    C = np.asarray(C, np.float64)
+    T = int(window)
+    if T < 2:
+        raise ValueError("window must be >= 2 (one slide per measurement)")
+    n_x, n_u, n_y = A.shape[0], B.shape[1], C.shape[0]
+    if (x_min is None and x_max is None and w_min is None
+            and w_max is None):
+        raise ValueError(
+            "unconstrained MHE is a Kalman filter — give at least one of "
+            "x_min/x_max/w_min/w_max, or use tpu_gpad.KalmanFilter"
+        )
+    Vinv = np.linalg.inv(np.asarray(V, np.float64))
+    Winv = np.linalg.inv(np.asarray(W, np.float64))
+    Pinv = np.linalg.inv(np.asarray(P_arrival, np.float64))
+    A_seq = np.stack([np.eye(n_x)] + [A] * (T - 1))
+    B_seq = np.broadcast_to(np.eye(n_x), (T, n_x, n_x)).copy()
+    R_seq = np.stack([Pinv] + [Winv] * (T - 1))
+    Q = C.T @ Vinv @ C
+
+    def _u_bounds(wb, sign):
+        if wb is None and x_min is None and x_max is None:
+            return None  # w truly unbounded AND x rows exist elsewhere
+        free = sign * _MHE_FREE_BOUND * np.ones(n_x)
+        rows = [free]
+        wrow = (
+            free
+            if wb is None
+            else np.broadcast_to(np.asarray(wb, float), (n_x,))
+        )
+        rows += [wrow] * (T - 1)
+        return np.stack(rows)
+
+    problem = LinearMPCProblem(
+        A=A_seq,
+        B=B_seq,
+        Q=Q,
+        R=R_seq,
+        horizon=T,
+        x_min=None if x_min is None else np.asarray(x_min, float),
+        x_max=None if x_max is None else np.asarray(x_max, float),
+        u_min=_u_bounds(w_min, -1.0),
+        u_max=_u_bounds(w_max, +1.0),
+        name=f"{name}_sw_T{T}",
+    )
+    data = build_stagewise(problem, iterations=iterations)
+    return StagewiseMHEStructure(
+        data=data, A=A, B=B, CtVinv=C.T @ Vinv, window=T,
+        n_x=n_x, n_u=n_u, n_y=n_y,
+    )
+
+
 class MovingHorizonEstimator:
     """Streaming constrained state estimation over a sliding window.
 
@@ -203,9 +319,14 @@ class MovingHorizonEstimator:
         x0: Optional[np.ndarray] = None,
         iterations: int = 200,
         config: Optional[SolverConfig] = None,
+        engine: str = "auto",
     ):
         from scipy.linalg import solve_discrete_are
 
+        if engine not in ("auto", "condensed", "stagewise"):
+            raise ValueError(
+                f"engine must be 'auto', 'condensed' or 'stagewise': "
+                f"{engine!r}")
         A = np.asarray(A, np.float64)
         B = np.asarray(B, np.float64)
         C = np.asarray(C, np.float64)
@@ -218,13 +339,39 @@ class MovingHorizonEstimator:
         S = C @ P @ C.T + V
         self._Lf = np.linalg.solve(S.T, (P @ C.T).T).T  # P C' S^-1
         self._A, self._B, self._C = A, B, C
-        self.structure = mhe_qp(
-            A, B, C, window, P, W, V,
-            x_min=x_min, x_max=x_max, w_min=w_min, w_max=w_max,
-        )
-        self.data = dualize(
-            self.structure.qp, iterations=iterations, paired="auto"
-        )
+        if engine == "auto":
+            # long windows hit the SAME O(T^2) condensation wall as long
+            # MPC horizons; route by the measured stage-wise crossover
+            # (STAGEWISE.json) with the memory backstop on the projected
+            # condensed operands (n_z = T n_x, m <= 4 T n_x)
+            from tpu_gpad.stagewise import (
+                AUTO_STAGEWISE_ABOVE_MB,
+                AUTO_STAGEWISE_HORIZON,
+            )
+
+            mb = 2 * (4 * window * n_x) * (window * n_x) * 4 / 1e6
+            engine = (
+                "stagewise"
+                if window >= AUTO_STAGEWISE_HORIZON
+                or mb > AUTO_STAGEWISE_ABOVE_MB
+                else "condensed"
+            )
+        self.engine = engine
+        if engine == "stagewise":
+            self.structure = mhe_stagewise(
+                A, B, C, window, P, W, V,
+                x_min=x_min, x_max=x_max, w_min=w_min, w_max=w_max,
+                iterations=iterations,
+            )
+            self.data = self.structure.data
+        else:
+            self.structure = mhe_qp(
+                A, B, C, window, P, W, V,
+                x_min=x_min, x_max=x_max, w_min=w_min, w_max=w_max,
+            )
+            self.data = dualize(
+                self.structure.qp, iterations=iterations, paired="auto"
+            )
         self.config = config or SolverConfig(
             iterations=iterations, restart=True
         )
@@ -248,6 +395,33 @@ class MovingHorizonEstimator:
         Y = jnp.asarray(Y, jnp.float32)
         U = jnp.asarray(U, jnp.float32)
         Bn = x_bar.shape[0]
+        if self.engine == "stagewise":
+            from tpu_gpad.stagewise import solve_stagewise
+
+            T, n = st.window, st.n_x
+            # measurements enter as the runtime linear state cost, the
+            # known-input forcing as the runtime dynamics offset
+            q_lin = -jnp.einsum(
+                "xy,bty->btx", jnp.asarray(st.CtVinv, jnp.float32), Y
+            )
+            cb = jnp.zeros((Bn, T, n), jnp.float32)
+            if T > 1:
+                cb = cb.at[:, 1:].set(
+                    jnp.einsum(
+                        "xz,btz->btx", jnp.asarray(st.B, jnp.float32), U
+                    )
+                )
+            res = solve_stagewise(
+                st.data, x_bar, q_lin=q_lin, c=cb, config=self.config,
+                y0=y0,
+            )
+            # current estimate = last rolled state of [v; w] from xbar
+            z = np.asarray(res.z, np.float64).reshape(Bn, T, n)
+            Un = np.asarray(U, np.float64)
+            x = np.asarray(x_bar, np.float64) + z[:, 0]  # est x_0
+            for k in range(1, T):
+                x = x @ self._A.T + z[:, k] + Un[:, k - 1] @ self._B.T
+            return jnp.asarray(x, jnp.float32), res
         p = jnp.concatenate(
             [x_bar, Y.reshape(Bn, -1), U.reshape(Bn, -1)], axis=1
         )

@@ -104,6 +104,9 @@ class StagewiseData:
     c_seq: jax.Array = None  # (N, n) dynamics offsets c_k
     dtl: jax.Array = None  # (N, n) Ptilde_{k+1} c_k (adds to stilde at kff)
     qoff: jax.Array = None  # (N, n) E'dtl shift + fixed-reference -Q x_ref
+    Pt: jax.Array = None  # (N, n, n) Ptilde_{k+1} value-function Hessians,
+    # kept so RUNTIME affine offsets (solve_stagewise(c=...)) can form
+    # their dtl per solve — the device twin of build's dtl computation
     n_x: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_u: int = dataclasses.field(metadata=dict(static=True), default=0)
     horizon: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -145,6 +148,7 @@ _register_pytree_dataclass(
         "c_seq",
         "dtl",
         "qoff",
+        "Pt",
     ),
     meta_fields=("n_x", "n_u", "horizon", "name"),
 )
@@ -476,6 +480,7 @@ def build_stagewise(
         c_seq=as_dev(c_seq),
         dtl=as_dev(dtl),
         qoff=as_dev(qoff),
+        Pt=as_dev(Pt_seq),
         n_x=n,
         n_u=p,
         horizon=N,
@@ -962,6 +967,8 @@ def solve_stagewise(
     unroll: int = 1,
     engine: str = "auto",
     config=None,
+    q_lin: Optional[jax.Array] = None,
+    c: Optional[jax.Array] = None,
 ) -> SolveResult:
     """Solve a batch of MPC QPs via stage-wise GPAD; ``x0`` is (..., n_x).
 
@@ -991,6 +998,16 @@ def solve_stagewise(
     where it cannot apply) or "xla". ``unroll`` unrolls the sequential
     scan bodies (chip-measured ~7% at 8 on the n8 N240 flagship — the
     scan overhead is not loop bookkeeping; kept as a knob).
+
+    ``q_lin`` / ``c`` are PER-SOLVE runtime parameters (the stage-wise
+    twin of the condensed parameter maps, ``acceldualgrad.m:20-23``):
+    ``q_lin`` (broadcastable to (..., N, n_x)) adds a linear state-cost
+    term ``q_lin_k . x_k`` per stage (e.g. a runtime tracking reference
+    ``-Q r_k``, or MHE's measurement terms ``-C'V^-1 y_k``); ``c``
+    (same shape) adds a runtime affine dynamics offset ``x_{k+1} +=
+    c_k`` (e.g. MHE's known-input forcing ``B u_k``). Both compose with
+    any build-time ``problem.c``/``x_ref`` constants; the fused kernel
+    declines them (XLA executors route automatically).
 
     Returns a ``SolveResult`` with ``u`` = first move, ``z`` the full input
     trajectory (N*n_u, the condensed z convention), ``y`` the stage-packed
@@ -1041,11 +1058,16 @@ def solve_stagewise(
     # VMEM per batch tile, scenario-minor layout. Auto takes it on TPU for
     # fixed-mode cold starts whenever it fits; forcing engine="pallas"
     # runs interpret mode off-TPU (slow, for tests).
+    has_runtime = q_lin is not None or c is not None
+    if engine == "pallas" and has_runtime:
+        raise ValueError(
+            "stagewise kernel does not take runtime q_lin/c parameters; "
+            "they ride the XLA stage-wise path (engine='xla'/'auto')")
     if engine == "pallas" and mode != "fixed":
         raise ValueError(
             "stagewise kernel covers mode='fixed' only (v1); eps mode "
             "rides the XLA stage-wise path (engine='xla'/'auto')")
-    if engine in ("auto", "pallas") and mode == "fixed":
+    if engine in ("auto", "pallas") and mode == "fixed" and not has_runtime:
         from tpu_gpad.stagewise_kernel import (
             solve_stagewise_pallas,
             stagewise_kernel_compatible,
@@ -1053,19 +1075,14 @@ def solve_stagewise(
         )
 
         ok, why = stagewise_kernel_compatible(data)
-        cold = y0 is None
         on_tpu = jax.default_backend() == "tpu"
         if engine == "pallas":
             if not ok:
                 raise ValueError(f"stagewise kernel cannot take this: {why}")
-            if not cold:
-                raise ValueError(
-                    "stagewise kernel is cold-start only (v1); warm starts "
-                    "ride the XLA stage-wise path (engine='xla'/'auto')")
             if scan == "associative":
                 raise ValueError("stagewise kernel implies sequential scan")
         use_kernel = (
-            ok and cold and scan in ("auto", "sequential")
+            ok and scan in ("auto", "sequential")
             and (
                 engine == "pallas"
                 or (scan == "auto" and on_tpu and stagewise_kernel_wins(
@@ -1073,9 +1090,16 @@ def solve_stagewise(
             )
         )
         if use_kernel:
+            # v2: warm starts ride the kernel too (the dual DMA's into
+            # the same scratch the cold path zeros)
+            y0k = (
+                None
+                if y0 is None
+                else jnp.concatenate([y0x, y0u], axis=-1)
+            )
             u0k, zuk, yk, residk, gapk = solve_stagewise_pallas(
                 data, xb, iterations=n_iters, restart=restart,
-                interpret=not on_tpu,
+                interpret=not on_tpu, y0=y0k,
             )
             rs = lambda a: a.reshape((*batch_shape, *a.shape[1:]))
             return SolveResult(
@@ -1104,16 +1128,50 @@ def solve_stagewise(
             else "sequential"
         )
 
-    if mode == "eps":
-        one = lambda x, yx, yu: _solve_one_eps(
-            data, x, yx, yu, n_iters, scan, eps_g, eps_V, check_every,
-            restart, unroll,
+    def _one(dd, x, yx, yu):
+        if mode == "eps":
+            return _solve_one_eps(
+                dd, x, yx, yu, n_iters, scan, eps_g, eps_V, check_every,
+                restart, unroll,
+            )
+        return _solve_one(dd, x, yx, yu, n_iters, scan, restart, unroll)
+
+    if has_runtime:
+        # fold the runtime parameters into per-solve effective constants
+        # (the same algebra build_stagewise runs offline for build-time
+        # c/x_ref, now batched on device): dtl_k = Ptilde_{k+1} c_k,
+        # qoff_k += E_{k+1}' dtl_{k+1} + q_lin_k. The inner solvers see a
+        # per-example StagewiseData via dataclasses.replace under vmap.
+        n = data.n_x
+        bt = lambda a: jnp.broadcast_to(
+            jnp.asarray(a, dtype=data.hx.dtype), (*batch_shape, N, n)
+        ).reshape((B, N, n))
+        ce = bt(c) if c is not None else jnp.zeros((B, N, n), data.hx.dtype)
+        qe = (
+            bt(q_lin)
+            if q_lin is not None
+            else jnp.zeros((B, N, n), data.hx.dtype)
+        )
+        dtl_e = jnp.einsum("kij,bkj->bki", data.Pt, ce, precision=_HI)
+        qoff_b = data.qoff[None] + qe
+        qoff_b = qoff_b.at[:, :-1].add(
+            jnp.einsum(
+                "kji,bkj->bki", data.E[1:], dtl_e[:, 1:], precision=_HI
+            )
+        )
+        c_b = data.c_seq[None] + ce
+        dtl_b = data.dtl[None] + dtl_e
+
+        def one(x, yx, yu, cf, df, qf):
+            dd = dataclasses.replace(data, c_seq=cf, dtl=df, qoff=qf)
+            return _one(dd, x, yx, yu)
+
+        u, z, y, iters, residual, gap, conv = jax.vmap(one)(
+            xb, y0x, y0u, c_b, dtl_b, qoff_b
         )
     else:
-        one = lambda x, yx, yu: _solve_one(
-            data, x, yx, yu, n_iters, scan, restart, unroll
-        )
-    u, z, y, iters, residual, gap, conv = jax.vmap(one)(xb, y0x, y0u)
+        one = lambda x, yx, yu: _one(data, x, yx, yu)
+        u, z, y, iters, residual, gap, conv = jax.vmap(one)(xb, y0x, y0u)
 
     rs = lambda a: a.reshape((*batch_shape, *a.shape[1:]))
     return SolveResult(

@@ -45,10 +45,12 @@ The algebra mirrors ``stagewise._lqr_solve``/``_solve_one`` exactly
 Reference anchor: the L2 runtime role (``main.cu:160-175``) for the
 paper's O(N) variant (nmpc12-gpad.pdf p.3) the reference never built.
 
-Scope (v1): mode="fixed" (+ adaptive restart), cold dual start, hard
-per-stage rows with m_x > 0 and m_u > 0. Warm starts, eps mode and
-degenerate row sets route to the XLA stage-wise path. Routing between
-this kernel and the XLA path is chip-measured — see
+Scope (v2): mode="fixed" (+ adaptive restart), cold OR warm dual starts
+(warm = the serving path: the incoming stage-packed dual is DMA'd from
+HBM into the same scratch the cold path zeros — so ``StagewiseController``
+fleets ride the kernel), hard per-stage rows with m_x > 0 and m_u > 0.
+Eps mode and degenerate row sets route to the XLA stage-wise path.
+Routing between this kernel and the XLA path is chip-measured — see
 ``stagewise_kernel_wins`` and STAGEWISE.json.
 """
 
@@ -149,6 +151,10 @@ def _stagewise_kernel(
     beta_ref,
     invl_ref,
     # inputs
+    y0_hbm,  # (N, m_sp, B_p) ANY: warm-start dual (all-zeros when cold;
+    #          staged into y_ref by ONE DMA per tile — as a lane-blocked
+    #          VMEM input it would be double-buffered by the grid
+    #          pipeline, the exact footprint lesson the outputs taught)
     x0_ref,  # (n_p, B_t)
     CP_ref,  # (N, np_pp, C) packed per-stage constants: [R|HB|M|h-cols]
     #          h's m_sp rows fold into ceil(m_sp/np_pp) EXTRA COLUMNS of
@@ -177,6 +183,7 @@ def _stagewise_kernel(
     mu_p: int,
     iterations: int,
     restart: bool,
+    warm: bool,
 ):
     B_t = x0_ref.shape[-1]
     f32 = jnp.float32
@@ -204,14 +211,32 @@ def _stagewise_kernel(
         (j * np_pp, min((j + 1) * np_pp, m_sp)) for j in range(n_hcols)
     ]
 
-    # cold start, PER STAGE (a whole-array jnp.zeros temporary would land
-    # on the scoped-vmem stack and OOM)
-    def _zero(k, _):
-        for ref in (y_ref, yp_ref, zu_ref):
-            ref[k] = jnp.zeros(ref.shape[1:], dtype=ref.dtype)
-        return 0
+    lane = pl.ds(pl.program_id(0) * B_t, B_t)
+    if warm:
+        # warm start: stage the incoming dual into scratch with one DMA,
+        # then mirror the XLA path's carry init (y_prev = y0, so the
+        # first w has a zero momentum term)
+        dma_y0 = pltpu.make_async_copy(
+            y0_hbm.at[:, :, lane], y_ref, sem.at[0]
+        )
+        dma_y0.start()
+        dma_y0.wait()
 
-    jax.lax.fori_loop(0, N, _zero, 0)
+        def _init_warm(k, _):
+            yp_ref[k] = y_ref[k]
+            zu_ref[k] = jnp.zeros(zu_ref.shape[1:], dtype=zu_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, N, _init_warm, 0)
+    else:
+        # cold start, PER STAGE (a whole-array jnp.zeros temporary would
+        # land on the scoped-vmem stack and OOM)
+        def _zero(k, _):
+            for ref in (y_ref, yp_ref, zu_ref):
+                ref[k] = jnp.zeros(ref.shape[1:], dtype=ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, N, _zero, 0)
 
     x0 = x0_ref[...]
     GT = GT_ref[...]
@@ -342,7 +367,6 @@ def _stagewise_kernel(
     u0_ref[...] = zu_ref[0]
 
     # one DMA per result array out to HBM (ANY space)
-    lane = pl.ds(pl.program_id(0) * B_t, B_t)
     copies = (
         (y_ref, y_hbm.at[:, :, lane], 0),
         (zu_ref, zu_hbm.at[:, :, lane], 1),
@@ -383,10 +407,19 @@ def solve_stagewise_pallas(
     iterations: int,
     restart: bool = False,
     interpret: bool = False,
+    y0: "jax.Array | None" = None,
 ):
     """Fused-kernel stage-wise solve. ``x0`` is (B, n_x); returns
     ``(u0, zu, y, residual, gap)`` with ``zu`` (B, N, n_u) and ``y``
-    (B, N, m_x + m_u) matching ``solve_stagewise``'s packing."""
+    (B, N, m_x + m_u) matching ``solve_stagewise``'s packing.
+
+    ``y0`` (broadcastable to (B, N, m_x + m_u), ``solve_stagewise``'s
+    stage-packed layout) warm-starts the dual — v2: the serving path
+    (``StagewiseController`` fleets) no longer falls off the kernel. The
+    warm dual rides to the kernel in HBM (ANY space) and is staged into
+    the single-buffered scratch by one DMA per tile; a lane-blocked VMEM
+    input would be double-buffered by the grid pipeline (the v1 footprint
+    lesson)."""
     N = data.horizon
     n, p = data.n_x, data.n_u
     m_x, m_u = data.m_x, data.m_u
@@ -475,9 +508,24 @@ def solve_stagewise_pallas(
     beta = data.beta[:iterations].astype(f32)
     invl = (1.0 / data.L.astype(f32)).reshape((1,))
 
+    warm = y0 is not None
+    if warm:
+        y0b = jnp.broadcast_to(
+            jnp.asarray(y0, f32), (B, N, m_x + m_u)
+        )
+        y0_pack = jnp.zeros((N, m_sp, B_p), dtype=f32)
+        y0_pack = y0_pack.at[:, :m_x, :B].set(
+            jnp.moveaxis(y0b[..., :m_x], 0, -1)
+        )
+        y0_pack = y0_pack.at[:, mx_p:mx_p + m_u, :B].set(
+            jnp.moveaxis(y0b[..., m_x:], 0, -1)
+        )
+    else:
+        y0_pack = jnp.zeros((1, 1, 1), dtype=f32)  # unused dummy (ANY)
+
     kernel = functools.partial(
         _stagewise_kernel, N=N, n_p=n_p, p_p=p_p, mx_p=mx_p, mu_p=mu_p,
-        iterations=iterations, restart=restart,
+        iterations=iterations, restart=restart, warm=warm,
     )
     lane2 = lambda rows: pl.BlockSpec(
         (rows, B_t), lambda i, *_: (0, i), memory_space=pltpu.VMEM
@@ -488,6 +536,7 @@ def solve_stagewise_pallas(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     in_specs = [
+        any_spec,  # y0 warm-start dual (HBM; DMA'd in, dummy when cold)
         lane2(n_p),  # x0
         const2(CP), const2(GT), const2(G),
     ]
@@ -530,7 +579,7 @@ def solve_stagewise_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(theta, beta, invl, x0T, CP, GT, G)
+    )(theta, beta, invl, y0_pack, x0T, CP, GT, G)
 
     u0 = u0[:p, :B].T
     zu_b = jnp.moveaxis(zu[:, :p, :B], -1, 0)  # (B, N, p)
