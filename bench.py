@@ -343,8 +343,14 @@ def run(args, t_start: float) -> int:
         headline's anchor normalization and a contended minute cannot
         swing a tier ±15% against the others. Raw ratio stats and
         rejected-round counts ride along."""
+        # IQR-targeted autoscaling (VERDICT r04 item 6): the fast tiers'
+        # sub-ms batch times made 0.15 s windows read weather (default
+        # tier IQR/median up to 1.0 in the r04 record) — escalate window
+        # length until the ratio resolves to ~10% or the budget is spent
         ab_t = interleaved_ab(fn, headline_fn,
-                              rounds=max(rounds // 2, 3), k_large=k_large)
+                              rounds=max(rounds // 2, 3), k_large=k_large,
+                              iqr_rel_target=0.10,
+                              autoscale_max_s=90.0)
         if ab_t["rounds"] == 0:
             detail[name + "_solves_per_sec"] = None
             detail[name + "_vs_headline"] = {"unstable": True,

@@ -94,3 +94,25 @@ def test_interleaved_ab_floor_rejects_impossible_side():
     assert out["rounds"] == 0
     assert out["unstable"]
     assert math.isnan(out["ratio_b_over_a_median"])
+
+
+def test_interleaved_ab_iqr_autoscale():
+    # an easy target is met in one pass; an impossible one exhausts the
+    # wall budget, keeps the tightest pass, and reports the escalation
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256))
+    f = lambda: jnp.tanh(x @ x)
+    out = interleaved_ab(
+        f, f, rounds=3, k_large=4, min_window_s=0.01,
+        iqr_rel_target=10.0, autoscale_max_s=30.0,
+    )
+    assert out["autoscale_passes"] == 1
+    out2 = interleaved_ab(
+        f, f, rounds=3, k_large=4, min_window_s=0.01,
+        iqr_rel_target=1e-12, autoscale_max_s=1.0,
+    )
+    assert out2["autoscale_passes"] >= 1
+    assert "autoscale_window_s" in out2
+    if not out2["unstable"]:
+        assert 0.2 < out2["ratio_b_over_a_median"] < 5.0

@@ -67,9 +67,13 @@ def main():
         # median-of-5 rows carried 23-35% IQR — regression-blind. The
         # anchor-normalized rate is the comparable stat; iqr_rel > 0.10
         # marks a row as wide-variance weather.
+        # IQR-targeted autoscaling (VERDICT r04 item 6): sub-ms rows
+        # (N10 sweeps carried iqr_rel ~0.5) escalate to longer windows
+        # until the ratio resolves to ~10% or the budget is spent
         at = anchored_throughput(
             lambda: solve_batch(data, X0, config=config).u,
-            batch, rounds=5, k_large=10)
+            batch, rounds=5, k_large=10,
+            iqr_rel_target=0.10, autoscale_max_s=75.0)
         t = at["t_a_median_s"]
         form = resolve_form(data, config)
         flat = form == "mvp" and resolve_flat(data, config)

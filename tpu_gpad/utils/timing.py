@@ -163,6 +163,8 @@ def interleaved_ab(
     t_a_floor_s: float = 0.0,
     t_b_floor_s: float = 0.0,
     gate_band: float = 3.0,
+    iqr_rel_target: "float | None" = None,
+    autoscale_max_s: float = 120.0,
 ) -> dict:
     """Drift-cancelling A/B comparison: alternate slope-method windows.
 
@@ -192,34 +194,81 @@ def interleaved_ab(
     than ``max(3, rounds//2)`` valid rounds survive — treat the numbers
     as weather, not measurements, when it is.
 
+    RESOLUTION AUTOSCALING (the round-4 lesson: the official record's
+    precision tiers carried IQR/median up to 1.0 — wide-variance-marked
+    numbers that cannot catch a regression): pass ``iqr_rel_target``
+    (e.g. 0.10) and the measurement ESCALATES — 3x longer windows and
+    more rounds per pass — until the surviving-ratio IQR/median meets the
+    target or ``autoscale_max_s`` of wall clock is spent. The returned
+    dict then carries ``autoscale_passes`` and ``autoscale_window_s``;
+    check ``ratio_b_over_a_iqr`` against your target yourself — a result
+    that still misses it after the budget is honest weather, not a
+    measurement.
+
     Returns ``{"ratio_b_over_a_median", "ratio_b_over_a_iqr", "ratios",
     "ratios_all", "t_a_median_s", "t_b_median_s", "rounds",
     "rejected_rounds", "unstable"}``. ratio > 1 means A is faster (B
     takes longer). Both fns must return a jax array that forces the
     computation (e.g. ``res.u``, never a SolveResult)."""
-    _run_chain(fn_a, 2)
-    _run_chain(fn_b, 2)
-    ka = _sized_k_large(fn_a, k_small, k_large, min_window_s)
-    kb = _sized_k_large(fn_b, k_small, k_large, min_window_s)
-    raw = []  # (ta, tb) with None for slope-invalid sides
-    for attempt in range(2 * rounds):
-        # stop when `rounds` rounds survive the FULL gate (floor + band):
-        # band-rejected rounds consume attempt budget and get replaced
-        # too, not just floor-rejected ones
+    import time as _time
+
+    t_start = _time.perf_counter()
+
+    def one_pass(win_s, n_rounds):
+        _run_chain(fn_a, 2)
+        _run_chain(fn_b, 2)
+        ka = _sized_k_large(fn_a, k_small, k_large, win_s)
+        kb = _sized_k_large(fn_b, k_small, k_large, win_s)
+        raw = []  # (ta, tb) with None for slope-invalid sides
+        for attempt in range(2 * n_rounds):
+            # stop when `rounds` rounds survive the FULL gate (floor +
+            # band): band-rejected rounds consume attempt budget and get
+            # replaced too, not just floor-rejected ones
+            if (
+                len(raw) >= n_rounds
+                and _gate_ab_rounds(raw, n_rounds, gate_band)["rounds"]
+                >= n_rounds
+            ):
+                break
+            ta = (
+                _run_chain(fn_a, ka) - _run_chain(fn_a, k_small)
+            ) / (ka - k_small)
+            tb = (
+                _run_chain(fn_b, kb) - _run_chain(fn_b, k_small)
+            ) / (kb - k_small)
+            raw.append(
+                (
+                    ta if ta > max(t_a_floor_s, 0.0) else None,
+                    tb if tb > max(t_b_floor_s, 0.0) else None,
+                )
+            )
+        return _gate_ab_rounds(raw, n_rounds, gate_band)
+
+    win, n_rounds, passes = min_window_s, rounds, 0
+    best = None
+    while True:
+        res = one_pass(win, n_rounds)
+        passes += 1
+        med = res["ratio_b_over_a_median"]
+        rel = (
+            res["ratio_b_over_a_iqr"] / abs(med)
+            if res["rounds"] > 0 and med
+            else float("inf")
+        )
+        if best is None or rel < best[0]:
+            best = (rel, res, win)
         if (
-            len(raw) >= rounds
-            and _gate_ab_rounds(raw, rounds, gate_band)["rounds"] >= rounds
+            iqr_rel_target is None
+            or best[0] <= iqr_rel_target
+            or _time.perf_counter() - t_start > autoscale_max_s
         ):
             break
-        ta = (_run_chain(fn_a, ka) - _run_chain(fn_a, k_small)) / (ka - k_small)
-        tb = (_run_chain(fn_b, kb) - _run_chain(fn_b, k_small)) / (kb - k_small)
-        raw.append(
-            (
-                ta if ta > max(t_a_floor_s, 0.0) else None,
-                tb if tb > max(t_b_floor_s, 0.0) else None,
-            )
-        )
-    return _gate_ab_rounds(raw, rounds, gate_band)
+        win, n_rounds = win * 3.0, max(n_rounds, rounds + 2)
+    _, res, win_used = best
+    if iqr_rel_target is not None:
+        res["autoscale_passes"] = passes
+        res["autoscale_window_s"] = win_used
+    return res
 
 
 def _gate_ab_rounds(raw, rounds: int, gate_band: float = 3.0) -> dict:
@@ -303,6 +352,8 @@ def anchored_throughput(
     k_large: int = 22,
     anchor_n: int = 2048,
     min_window_s: float = 0.15,
+    iqr_rel_target: "float | None" = None,
+    autoscale_max_s: float = 120.0,
 ) -> dict:
     """Throughput of ``fn`` measured INTERLEAVED against the pinned
     fp32-highest anchor matmul, with validity gating (``interleaved_ab``).
@@ -329,6 +380,8 @@ def anchored_throughput(
         k_large=k_large,
         min_window_s=min_window_s,
         t_b_floor_s=anchor_flops / (ANCHOR_MAX_TFLOPS * 1e12),
+        iqr_rel_target=iqr_rel_target,
+        autoscale_max_s=autoscale_max_s,
     )
     out = dict(ab)
     out["anchor_n"] = anchor_n
