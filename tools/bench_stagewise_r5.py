@@ -46,14 +46,20 @@ LADDER = [
 
 WARM_SHAPES = [(8, 60, 4096), (8, 120, 4096), (8, 10, 1024)]
 
+# HBM-streamed kernel ladder: the big-state/long-horizon shapes where the
+# whole-VMEM kernel cannot build (n30) or exceeds 16 tiles (n8 N240
+# B4096), plus the latency-regime counterexample (B128, assoc-scan turf)
+STREAM_SHAPES = [(30, 200, 64), (30, 200, 1024), (8, 240, 4096),
+                 (8, 240, 128)]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="STAGEWISE.json")
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=5)
-    ap.add_argument("--section", choices=["warm", "auto", "both"],
-                    default="both")
+    ap.add_argument("--section", choices=["warm", "auto", "stream", "all"],
+                    default="all")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +70,19 @@ def main():
         else {"device": str(jax.devices()[0]), "rows": []}
     )
 
-    if args.section in ("warm", "both"):
+    if args.section in ("stream", "all"):
+        out["stream_rows"] = []
+        for n, N, batch in STREAM_SHAPES:
+            try:
+                out["stream_rows"].append(_stream_row(args, n, N, batch))
+            except Exception as ex:
+                out["stream_rows"].append(
+                    {"n_cells": n, "N": N, "batch": batch,
+                     "error": f"{type(ex).__name__}: {ex}"[:300]})
+                print(f"stream ({n},{N},{batch}) failed: {ex}", flush=True)
+            Path(args.out).write_text(json.dumps(out, indent=1))
+
+    if args.section in ("warm", "all"):
         out["warm_rows"] = []
         for n, N, batch in WARM_SHAPES:
             try:
@@ -76,7 +94,7 @@ def main():
                 print(f"warm ({n},{N},{batch}) failed: {ex}", flush=True)
             Path(args.out).write_text(json.dumps(out, indent=1))
 
-    if args.section in ("auto", "both"):
+    if args.section in ("auto", "all"):
         out["auto_rows"] = []
         for n, N, batch, best in LADDER:
             try:
@@ -90,6 +108,59 @@ def main():
 
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(f"wrote {args.out}")
+
+
+def _stream_row(args, n, N, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_gpad import problems
+    from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+    from tpu_gpad.stagewise_stream import solve_stagewise_stream
+    from tpu_gpad.utils import interleaved_ab
+
+    prob = problems.battery(n, N)
+    data = build_stagewise(prob, iterations=args.iterations)
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(
+        rng.uniform(-0.3, 0.3, size=(batch, n)).astype(np.float32))
+
+    # baseline = the best pre-stream executor: XLA scan routing with the
+    # whole-VMEM kernel allowed but the stream kernel EXCLUDED (scan is
+    # resolved the round-4 way so the comparison isolates the new kernel)
+    scan = (
+        "associative"
+        if (prob.n_x + prob.n_u <= 24 and batch < 1024)
+        else "sequential"
+    )
+    j_base = jax.jit(lambda d, x: solve_stagewise(
+        d, x, engine="xla", scan=scan).u)
+    j_str = jax.jit(lambda d, x: solve_stagewise_stream(
+        d, x, iterations=args.iterations)[0])
+    err = float(np.abs(
+        np.asarray(j_str(data, X0[:64])) - np.asarray(j_base(data, X0[:64]))
+    ).max())
+    assert err < 5e-4, (n, N, err)
+    ab = interleaved_ab(
+        lambda: j_str(data, X0),
+        lambda: j_base(data, X0),
+        rounds=args.rounds,
+        k_large=10,
+    )
+    row = {
+        "n_cells": n, "N": N, "batch": batch, "m": int(data.m),
+        "u_err_stream_vs_xla": err,
+        "baseline_scan": scan,
+        "stream_solves_per_sec": batch / ab["t_a_median_s"],
+        "xla_solves_per_sec": batch / ab["t_b_median_s"],
+        # > 1 means the streamed kernel (A) beats the XLA scan executor
+        "speedup_stream_over_xla_median": ab["ratio_b_over_a_median"],
+        "iqr": ab["ratio_b_over_a_iqr"],
+        "rejected_rounds": ab["rejected_rounds"],
+        "unstable": ab["unstable"],
+    }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 def _warm_row(args, n, N, batch):

@@ -208,6 +208,22 @@ def polish(
     return sol
 
 
+def certified_optimum(qp, x0, z_hint) -> QPSolution:
+    """KKT-certified f64 optimum from a (near-)converged device iterate.
+
+    The exact-oracle entry for LARGE stacks, where the from-scratch
+    active-set method needs hundreds of pivots (each a dense KKT solve)
+    and silently caps: ``polish`` starting at the accelerator's own
+    solution identifies the active set directly and verifies stationarity
+    + feasibility + multiplier signs in float64 — when ``status`` is
+    "optimal" the returned point IS the optimum (the bundled problems are
+    strictly convex: cond(H) ~ 1.2 at the 30x30 flagship, so the
+    minimizer is unique). Callers must check ``status`` and skip/flag
+    anything else."""
+    return polish(qp, np.asarray(x0, np.float64),
+                  np.asarray(z_hint, np.float64))
+
+
 def polish_batch(qp, X0, Z, **kw):
     """Polish a batch: ``X0`` (B, n_x) parameters, ``Z`` (B, n_z) device
     solutions (e.g. ``np.asarray(result.z)``). Returns (Z_exact, statuses);
@@ -259,22 +275,33 @@ def solve_qp_admm(
     return QPSolution(z, np.maximum(lam, 0.0), active, it, "optimal" if it < max_iter else "max_iter")
 
 
-def solve_condensed_qp(qp, x0, method: str = "active_set") -> QPSolution:
+def solve_condensed_qp(qp, x0, method: str = "active_set",
+                       max_iter: int = 500) -> QPSolution:
     """Ground-truth solve of a ``CondensedQP`` at parameter x0.
 
     When z = 0 is not feasible (e.g. soft-constrained problems with the
     measured state outside the hard box), the active-set method is
-    restarted from an ADMM phase-1 point."""
+    restarted from an ADMM phase-1 point.
+
+    CHECK ``status``: the active-set method adds/drops ONE row per
+    iteration, so large stacks can exhaust ``max_iter`` far from the
+    optimum — at the 30x30 flagship (m=3660) the default cap returned
+    iterates ~0.08-0.10 from the certified optimum while earlier rounds
+    read them as solver error (FLAGSHIP_ACCURACY.json post-mortem). For
+    big shapes prefer ``certified_optimum`` (polish from a converged
+    device iterate: one-to-few f64 KKT solves instead of hundreds of
+    active-set pivots)."""
     x0 = np.asarray(x0, dtype=np.float64)
     f = qp.F.T @ x0 + qp.g
     b = qp.b0 + qp.E @ x0
     if method == "active_set":
-        sol = solve_qp_exact(qp.H, f, qp.G, b)
+        sol = solve_qp_exact(qp.H, f, qp.G, b, max_iter=max_iter)
         if sol.status == "infeasible_start":
             phase1 = solve_qp_admm(qp.H, f, qp.G, b, tol=1e-12)
             # pull strictly inside along the worst violations before the
             # crude restoration (ADMM iterates are only feasible in the limit)
-            sol = solve_qp_exact(qp.H, f, qp.G, b, z0=phase1.z)
+            sol = solve_qp_exact(qp.H, f, qp.G, b, z0=phase1.z,
+                                 max_iter=max_iter)
             if sol.status == "infeasible_start":
                 return phase1
         return sol

@@ -992,10 +992,15 @@ def solve_stagewise(
     2.0-3.3x at n8 small batch; sequential for larger state, n30:
     0.4-0.7x), "sequential" (``lax.scan`` sweeps, work-optimal) or
     "associative" (parallel-prefix, depth log2(N) at an O(log N) work
-    premium). ``engine``: "auto" (default; additionally takes the fused
-    Pallas kernel for fixed-mode cold starts when ``B >= 24 N`` and the
-    batch fits <= 16 VMEM tiles), "pallas" (force the kernel — raises
-    where it cannot apply) or "xla". ``unroll`` unrolls the sequential
+    premium). ``engine``: "auto" (default; fixed mode additionally takes
+    the whole-VMEM fused kernel when ``B >= 24 N`` and the batch fits
+    <= 16 VMEM tiles, and otherwise the HBM-STREAMED fused kernel
+    wherever scan routing would pick "sequential" — chip-measured
+    1.37-1.94x over the scan at the big-state/long-horizon shapes,
+    STAGEWISE.json stream_rows), "pallas" (force the whole-VMEM kernel),
+    "stream" (force the streamed kernel) or "xla" (the scan executors;
+    forced kernels raise where they cannot apply). ``unroll`` unrolls the
+    sequential
     scan bodies (chip-measured ~7% at 8 on the n8 N240 flagship — the
     scan overhead is not loop bookkeeping; kept as a knob).
 
@@ -1023,11 +1028,12 @@ def solve_stagewise(
         # config.engine selects WHICH stage-wise executor ("stagewise"
         # itself arrives here as the condensed-level routing choice and
         # maps to auto)
-        if engine == "auto" and config.engine in ("pallas", "xla"):
+        if engine == "auto" and config.engine in ("pallas", "xla", "stream"):
             engine = config.engine
-    if engine not in ("auto", "pallas", "xla"):
+    if engine not in ("auto", "pallas", "stream", "xla"):
         raise ValueError(
-            f"engine must be 'auto', 'pallas' or 'xla': {engine!r}")
+            f"engine must be 'auto', 'pallas', 'stream' or 'xla': "
+            f"{engine!r}")
     if scan not in ("auto", "sequential", "associative"):
         raise ValueError(
             f"scan must be 'auto', 'sequential' or 'associative': {scan!r}")
@@ -1059,48 +1065,87 @@ def solve_stagewise(
     # fixed-mode cold starts whenever it fits; forcing engine="pallas"
     # runs interpret mode off-TPU (slow, for tests).
     has_runtime = q_lin is not None or c is not None
-    if engine == "pallas" and has_runtime:
+    forced_kernel = engine in ("pallas", "stream")
+    if forced_kernel and has_runtime:
         raise ValueError(
-            "stagewise kernel does not take runtime q_lin/c parameters; "
+            "stagewise kernels do not take runtime q_lin/c parameters; "
             "they ride the XLA stage-wise path (engine='xla'/'auto')")
-    if engine == "pallas" and mode != "fixed":
+    if forced_kernel and mode != "fixed":
         raise ValueError(
-            "stagewise kernel covers mode='fixed' only (v1); eps mode "
+            "stagewise kernels cover mode='fixed' only; eps mode "
             "rides the XLA stage-wise path (engine='xla'/'auto')")
-    if engine in ("auto", "pallas") and mode == "fixed" and not has_runtime:
+    if engine in ("auto", "pallas", "stream") and mode == "fixed" \
+            and not has_runtime:
         from tpu_gpad.stagewise_kernel import (
             solve_stagewise_pallas,
             stagewise_kernel_compatible,
             stagewise_kernel_wins,
         )
+        from tpu_gpad.stagewise_stream import (
+            solve_stagewise_stream,
+            stagewise_stream_compatible,
+        )
 
         ok, why = stagewise_kernel_compatible(data)
+        ok_st, why_st = stagewise_stream_compatible(data)
         on_tpu = jax.default_backend() == "tpu"
         if engine == "pallas":
             if not ok:
                 raise ValueError(f"stagewise kernel cannot take this: {why}")
             if scan == "associative":
                 raise ValueError("stagewise kernel implies sequential scan")
+        if engine == "stream":
+            if not ok_st:
+                raise ValueError(
+                    f"stagewise stream kernel cannot take this: {why_st}")
+            if scan == "associative":
+                raise ValueError("stagewise kernels imply sequential scan")
         use_kernel = (
             ok and scan in ("auto", "sequential")
             and (
                 engine == "pallas"
-                or (scan == "auto" and on_tpu and stagewise_kernel_wins(
-                    data.horizon, xb.shape[0], data))
+                or (engine == "auto" and scan == "auto" and on_tpu
+                    and stagewise_kernel_wins(
+                        data.horizon, xb.shape[0], data))
             )
         )
-        if use_kernel:
-            # v2: warm starts ride the kernel too (the dual DMA's into
-            # the same scratch the cold path zeros)
-            y0k = (
-                None
-                if y0 is None
-                else jnp.concatenate([y0x, y0u], axis=-1)
+        # HBM-streamed kernel: chip-measured to beat the SEQUENTIAL scan
+        # at every shape (1.37-1.94x, STAGEWISE.json stream_rows) while
+        # losing to the parallel-prefix path in its small-state small-
+        # batch latency regime — so auto takes it exactly where scan
+        # routing would pick "sequential" and the whole-VMEM kernel
+        # does not apply
+        would_be_seq = not (
+            data.n_x + data.n_u <= 24 and xb.shape[0] < 1024
+        )
+        use_stream = (
+            not use_kernel
+            and ok_st
+            and scan in ("auto", "sequential")
+            and (
+                engine == "stream"
+                or (engine == "auto" and scan == "auto" and on_tpu
+                    and would_be_seq)
             )
-            u0k, zuk, yk, residk, gapk = solve_stagewise_pallas(
-                data, xb, iterations=n_iters, restart=restart,
-                interpret=not on_tpu, y0=y0k,
-            )
+        )
+        y0k = (
+            None
+            if y0 is None
+            else jnp.concatenate([y0x, y0u], axis=-1)
+        )
+        if use_stream or use_kernel:
+            if use_stream:
+                u0k, zuk, yk, residk, gapk = solve_stagewise_stream(
+                    data, xb, iterations=n_iters, restart=restart,
+                    interpret=not on_tpu, y0=y0k,
+                )
+            else:
+                # v2: warm starts ride the kernel too (the dual DMA's
+                # into the same scratch the cold path zeros)
+                u0k, zuk, yk, residk, gapk = solve_stagewise_pallas(
+                    data, xb, iterations=n_iters, restart=restart,
+                    interpret=not on_tpu, y0=y0k,
+                )
             rs = lambda a: a.reshape((*batch_shape, *a.shape[1:]))
             return SolveResult(
                 u=rs(u0k),

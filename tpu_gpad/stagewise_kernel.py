@@ -396,30 +396,15 @@ def stagewise_kernel_compatible(data) -> tuple:
     return True, ""
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("iterations", "restart", "interpret"),
-)
-def solve_stagewise_pallas(
-    data,
-    x0: jax.Array,
-    *,
-    iterations: int,
-    restart: bool = False,
-    interpret: bool = False,
-    y0: "jax.Array | None" = None,
-):
-    """Fused-kernel stage-wise solve. ``x0`` is (B, n_x); returns
-    ``(u0, zu, y, residual, gap)`` with ``zu`` (B, N, n_u) and ``y``
-    (B, N, m_x + m_u) matching ``solve_stagewise``'s packing.
+def pack_stagewise_constants(data, lane_cap: "int | None" = LANE):
+    """Pack the per-stage constants into the shared kernel layout.
 
-    ``y0`` (broadcastable to (B, N, m_x + m_u), ``solve_stagewise``'s
-    stage-packed layout) warm-starts the dual — v2: the serving path
-    (``StagewiseController`` fleets) no longer falls off the kernel. The
-    warm dual rides to the kernel in HBM (ANY space) and is staged into
-    the single-buffered scratch by one DMA per tile; a lane-blocked VMEM
-    input would be double-buffered by the grid pipeline (the v1 footprint
-    lesson)."""
+    Returns ``(CP, GT, G, dims)`` with ``CP`` (N, np_pp, C): per-stage
+    [R | HB | M | h-cols | dtl | qoff | c] sharing one row-block (the
+    whole-VMEM kernel requires C <= 128, one physical lane tile; the
+    HBM-streamed kernel passes ``lane_cap=None`` and pads C to a
+    multiple of 128 instead), plus the stage-invariant block-diagonal
+    constraint maps ``GT``/``G``. ``dims`` carries every padded extent."""
     N = data.horizon
     n, p = data.n_x, data.n_u
     m_x, m_u = data.m_x, data.m_u
@@ -429,15 +414,8 @@ def solve_stagewise_pallas(
     mu_p = _round_up(m_u, SUBLANE)
     m_sp = mx_p + mu_p
     np_pp = n_p + p_p
-    B = x0.shape[0]
-    B_t = pick_stagewise_tile(N, n_p, p_p, mx_p, mu_p)
-    if B_t is None:
-        raise ValueError("stagewise kernel: VMEM budget exceeded")
-    B_p = _round_up(B, B_t)
-
     f32 = jnp.float32
-    r_max = np_pp
-    pad_r = lambda M: _pad_axis(M.astype(f32), r_max, 1)
+    pad_r = lambda M: _pad_axis(M.astype(f32), np_pp, 1)
     KT = jnp.swapaxes(data.K.astype(f32), 1, 2)  # (N, n, p)
     ET = jnp.swapaxes(data.E.astype(f32), 1, 2)
     HiBt = jnp.einsum(
@@ -473,7 +451,7 @@ def solve_stagewise_pallas(
     # h pads are ZERO: padded G rows are zero so g_pad = -h_pad = 0 keeps
     # padded duals at relu(0 + 0) = 0 (inert), contributing nothing to
     # qx/ru, the clamped residual max or the gap. Fold h's m_sp rows into
-    # extra columns of the np_pp-row CP tile (see the kernel comment).
+    # extra columns of the np_pp-row CP tile.
     n_hcols = -(-m_sp // np_pp)
     h_flat = jnp.concatenate(
         [_pad_axis(data.hx.astype(f32), mx_p, 1),
@@ -496,12 +474,55 @@ def solve_stagewise_pallas(
          _pad_axis(extra_cols, np_pp, 1)],
         axis=2,
     )
+    if lane_cap is None:
+        CP = _pad_axis(CP, _round_up(CP.shape[2], LANE), 2)
     # block-diagonal constraint maps (stage-invariant)
     Gx = _pad_axis(_pad_axis(data.Gx.astype(f32), mx_p, 0), n_p, 1)
     Gu = _pad_axis(_pad_axis(data.Gu.astype(f32), mu_p, 0), p_p, 1)
     G = jnp.zeros((m_sp, np_pp), dtype=f32)
     G = G.at[:mx_p, :n_p].set(Gx).at[mx_p:, n_p:].set(Gu)
-    GT = G.T
+    dims = dict(N=N, n=n, p=p, m_x=m_x, m_u=m_u, n_p=n_p, p_p=p_p,
+                mx_p=mx_p, mu_p=mu_p, m_sp=m_sp, np_pp=np_pp,
+                n_hcols=n_hcols)
+    return CP, G.T, G, dims
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "restart", "interpret"),
+)
+def solve_stagewise_pallas(
+    data,
+    x0: jax.Array,
+    *,
+    iterations: int,
+    restart: bool = False,
+    interpret: bool = False,
+    y0: "jax.Array | None" = None,
+):
+    """Fused-kernel stage-wise solve. ``x0`` is (B, n_x); returns
+    ``(u0, zu, y, residual, gap)`` with ``zu`` (B, N, n_u) and ``y``
+    (B, N, m_x + m_u) matching ``solve_stagewise``'s packing.
+
+    ``y0`` (broadcastable to (B, N, m_x + m_u), ``solve_stagewise``'s
+    stage-packed layout) warm-starts the dual — v2: the serving path
+    (``StagewiseController`` fleets) no longer falls off the kernel. The
+    warm dual rides to the kernel in HBM (ANY space) and is staged into
+    the single-buffered scratch by one DMA per tile; a lane-blocked VMEM
+    input would be double-buffered by the grid pipeline (the v1 footprint
+    lesson)."""
+    CP, GT, G, dd = pack_stagewise_constants(data)
+    N, n, p = dd["N"], dd["n"], dd["p"]
+    m_x, m_u = dd["m_x"], dd["m_u"]
+    n_p, p_p = dd["n_p"], dd["p_p"]
+    mx_p, mu_p = dd["mx_p"], dd["mu_p"]
+    m_sp, np_pp = dd["m_sp"], dd["np_pp"]
+    B = x0.shape[0]
+    B_t = pick_stagewise_tile(N, n_p, p_p, mx_p, mu_p)
+    if B_t is None:
+        raise ValueError("stagewise kernel: VMEM budget exceeded")
+    B_p = _round_up(B, B_t)
+    f32 = jnp.float32
 
     x0T = _pad_axis(_pad_axis(x0.astype(f32).T, n_p, 0), B_p, 1)
     theta = data.theta[:iterations].astype(f32)
