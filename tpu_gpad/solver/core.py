@@ -50,7 +50,11 @@ class SolverConfig:
     # Pallas kernel when it applies (TPU backend, fixed mode, problem fits
     # the VMEM budget) and the XLA loop engine otherwise (CPU, eps mode,
     # model-axis TP, oversized problems). Forcing "pallas" off-TPU runs the
-    # kernel in interpret mode (slow; meant for tests).
+    # kernel in interpret mode (slow; meant for tests). solve_stagewise
+    # additionally reads "stream" (its HBM-streamed kernel) from this
+    # field; the condensed engines here ignore that value — problem-LEVEL
+    # routing between condensed and stage-wise lives in
+    # stagewise.auto_solver / the CLI, not in this config.
     form: str = "auto"  # "auto" | "mvp" | "dual": iteration algebra. "mvp"
     # runs the four explicit steps (two rectangular MVPs per iteration, the
     # reference's structure); "dual" runs the collapsed dual-only iteration
