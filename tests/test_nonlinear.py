@@ -341,15 +341,28 @@ def test_nmpc_stagewise_engine_matches_condensed():
              du_max=np.array([0.1]), **kw)
 
 
-def test_nmpc_stagewise_plan_batch_rejected():
-    """plan_batch is condensation-path only; a forced stage-wise NMPC
-    must raise loudly instead of silently condensing (or crashing into
-    the memory wall at the long horizons the engine exists for)."""
+def test_nmpc_stagewise_plan_batch_matches_condensed():
+    """plan_batch on the stage-wise engine (stack_stagewise +
+    solve_stagewise_multi, VERDICT r04 item 2 tail): B scenarios, each
+    linearized along its own trajectory, match the condensed plan_batch
+    — and warm-start state carries across calls."""
     pendulum_f = rk4(pendulum_dynamics(), dt=0.05)
-    nm = NMPC(
-        f=pendulum_f, n_x=2, n_u=1, horizon=8, Q=np.eye(2),
+    kw = dict(
+        f=pendulum_f, n_x=2, n_u=1, horizon=10, Q=np.diag([5.0, 0.5]),
         R=np.eye(1) * 0.1, u_min=np.array([-2.0]), u_max=np.array([2.0]),
-        iterations=100, engine="stagewise",
+        iterations=300, sqp_iters=2,
     )
-    with pytest.raises(ValueError, match="condensation-path only"):
-        nm.plan_batch(np.zeros((3, 2), dtype=np.float32))
+    nm_c = NMPC(**kw)
+    nm_s = NMPC(engine="stagewise", **kw)
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-0.5, 0.5, size=(3, 2)).astype(np.float32) + np.array(
+        [np.pi * 0.7, 0.0], dtype=np.float32)
+    ref = np.zeros(2, dtype=np.float32)
+    for _ in range(2):  # second call exercises the warm-started path
+        U_c = nm_c.plan_batch(X, ref)
+        U_s = nm_s.plan_batch(X, ref)
+        np.testing.assert_allclose(U_s, U_c, atol=5e-3)
+    assert nm_s._y_b is not None
+    # batch-size change resets the warm start rather than crashing
+    U2 = nm_s.plan_batch(X[:2], ref)
+    assert U2.shape == (2, 10, 1)

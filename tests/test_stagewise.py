@@ -565,6 +565,47 @@ def test_runtime_c_matches_baked_affine():
         np.asarray(res_ca.u), np.asarray(res_b.u), atol=5e-6)
 
 
+def test_multi_plant_stagewise_solve():
+    """stack_stagewise + solve_stagewise_multi: P plants with DIFFERENT
+    dynamics in one vmapped device call == per-plant solves (the O(N)
+    twin of solver.multi.stack_data/solve_multi)."""
+    import jax.numpy as jnp
+
+    from tpu_gpad.stagewise import solve_stagewise_multi, stack_stagewise
+
+    datas = [
+        build_stagewise(
+            problems.random_ltv(n_x=3, n_u=2, horizon=6, seed=s),
+            iterations=60,
+        )
+        for s in range(3)
+    ]
+    st = stack_stagewise(datas)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-0.3, 0.3, size=(3, 3)).astype(np.float32))
+    res = solve_stagewise_multi(st, X, iterations=60)
+    for p in range(3):
+        ref = solve_stagewise(datas[p], X[p][None], iterations=60,
+                              engine="xla")
+        np.testing.assert_allclose(
+            np.asarray(res.u[p]), np.asarray(ref.u[0]), atol=1e-6)
+    # inner per-plant batches + eps mode + warm start
+    X2 = jnp.asarray(
+        rng.uniform(-0.3, 0.3, size=(3, 4, 3)).astype(np.float32))
+    res2 = solve_stagewise_multi(
+        st, X2, mode="eps", eps_g=1e-4, eps_V=1e-4, iterations=300,
+        restart=True)
+    assert bool(np.all(np.asarray(res2.converged)))
+    res3 = solve_stagewise_multi(st, X2, iterations=60, y0=res2.y)
+    assert res3.u.shape == (3, 4, 2)
+    # mismatched shapes refuse loudly
+    import pytest as _pytest
+
+    bad = build_stagewise(problems.battery(3, 8), iterations=60)
+    with _pytest.raises(ValueError, match="identical shapes"):
+        stack_stagewise([datas[0], bad])
+
+
 def test_cli_stagewise_engine(capsys):
     import json as _json
 

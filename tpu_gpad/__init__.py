@@ -53,6 +53,8 @@ from tpu_gpad.stagewise import (
     build_stagewise,
     solve_stagewise,
     solve_stagewise_jit,
+    solve_stagewise_multi,
+    stack_stagewise,
     stagewise_compatible,
     stagewise_preferred,
 )
@@ -107,6 +109,8 @@ __all__ = [
     "build_stagewise",
     "solve_stagewise",
     "solve_stagewise_jit",
+    "solve_stagewise_multi",
+    "stack_stagewise",
     "stagewise_compatible",
     "stagewise_preferred",
     "OffsetFreeController",

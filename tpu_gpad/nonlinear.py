@@ -105,6 +105,28 @@ def linearize(f: Callable, xs: jax.Array, us: jax.Array):
     return A, B, c
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _nmpc_sw_multi_cold(stacked, X, config):
+    from tpu_gpad.stagewise import solve_stagewise_multi
+
+    return solve_stagewise_multi(stacked, X, config=config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _nmpc_sw_multi_warm(stacked, X, y0, config):
+    from tpu_gpad.stagewise import solve_stagewise_multi
+
+    return solve_stagewise_multi(stacked, X, y0=y0, config=config)
+
+
+def _nmpc_solve_stagewise_multi(stacked, X, y0, config):
+    """Jit-cached multi-plant stage-wise solve for the SQP loop (data as
+    pytree args — constant shapes, one trace per closed loop)."""
+    if y0 is None:
+        return _nmpc_sw_multi_cold(stacked, X, config)
+    return _nmpc_sw_multi_warm(stacked, X, y0, config)
+
+
 class NMPC:
     """Receding-horizon successive-linearization controller.
 
@@ -461,13 +483,7 @@ class NMPC:
         from tpu_gpad.solver.multi import solve_multi, stack_data
 
         if self.engine == "stagewise":
-            raise ValueError(
-                "plan_batch is condensation-path only (it stacks B "
-                "condensed QPs into one vmapped solve); with "
-                "engine='stagewise' call plan() per scenario, or batch "
-                "initial states of a SHARED linearization via "
-                "solve_stagewise directly"
-            )
+            return self._plan_batch_stagewise(X, x_ref)
         X = np.atleast_2d(np.asarray(X, dtype=np.float32))
         B = X.shape[0]
         ref_width = self.horizon * self.n_x if self.preview else self.n_x
@@ -572,6 +588,79 @@ class NMPC:
         self.last_result = res
         if self.rate:
             self._u_prev_b = us[:, 0]
+        return us
+
+    def _plan_batch_stagewise(self, X, x_ref) -> np.ndarray:
+        """plan_batch on the stage-wise engine (long horizons): each
+        scenario linearizes along ITS OWN trajectory, the B O(N)
+        stage-wise builds stack (``stack_stagewise`` — host Riccati is
+        the CHEAP side of this engine, 14-31x faster than condensing),
+        and all B solves run in one vmapped device call
+        (``solve_stagewise_multi``). References bake per scenario."""
+        from tpu_gpad.stagewise import (
+            build_stagewise,
+            solve_stagewise_multi,
+            stack_stagewise,
+        )
+
+        X = np.atleast_2d(np.asarray(X, dtype=np.float32))
+        B = X.shape[0]
+        ref_width = self.horizon * self.n_x if self.preview else self.n_x
+        if x_ref is None:
+            x_ref = np.zeros((B, ref_width), dtype=np.float32)
+        else:
+            x_ref = np.asarray(x_ref, dtype=np.float32)
+            x_ref = np.broadcast_to(
+                x_ref.reshape(-1, ref_width) if x_ref.size == B * ref_width
+                else x_ref.reshape(ref_width),
+                (B, ref_width),
+            ).astype(np.float32)
+        if self._us_b is None or self._us_b.shape[0] != B:
+            us = np.zeros((B, self.horizon, self.n_u), dtype=np.float32)
+            self._y_b = None
+        else:
+            us = np.concatenate(
+                [self._us_b[:, 1:], self._us_b[:, -1:]], axis=1)
+        res = None
+        for _ in range(self.sqp_iters):
+            xs_next = jax.vmap(lambda x, u: rollout(self.f, x, u))(
+                jnp.asarray(X), jnp.asarray(us)
+            )
+            xs_lin = jnp.concatenate(
+                [jnp.asarray(X)[:, None], xs_next[:, :-1]], axis=1
+            )
+            A, Bm, c = jax.vmap(
+                lambda xs, u: linearize(self.f, xs, u)
+            )(xs_lin, jnp.asarray(us))
+            A, Bm, c = map(
+                partial(np.asarray, dtype=np.float64), (A, Bm, c))
+            datas = []
+            for b in range(B):
+                problem = LinearMPCProblem(
+                    A=A[b], B=Bm[b], Q=self.Q, R=self.R,
+                    horizon=self.horizon, Q_terminal=self.Q_terminal,
+                    c=c[b], name=self.name, **self.bounds,
+                )
+                ref_b = (
+                    x_ref[b].reshape(self.horizon, self.n_x)
+                    if self.preview
+                    else x_ref[b]
+                )
+                datas.append(build_stagewise(
+                    problem, iterations=self.config.iterations,
+                    x_ref=ref_b,
+                ))
+            stacked = stack_stagewise(datas)
+            y0 = self._y_b if self.warm_start else None
+            res = _nmpc_solve_stagewise_multi(
+                stacked, jnp.asarray(X), y0, self.config
+            )
+            self._y_b = res.y
+            us_new = np.asarray(res.z, dtype=np.float32).reshape(
+                B, self.horizon, self.n_u)
+            us = us + self.damping * (us_new - us)
+        self._us_b = us
+        self.last_result = res
         return us
 
     def step_batch(self, X, x_ref=None) -> np.ndarray:

@@ -1230,6 +1230,104 @@ def solve_stagewise(
     )
 
 
+def stack_stagewise(datas) -> StagewiseData:
+    """Stack same-shape ``StagewiseData`` builds along a leading plant
+    axis (the stage-wise twin of ``solver.multi.stack_data``): every
+    array leaf gains a leading P dimension (including the per-plant
+    Lipschitz constants), meta fields must agree. Consumed by
+    ``solve_stagewise_multi`` — B plants with DIFFERENT dynamics solved
+    in one vmapped device call (the O(N) analogue of the reference's
+    per-dataset host loop, ``main.cu:104-108``)."""
+    d0 = datas[0]
+    for d in datas[1:]:
+        if (d.n_x, d.n_u, d.horizon, d.m_x, d.m_u, d.max_iters) != (
+            d0.n_x, d0.n_u, d0.horizon, d0.m_x, d0.m_u, d0.max_iters
+        ):
+            raise ValueError(
+                "stack_stagewise needs identical shapes: "
+                f"{d.name} vs {d0.name}")
+    leaves0, treedef = jax.tree_util.tree_flatten(d0)
+    stacked = [
+        jnp.stack([jax.tree_util.tree_leaves(d)[i] for d in datas])
+        for i in range(len(leaves0))
+    ]
+    return jax.tree_util.tree_unflatten(treedef, stacked)
+
+
+def solve_stagewise_multi(
+    data: StagewiseData,
+    x0: jax.Array,
+    iterations: Optional[int] = None,
+    y0: Optional[jax.Array] = None,
+    scan: str = "auto",
+    mode: str = "fixed",
+    eps_g: float = 1e-6,
+    eps_V: float = 1e-6,
+    check_every: int = 10,
+    restart: bool = False,
+    config=None,
+) -> SolveResult:
+    """Solve P independent stage-wise problems (different dynamics/costs,
+    one ``stack_stagewise`` build) in one device call.
+
+    ``x0`` is (P, n_x) — one state per plant — or (P, B, n_x) for an
+    inner scenario batch per plant. ``y0`` broadcastable to
+    (P[, B], N, m_x + m_u). Runs the XLA stage-wise executors (the fused
+    kernels assume shared constants); ``scan`` routing follows
+    ``solve_stagewise`` with the per-plant batch size."""
+    if config is not None:
+        iterations = config.iterations
+        mode = config.mode
+        eps_g, eps_V = config.eps_g, config.eps_V
+        check_every = config.check_every
+        restart = config.restart
+    if scan not in ("auto", "sequential", "associative"):
+        raise ValueError(f"bad scan: {scan!r}")
+    n_iters = int(iterations) if iterations is not None else data.max_iters
+    x0 = jnp.asarray(x0)
+    P = x0.shape[0]
+    inner = x0.shape[1:-1]
+    # NOTE: the m_x/m_u properties read Gx.shape[0], which is the PLANT
+    # axis on stacked data — index from the trailing (row, col) dims
+    N = data.horizon
+    m_x, m_u = data.Gx.shape[-2], data.Gu.shape[-2]
+    xb = x0.reshape((P, -1, data.n_x))
+    B_in = xb.shape[1]
+    if y0 is None:
+        y0x = jnp.zeros((P, B_in, N, m_x), dtype=data.hx.dtype)
+        y0u = jnp.zeros((P, B_in, N, m_u), dtype=data.hu.dtype)
+    else:
+        y0 = jnp.broadcast_to(
+            jnp.asarray(y0, dtype=data.hx.dtype),
+            (P, *inner, N, m_x + m_u),
+        ).reshape((P, B_in, N, m_x + m_u))
+        y0x, y0u = y0[..., :m_x], y0[..., m_x:]
+    if scan == "auto":
+        scan = (
+            "associative"
+            if (data.n_x + data.n_u <= 24 and B_in < 1024)
+            else "sequential"
+        )
+
+    def one(dd, x, yx, yu):
+        if mode == "eps":
+            return _solve_one_eps(
+                dd, x, yx, yu, n_iters, scan, eps_g, eps_V, check_every,
+                restart, 1,
+            )
+        return _solve_one(dd, x, yx, yu, n_iters, scan, restart, 1)
+
+    inner_v = jax.vmap(one, in_axes=(None, 0, 0, 0))
+    u, z, y, iters, residual, gap, conv = jax.vmap(inner_v)(
+        data, xb, y0x, y0u
+    )
+    rs = lambda a: a.reshape((P, *inner, *a.shape[2:]))
+    return SolveResult(
+        u=rs(u), z=rs(z), y=rs(y), iterations=rs(iters),
+        residual=rs(residual), gap=rs(gap), converged=rs(conv),
+    )
+
+
 # Module-level jitted solve entries for stateful serving (controller /
 # SQP): an UN-jitted solve_stagewise re-traces the 2N-step scan on every
 # call — the exact ~7x measurement trap DESIGN.md §11's post-mortem
