@@ -350,7 +350,7 @@ def run(args, t_start: float) -> int:
         ab_t = interleaved_ab(fn, headline_fn,
                               rounds=max(rounds // 2, 3), k_large=k_large,
                               iqr_rel_target=0.10,
-                              autoscale_max_s=90.0)
+                              autoscale_max_s=45.0)
         if ab_t["rounds"] == 0:
             detail[name + "_solves_per_sec"] = None
             detail[name + "_vs_headline"] = {"unstable": True,
@@ -537,7 +537,7 @@ def main():
     parser.add_argument("--iterations", type=int, default=100)
     parser.add_argument("--engine", default="pallas", choices=["xla", "pallas"])
     parser.add_argument(
-        "--time-budget", type=float, default=420.0,
+        "--time-budget", type=float, default=900.0,
         help="skip remaining OPTIONAL sections once this many seconds have "
              "elapsed (tunnel compiles are 30s-10min; the headline metric "
              "always completes)",

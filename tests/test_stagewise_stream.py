@@ -95,6 +95,33 @@ def test_stream_engine_route():
                         q_lin=jnp.zeros((6, 3)))
 
 
+def test_stream_under_shard_map_dp():
+    """Scenario-DP over the virtual 8-device mesh with the streamed
+    kernel inside each shard (interpret on CPU): a per-chip executor,
+    so sharding composes exactly like the other engines."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device (virtual CPU) mesh")
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_gpad.parallel import make_mesh
+
+    data = build_stagewise(problems.battery(3, 6), iterations=30)
+    rng = np.random.default_rng(9)
+    X0 = jnp.asarray(rng.uniform(-0.3, 0.3, size=(16, 3)).astype(np.float32))
+    ref_u, *_ = solve_stagewise_stream(data, X0, iterations=30,
+                                       interpret=True)
+    mesh = make_mesh(n_data=8)
+    u = jax.shard_map(
+        lambda x: solve_stagewise_stream(
+            data, x, iterations=30, interpret=True)[0],
+        mesh=mesh, in_specs=(P("data"),), out_specs=P("data"),
+        check_vma=False,
+    )(X0)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(ref_u), atol=1e-6)
+
+
 def test_stream_tile_picker_bounds():
     # refuses absurd horizons instead of OOMing
     assert pick_stream_tile(2_000_000, 32, 32, 64, 64, 256) is None

@@ -270,6 +270,173 @@ def tube_tightened_problem(
     )
 
 
+def scenario_stagewise_problem(
+    problems: Sequence[LinearMPCProblem],
+    weights: Optional[Sequence[float]] = None,
+) -> LinearMPCProblem:
+    """The stage-wise twin of ``scenario_qp``: S model realizations as
+    ONE block plant, solvable by the O(N) stage-wise engine — robust MPC
+    past the condensation wall.
+
+    Construction: stack the scenarios into a block-diagonal LTV plant
+    (state [x^1; ...; x^S], input [u^1; ...; u^S], per-stage block-diag
+    A/B, costs weighted by the scenario probabilities) and encode the
+    non-anticipativity constraint (every scenario applies the SAME first
+    move) as general-polytope input rows ``u^s_0 - u^1_0 = 0`` (+/-
+    pairs) whose per-stage rhs is 0 at stage 0 and an inert 1e30 at
+    stages >= 1 — the same free-stage trick as ``mhe_stagewise``. The
+    feasible set and objective match the condensed ``scenario_qp``
+    exactly (there the shared move is ELIMINATED by a selector; here it
+    is equality-constrained — same primal optimum, tested), so
+    ``build_stagewise(scenario_stagewise_problem(...))`` +
+    ``solve_stagewise(data, tile(x0, S))`` is the long-horizon robust
+    stack. Per-scenario plans come out of ``res.z`` with
+    ``scenario_stagewise_plans``.
+
+    Scope (v1): constant Q/R (plus optional Q_terminal) per scenario,
+    box bounds / K_u couplings / affine offsets supported when present
+    in EVERY scenario; per-stage bounds and per-scenario H_x/H_u are
+    condensation-path features here."""
+    if len(problems) < 2:
+        raise ValueError("need at least two scenarios")
+    p0 = problems[0]
+    n, p, N = p0.n_x, p0.n_u, p0.horizon
+    for q in problems[1:]:
+        if (q.n_x, q.n_u, q.horizon) != (n, p, N):
+            raise ValueError("scenarios must share (n_x, n_u, horizon)")
+        if q.H_x is not None or q.H_u is not None:
+            raise ValueError(
+                "per-scenario H_x/H_u polytopes are condensation-path "
+                "features in the stage-wise stack (v1)")
+        if q.du_min is not None or q.du_max is not None:
+            raise ValueError("rate limits are condensation-path features")
+    S = len(problems)
+    if weights is None:
+        w = np.full(S, 1.0 / S)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (S,) or (w <= 0).any():
+            raise ValueError("weights must be S positive floats")
+        w = w / w.sum()
+
+    def _stage(M, r, c_):
+        M = np.asarray(M, np.float64)
+        return (
+            M if M.ndim == 3 else np.broadcast_to(M, (N, r, c_))
+        ).astype(np.float64)
+
+    A_seq = np.zeros((N, S * n, S * n))
+    B_seq = np.zeros((N, S * n, S * p))
+    c_seq = None
+    for s, q in enumerate(problems):
+        A_seq[:, s * n:(s + 1) * n, s * n:(s + 1) * n] = _stage(q.A, n, n)
+        B_seq[:, s * n:(s + 1) * n, s * p:(s + 1) * p] = _stage(q.B, n, p)
+        if q.c is not None:
+            if c_seq is None:
+                c_seq = np.zeros((N, S * n))
+            cs = np.asarray(q.c, np.float64)
+            c_seq[:, s * n:(s + 1) * n] = (
+                cs if cs.ndim == 2 else np.broadcast_to(cs, (N, n))
+            )
+
+    def _blockdiag(mats):
+        sizes = [m.shape for m in mats]
+        out = np.zeros((sum(r for r, _ in sizes), sum(c for _, c in sizes)))
+        ro = co = 0
+        for m in mats:
+            out[ro:ro + m.shape[0], co:co + m.shape[1]] = m
+            ro += m.shape[0]
+            co += m.shape[1]
+        return out
+
+    for q in problems:
+        if np.ndim(q.Q) == 3 or np.ndim(q.R) == 3:
+            raise ValueError(
+                "per-stage Q/R are condensation-path features in the "
+                "stage-wise scenario stack (v1)")
+    Q = _blockdiag([w[s] * np.asarray(q.Q, np.float64)
+                    for s, q in enumerate(problems)])
+    R = _blockdiag([w[s] * np.asarray(q.R, np.float64)
+                    for s, q in enumerate(problems)])
+    QT = (
+        _blockdiag([
+            w[s] * np.asarray(
+                q.Q_terminal if q.Q_terminal is not None else q.Q,
+                np.float64)
+            for s, q in enumerate(problems)
+        ])
+        if any(q.Q_terminal is not None for q in problems)
+        else None
+    )
+
+    def _cat_bound(attr, size):
+        have = [getattr(q, attr) is not None for q in problems]
+        if not any(have):
+            return None
+        if not all(have):
+            raise ValueError(
+                f"{attr} must be present in every scenario or none")
+        return np.concatenate([
+            np.broadcast_to(np.asarray(getattr(q, attr), float), (size,))
+            for q in problems
+        ])
+
+    x_min = _cat_bound("x_min", n)
+    x_max = _cat_bound("x_max", n)
+    u_min = _cat_bound("u_min", p)
+    u_max = _cat_bound("u_max", p)
+    K_u = None
+    if any(q.K_u is not None for q in problems):
+        if not all(q.K_u is not None for q in problems):
+            raise ValueError("K_u must be present in every scenario or none")
+        K_u = _blockdiag([np.asarray(q.K_u, float) for q in problems])
+
+    # non-anticipativity: u^s_0 == u^1_0 for s >= 2, as +/- polytope rows
+    # live only at stage 0 (inert 1e30 afterwards)
+    Hc = np.zeros((2 * (S - 1) * p, S * p))
+    for s in range(1, S):
+        r = 2 * (s - 1) * p
+        Hc[r:r + p, :p] = -np.eye(p)
+        Hc[r:r + p, s * p:(s + 1) * p] = np.eye(p)
+        Hc[r + p:r + 2 * p, :p] = np.eye(p)
+        Hc[r + p:r + 2 * p, s * p:(s + 1) * p] = -np.eye(p)
+    h_u = np.full((N, 2 * (S - 1) * p), 1e30)
+    h_u[0] = 0.0
+
+    return LinearMPCProblem(
+        A=A_seq,
+        B=B_seq,
+        Q=Q,
+        R=R,
+        horizon=N,
+        x_min=x_min,
+        x_max=x_max,
+        Q_terminal=QT,
+        u_min=u_min,
+        u_max=u_max,
+        K_u=K_u,
+        H_u=Hc,
+        h_u=h_u,
+        c=c_seq,
+        name=f"scenario_sw[{S}x{p0.name}]",
+    )
+
+
+def scenario_stagewise_x0(x0, S: int):
+    """Tile the measured state for the S-scenario block plant."""
+    x0 = np.asarray(x0)
+    return np.concatenate([x0] * S, axis=-1)
+
+
+def scenario_stagewise_plans(z, S: int, n_u: int, horizon: int):
+    """Per-scenario plans (..., S, N, n_u) from the block ``res.z``."""
+    z = np.asarray(z)
+    lead = z.shape[:-1]
+    return (
+        z.reshape(*lead, horizon, S, n_u).swapaxes(-3, -2)
+    )
+
+
 def scenario_problem_variants(
     problem: LinearMPCProblem,
     A_list: Optional[Sequence[np.ndarray]] = None,
