@@ -731,10 +731,29 @@ class RobustNMPC:
         warm_start: bool = True,
         preview: bool = False,
         device_condense: bool = False,
+        engine: str = "condensed",
         name: str = "robust_nmpc",
     ):
         if len(models) < 1:
             raise ValueError("need at least one model realization")
+        if engine not in ("condensed", "stagewise"):
+            raise ValueError(
+                f"engine must be 'condensed' or 'stagewise': {engine!r}")
+        if engine == "stagewise":
+            # the O(N) robust stack (robust.scenario_stagewise_problem):
+            # block plant + stage-0 non-anticipativity rows, for horizons
+            # past the condensation wall
+            if device_condense:
+                raise ValueError(
+                    "engine='stagewise' and device_condense are exclusive")
+            if soft_state is not None:
+                raise ValueError(
+                    "engine='stagewise' does not take soft_state "
+                    "(dual-damped rows are a condensation-path feature)")
+            if len(models) < 2:
+                raise ValueError(
+                    "the stage-wise scenario stack needs >= 2 models")
+        self.engine = engine
         if config is None:
             config = SolverConfig(iterations=iterations, restart=True)
         if config.iterations is None:
@@ -874,6 +893,57 @@ class RobustNMPC:
             self._y = y_new
             self.last_result = res
             return Us[0]
+        if self.engine == "stagewise":
+            from tpu_gpad.robust import (
+                scenario_stagewise_plans,
+                scenario_stagewise_problem,
+                scenario_stagewise_x0,
+            )
+            from tpu_gpad.stagewise import build_stagewise, solve_stagewise_jit
+
+            res = None
+            ref_tiled = (
+                np.tile(x_ref.reshape(N, self.n_x), (1, S))
+                if self.preview
+                else np.tile(x_ref, S)
+            )
+            for _ in range(self.sqp_iters):
+                probs = []
+                for s, f_s in enumerate(self.models):
+                    us_s = jnp.asarray(Us[s])
+                    xs_next = rollout(f_s, jnp.asarray(x), us_s)
+                    xs_lin = jnp.concatenate(
+                        [jnp.asarray(x)[None], xs_next[:-1]], axis=0
+                    )
+                    A, B, c = linearize(f_s, xs_lin, us_s)
+                    probs.append(LinearMPCProblem(
+                        A=np.asarray(A, dtype=np.float64),
+                        B=np.asarray(B, dtype=np.float64),
+                        Q=self.Q, R=self.R, horizon=N,
+                        Q_terminal=self.Q_terminal,
+                        c=np.asarray(c, dtype=np.float64),
+                        name=f"{self.name}_s{s}", **self.bounds,
+                    ))
+                swp = scenario_stagewise_problem(
+                    probs, weights=self.weights)
+                data = build_stagewise(
+                    swp, iterations=self.config.iterations,
+                    x_ref=ref_tiled,
+                )
+                y0 = self._y if self.warm_start else None
+                res = solve_stagewise_jit(
+                    data,
+                    jnp.asarray(
+                        scenario_stagewise_x0(x, S)[None], jnp.float32),
+                    y0=y0, config=self.config,
+                )
+                self._y = res.y
+                new = scenario_stagewise_plans(
+                    np.asarray(res.z[0], np.float32), S, n_u, N)
+                Us = Us + self.damping * (new - Us)
+            self.plans = Us.astype(np.float32)
+            self.last_result = res
+            return self.plans[0]
         res = None
         for _ in range(self.sqp_iters):
             qps = []
