@@ -10,6 +10,12 @@ TPU hardware:
   epsilon-optimality termination modes,
 - scenario batching that turns the two hot matrix-vector products into MXU
   matmuls, with a fused Pallas kernel keeping solver state in VMEM,
+- the paper's O(N) non-condensed (stage-wise) engine for long horizons —
+  Riccati-precomputed LQR oracle behind four chip-routed executors
+  (whole-VMEM fused kernel, HBM-streamed fused kernel, parallel-prefix
+  and sequential scans), with estimation (MHE), differentiation, robust
+  scenario stacks and multi-plant batching riding it past the
+  condensation wall,
 - shard_map scaling of the scenario batch across device meshes with
   psum-collective convergence tests.
 
