@@ -84,7 +84,7 @@ def pick_stream_tile(N: int, n_p: int, p_p: int, mx_p: int, mu_p: int,
     m_sp = mx_p + mu_p
     np_pp = n_p + p_p
     per_lane = 4 * (N * (n_p + p_p) + 3 * (n_p + p_p + 8) + 4 * SUBLANE)
-    # y-блock streams: worst pass holds 4 double-buffered m_sp blocks
+    # y-block streams: worst pass holds 4 double-buffered m_sp blocks
     stream_lane = 4 * (8 * m_sp)
     cp_bufs = 4 * (4 * np_pp * c_pad)  # CP blocks across specs, 2-buffered
     for b_t in (512, 256, 128):
