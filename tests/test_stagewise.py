@@ -514,18 +514,24 @@ def test_runtime_q_lin_matches_baked_x_ref():
     q_lin = -np.einsum("ij,kj->ki", np.asarray(prob.Q, float), ref)
     res_b = solve_stagewise(baked, X0)
     res_q = solve_stagewise(plain, X0, q_lin=jnp.asarray(q_lin, jnp.float32))
+    # on chip the runtime path's fp32 device dtl/qoff einsums diverge
+    # from the offline f64 constants at relu boundaries (backend_tol)
     np.testing.assert_allclose(
-        np.asarray(res_q.u), np.asarray(res_b.u), atol=2e-6)
+        np.asarray(res_q.u), np.asarray(res_b.u),
+        atol=backend_tol(2e-6, 5e-5))
     np.testing.assert_allclose(
-        np.asarray(res_q.y), np.asarray(res_b.y), atol=5e-6)
+        np.asarray(res_q.y), np.asarray(res_b.y),
+        atol=backend_tol(5e-6, 1e-4))
     # per-example q_lin: scenario 0 tracks ref, scenario 1 tracks zero
     qb = np.stack([q_lin, np.zeros_like(q_lin)]).astype(np.float32)
     res_mix = solve_stagewise(plain, X0[:2], q_lin=jnp.asarray(qb))
     res_z = solve_stagewise(plain, X0[1:2])
     np.testing.assert_allclose(
-        np.asarray(res_mix.u[0]), np.asarray(res_b.u[0]), atol=2e-6)
+        np.asarray(res_mix.u[0]), np.asarray(res_b.u[0]),
+        atol=backend_tol(2e-6, 5e-5))
     np.testing.assert_allclose(
-        np.asarray(res_mix.u[1]), np.asarray(res_z.u[0]), atol=2e-6)
+        np.asarray(res_mix.u[1]), np.asarray(res_z.u[0]),
+        atol=backend_tol(2e-6, 5e-5))
 
 
 def test_runtime_c_matches_baked_affine():
@@ -545,9 +551,11 @@ def test_runtime_c_matches_baked_affine():
     res_b = solve_stagewise(baked, X0)
     res_c = solve_stagewise(plain, X0, c=jnp.asarray(cs, jnp.float32))
     np.testing.assert_allclose(
-        np.asarray(res_c.u), np.asarray(res_b.u), atol=2e-6)
+        np.asarray(res_c.u), np.asarray(res_b.u),
+        atol=backend_tol(2e-6, 5e-5))
     np.testing.assert_allclose(
-        np.asarray(res_c.z), np.asarray(res_b.z), atol=2e-6)
+        np.asarray(res_c.z), np.asarray(res_b.z),
+        atol=backend_tol(2e-6, 5e-5))
     # eps mode rides the same per-solve constants (incl. _rollout's c)
     res_be = solve_stagewise(baked, X0, mode="eps", eps_g=1e-5,
                              eps_V=1e-5, iterations=60)
@@ -555,14 +563,17 @@ def test_runtime_c_matches_baked_affine():
                              eps_V=1e-5, iterations=60,
                              c=jnp.asarray(cs, jnp.float32))
     np.testing.assert_allclose(
-        np.asarray(res_ce.u), np.asarray(res_be.u), atol=2e-6)
-    np.testing.assert_allclose(
-        np.asarray(res_ce.iterations), np.asarray(res_be.iterations))
+        np.asarray(res_ce.u), np.asarray(res_be.u),
+        atol=backend_tol(2e-6, 5e-5))
+    if backend_tol(0, 1) == 0:  # iteration-count equality is CPU-exact
+        np.testing.assert_allclose(
+            np.asarray(res_ce.iterations), np.asarray(res_be.iterations))
     # associative executor sees the same effective constants
     res_ca = solve_stagewise(plain, X0, scan="associative",
                              c=jnp.asarray(cs, jnp.float32))
     np.testing.assert_allclose(
-        np.asarray(res_ca.u), np.asarray(res_b.u), atol=5e-6)
+        np.asarray(res_ca.u), np.asarray(res_b.u),
+        atol=backend_tol(5e-6, 1e-4))
 
 
 def test_multi_plant_stagewise_solve():
@@ -588,7 +599,8 @@ def test_multi_plant_stagewise_solve():
         ref = solve_stagewise(datas[p], X[p][None], iterations=60,
                               engine="xla")
         np.testing.assert_allclose(
-            np.asarray(res.u[p]), np.asarray(ref.u[0]), atol=1e-6)
+            np.asarray(res.u[p]), np.asarray(ref.u[0]),
+            atol=backend_tol(1e-6, 5e-5))
     # inner per-plant batches + eps mode + warm start
     X2 = jnp.asarray(
         rng.uniform(-0.3, 0.3, size=(3, 4, 3)).astype(np.float32))

@@ -18,24 +18,45 @@ from tpu_gpad.stagewise_stream import (
 )
 
 
+def _on_tpu():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+# On the real chip (opt-in suite) the parity tests run the REAL kernel
+# for the two small shapes below; the heavier interpret-mode tests are
+# CPU-only — interpret adds nothing on hardware and each extra chip
+# compile costs 30s-10min through the tunnel (the chip evidence for the
+# big shapes is STAGEWISE.json stream_rows).
+heavy_cpu_only = pytest.mark.skipif(
+    _on_tpu(),
+    reason="CPU-only (chip compile budget; chip rows in STAGEWISE.json)",
+)
+
+
 def _pair(prob, iters, X0, restart=False, y0=None):
     data = build_stagewise(prob, iterations=iters)
     ref = solve_stagewise(data, X0, iterations=iters, engine="xla",
                           restart=restart, y0=y0)
     out = solve_stagewise_stream(data, X0, iterations=iters,
-                                 restart=restart, y0=y0, interpret=True)
+                                 restart=restart, y0=y0,
+                                 interpret=not _on_tpu())
     return ref, out
 
 
 def test_stream_matches_xla_battery():
+    from conftest import backend_tol
+
     rng = np.random.default_rng(0)
     X0 = jnp.asarray(rng.uniform(-0.4, 0.4, size=(5, 3)).astype(np.float32))
     ref, (u0, zu, y, resid, gap) = _pair(problems.battery(3, 6), 40, X0)
-    np.testing.assert_allclose(u0, ref.u, atol=2e-6)
-    np.testing.assert_allclose(zu.reshape(5, -1), ref.z, atol=2e-6)
-    np.testing.assert_allclose(y, ref.y, atol=5e-6)
-    np.testing.assert_allclose(resid, ref.residual, atol=2e-6)
-    np.testing.assert_allclose(gap, ref.gap, atol=2e-5)
+    tol = backend_tol(2e-6, 5e-5)
+    np.testing.assert_allclose(u0, ref.u, atol=tol)
+    np.testing.assert_allclose(zu.reshape(5, -1), ref.z, atol=tol)
+    np.testing.assert_allclose(y, ref.y, atol=backend_tol(5e-6, 1e-4))
+    np.testing.assert_allclose(resid, ref.residual, atol=tol)
+    np.testing.assert_allclose(gap, ref.gap, atol=backend_tol(2e-5, 2e-4))
 
 
 def test_stream_warm_restart_and_wide_rows():
@@ -45,16 +66,19 @@ def test_stream_warm_restart_and_wide_rows():
     rng = np.random.default_rng(1)
     X0 = jnp.asarray(rng.uniform(-0.3, 0.3, size=(4, 8)).astype(np.float32))
     warm = solve_stagewise(data, X0 * 0.9, iterations=60, engine="xla")
+    from conftest import backend_tol
+
     for restart in (False, True):
         ref = solve_stagewise(data, X0, iterations=60, engine="xla",
                               y0=warm.y, restart=restart)
         u0, zu, y, resid, gap = solve_stagewise_stream(
             data, X0, iterations=60, restart=restart, y0=warm.y,
-            interpret=True)
-        np.testing.assert_allclose(u0, ref.u, atol=2e-6)
-        np.testing.assert_allclose(y, ref.y, atol=5e-6)
+            interpret=not _on_tpu())
+        np.testing.assert_allclose(u0, ref.u, atol=backend_tol(2e-6, 5e-5))
+        np.testing.assert_allclose(y, ref.y, atol=backend_tol(5e-6, 1e-4))
 
 
+@heavy_cpu_only
 def test_stream_wide_constants_n30():
     """n30-class packed constants exceed one 128-lane tile (the whole-VMEM
     kernel's rejection case) — the streamed kernel takes them."""
@@ -74,6 +98,7 @@ def test_stream_wide_constants_n30():
     np.testing.assert_allclose(y, ref.y, atol=5e-6)
 
 
+@heavy_cpu_only
 def test_stream_engine_route():
     """engine='stream' forces the streamed kernel through solve_stagewise
     (interpret off-TPU), with the standard SolveResult contract."""
@@ -95,6 +120,7 @@ def test_stream_engine_route():
                         q_lin=jnp.zeros((6, 3)))
 
 
+@heavy_cpu_only
 def test_stream_under_shard_map_dp():
     """Scenario-DP over the virtual 8-device mesh with the streamed
     kernel inside each shard (interpret on CPU): a per-chip executor,
