@@ -173,6 +173,177 @@ void gpad_solve_fixed_paired_flat(const float* MG_T, const float* GLs_T,
   std::memcpy(y_out, y, sizeof(float) * 2 * m_h);
 }
 
+// Stage-wise (non-condensed) fixed-budget GPAD solve: the CPU baseline
+// for the O(N) engine (tpu_gpad/stagewise.py `_solve_one`; the variant
+// the reference's seq library has no analogue for — nmpc12-gpad.pdf p.3).
+// Per iteration: stage-local dual extrapolation, one backward affine
+// Riccati sweep (precomputed gains), one forward rollout, primal
+// averaging and the projected dual ascent. All row-major float32.
+//
+// Shapes: A_seq/E (N,n,n), B_seq (N,n,p), K (N,p,n), Hi (N,p,p),
+// Gx (m_x,n), hx (N,m_x), Gu (m_u,p), hu (N,m_u), dtl/qoff/c_seq (N,n),
+// theta/beta (iterations), x0 (n). Outputs: zu_out (N,p) averaged input
+// plan, y_out (N, m_x+m_u) stage-packed dual, diag_out[0/1] residual/gap.
+// scratch: N*(2*(m_x+m_u) + 3*n + 2*p) + 2*n + 2*p floats.
+void gpad_solve_stagewise_fixed(
+    const float* A_seq, const float* B_seq, const float* K, const float* Hi,
+    const float* E, const float* Gx, const float* hx, const float* Gu,
+    const float* hu, const float* dtl, const float* qoff, const float* c_seq,
+    const float* theta, const float* beta, float inv_L, int64_t N, int64_t n,
+    int64_t p, int64_t m_x, int64_t m_u, int64_t iterations, const float* x0,
+    float* zu_out, float* y_out, float* diag_out, float* scratch) {
+  const int64_t ms = m_x + m_u;
+  float* y = scratch;                    // (N, ms) packed [yx | yu]
+  float* y_prev = y + N * ms;            // (N, ms)
+  float* qx = y_prev + N * ms;           // (N, n)
+  float* ru = qx + N * n;                // (N, p)
+  float* st = ru + N * p;                // (N, n) stilde
+  float* zx = st + N * n;                // (N, n) averaged states
+  float* zu = zx + N * n;                // (N, p) averaged inputs
+  float* x = zu + N * p;                 // (n)
+  float* xn = x + n;                     // (n)
+  float* kff = xn + n;                   // (p)
+  float* u = kff + p;                    // (p)
+  std::memset(y, 0, sizeof(float) * 2 * N * ms);
+  std::memset(zx, 0, sizeof(float) * N * n);
+  std::memset(zu, 0, sizeof(float) * N * p);
+  std::memset(zu_out, 0, sizeof(float) * N * p);
+  for (int64_t it = 0; it < iterations; ++it) {
+    const float b = beta[it];
+    const float th = theta[it];
+    // w = y + b (y - y_prev), stored IN y_out as stage-packed w; qx/ru
+    // from the stage-local constraint transposes, plus the qoff shift
+    for (int64_t k = 0; k < N; ++k) {
+      float* wk = y_out + k * ms;  // reuse y_out as the w workspace
+      const float* yk = y + k * ms;
+      const float* ypk = y_prev + k * ms;
+      for (int64_t i = 0; i < ms; ++i)
+        wk[i] = yk[i] + b * (yk[i] - ypk[i]);
+      float* qk = qx + k * n;
+      for (int64_t j = 0; j < n; ++j) qk[j] = qoff[k * n + j];
+      for (int64_t i = 0; i < m_x; ++i) {
+        const float wi = wk[i];
+        const float* row = Gx + i * n;
+        for (int64_t j = 0; j < n; ++j) qk[j] += wi * row[j];
+      }
+      float* rk = ru + k * p;
+      for (int64_t j = 0; j < p; ++j) rk[j] = 0.0f;
+      for (int64_t i = 0; i < m_u; ++i) {
+        const float wi = wk[m_x + i];
+        const float* row = Gu + i * p;
+        for (int64_t j = 0; j < p; ++j) rk[j] += wi * row[j];
+      }
+    }
+    // backward sweep: st[k] = s_{k+1} = qx[k] + E[k+1]' s - K[k+1]' ru[k+1]
+    for (int64_t j = 0; j < n; ++j) st[(N - 1) * n + j] = qx[(N - 1) * n + j];
+    for (int64_t k = N - 2; k >= 0; --k) {
+      const float* s_next = st + (k + 1) * n;
+      const float* Ek1 = E + (k + 1) * n * n;
+      const float* Kk1 = K + (k + 1) * p * n;
+      const float* rk1 = ru + (k + 1) * p;
+      float* sk = st + k * n;
+      for (int64_t j = 0; j < n; ++j) {
+        float acc = qx[k * n + j];
+        for (int64_t i = 0; i < n; ++i) acc += Ek1[i * n + j] * s_next[i];
+        for (int64_t i = 0; i < p; ++i) acc -= Kk1[i * n + j] * rk1[i];
+        sk[j] = acc;
+      }
+    }
+    // forward rollout + primal averaging + projected dual ascent
+    std::memcpy(x, x0, sizeof(float) * n);
+    for (int64_t k = 0; k < N; ++k) {
+      const float* Ak = A_seq + k * n * n;
+      const float* Bk = B_seq + k * n * p;
+      const float* Kk = K + k * p * n;
+      const float* Hik = Hi + k * p * p;
+      const float* sk = st + k * n;
+      const float* rk = ru + k * p;
+      // kff = Hi (B' (stilde + dtl) + ru)
+      for (int64_t i = 0; i < p; ++i) {
+        float acc = rk[i];
+        for (int64_t j = 0; j < n; ++j)
+          acc += Bk[j * p + i] * (sk[j] + dtl[k * n + j]);
+        u[i] = acc;  // temp: B' st + ru
+      }
+      for (int64_t i = 0; i < p; ++i) {
+        float acc = 0.0f;
+        for (int64_t j = 0; j < p; ++j) acc += Hik[i * p + j] * u[j];
+        kff[i] = acc;
+      }
+      for (int64_t i = 0; i < p; ++i) {
+        float acc = -kff[i];
+        for (int64_t j = 0; j < n; ++j) acc -= Kk[i * n + j] * x[j];
+        kff[i] = acc;  // now kff holds u_k
+      }
+      for (int64_t j = 0; j < n; ++j) {
+        float acc = c_seq[k * n + j];
+        for (int64_t i = 0; i < n; ++i) acc += Ak[j * n + i] * x[i];
+        for (int64_t i = 0; i < p; ++i) acc += Bk[j * p + i] * kff[i];
+        xn[j] = acc;
+      }
+      std::memcpy(x, xn, sizeof(float) * n);
+      for (int64_t i = 0; i < p; ++i)
+        zu[k * p + i] = (1.0f - th) * zu[k * p + i] + th * kff[i];
+      for (int64_t j = 0; j < n; ++j)
+        zx[k * n + j] = (1.0f - th) * zx[k * n + j] + th * xn[j];
+      // dual ascent on this stage's rows (w lives in y_out)
+      float* wk = y_out + k * ms;
+      float* yk = y + k * ms;
+      float* ypk = y_prev + k * ms;
+      std::memcpy(ypk, yk, sizeof(float) * ms);
+      for (int64_t i = 0; i < m_x; ++i) {
+        float g = -hx[k * m_x + i];
+        const float* row = Gx + i * n;
+        for (int64_t j = 0; j < n; ++j) g += row[j] * xn[j];
+        const float v = wk[i] + inv_L * g;
+        yk[i] = 0.5f * (v + std::abs(v));
+      }
+      for (int64_t i = 0; i < m_u; ++i) {
+        float g = -hu[k * m_u + i];
+        const float* row = Gu + i * p;
+        for (int64_t j = 0; j < p; ++j) g += row[j] * kff[j];
+        const float v = wk[m_x + i] + inv_L * g;
+        yk[m_x + i] = 0.5f * (v + std::abs(v));
+      }
+    }
+  }
+  // epilogue: clamped max violation + gap of the averaged primal (the
+  // averaged states are the exact rollout of zu — x linear in u)
+  float vmax = -1e30f;
+  float gap = 0.0f;
+  std::memcpy(x, x0, sizeof(float) * n);
+  for (int64_t k = 0; k < N; ++k) {
+    const float* Ak = A_seq + k * n * n;
+    const float* Bk = B_seq + k * n * p;
+    for (int64_t j = 0; j < n; ++j) {
+      float acc = c_seq[k * n + j];
+      for (int64_t i = 0; i < n; ++i) acc += Ak[j * n + i] * x[i];
+      for (int64_t i = 0; i < p; ++i) acc += Bk[j * p + i] * zu[k * p + i];
+      xn[j] = acc;
+    }
+    std::memcpy(x, xn, sizeof(float) * n);
+    const float* yk = y + k * ms;
+    for (int64_t i = 0; i < m_x; ++i) {
+      float g = -hx[k * m_x + i];
+      const float* row = Gx + i * n;
+      for (int64_t j = 0; j < n; ++j) g += row[j] * xn[j];
+      vmax = std::max(vmax, g);
+      gap += yk[i] * g;
+    }
+    for (int64_t i = 0; i < m_u; ++i) {
+      float g = -hu[k * m_u + i];
+      const float* row = Gu + i * p;
+      for (int64_t j = 0; j < p; ++j) g += row[j] * zu[k * p + j];
+      vmax = std::max(vmax, g);
+      gap += yk[m_x + i] * g;
+    }
+  }
+  std::memcpy(zu_out, zu, sizeof(float) * N * p);
+  std::memcpy(y_out, y, sizeof(float) * N * ms);
+  diag_out[0] = std::max(vmax, 0.0f);
+  diag_out[1] = -gap;
+}
+
 // Batched dense solve: B independent scenarios sharing MG_T/GL_T with
 // per-scenario g_P (B x n_z) and p_D (B x m). The multi-scenario CPU
 // baseline for throughput comparisons.

@@ -134,3 +134,35 @@ def test_cli_binary(tmp_path, dual_constants):
     ref = oracle.gpad_solve(M_G, g_P, G_L, p_D, qp.n_u, iterations=100)
     np.testing.assert_allclose(u, ref.u, atol=5e-4)
     assert "avg per-iteration" in out
+
+
+def test_native_stagewise_solve_matches_xla():
+    """The native C++ stage-wise fixed-budget solve (the CPU baseline of
+    the O(N) engine — the reference's seq library is condensed-only)
+    reproduces solve_stagewise's iterates, diagnostics included, on LTI
+    and LTV plants with affine offsets."""
+    import dataclasses
+
+    from tpu_gpad import problems
+    from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+
+    rng = np.random.default_rng(0)
+    ltv = problems.random_ltv(n_x=3, n_u=2, horizon=6, seed=3)
+    battery_c = dataclasses.replace(
+        problems.battery(3, 6),
+        c=rng.uniform(-0.02, 0.02, size=(6, 3)),
+    )
+    for prob, iters in ((problems.battery(3, 6), 60), (ltv, 80),
+                        (battery_c, 60)):
+        data = build_stagewise(prob, iterations=iters)
+        x0 = rng.uniform(-0.3, 0.3, size=prob.n_x).astype(np.float32)
+        ref = solve_stagewise(data, x0[None], iterations=iters,
+                              engine="xla")
+        u0, zu, y, resid, gap = native.solve_stagewise_fixed(
+            data, x0, iters)
+        np.testing.assert_allclose(u0, np.asarray(ref.u[0]), atol=1e-6)
+        np.testing.assert_allclose(
+            zu.reshape(-1), np.asarray(ref.z[0]), atol=1e-6)
+        np.testing.assert_allclose(y, np.asarray(ref.y[0]), atol=2e-6)
+        assert abs(resid - float(ref.residual[0])) < 1e-6
+        assert abs(gap - float(ref.gap[0])) < 1e-5

@@ -69,6 +69,9 @@ def _lib() -> ctypes.CDLL:
     lib.gpad_solve_fixed_batch.argtypes = (
         [fp] * 6 + [i64, i64, i64, i64, f32] + [fp] * 3
     )
+    lib.gpad_solve_stagewise_fixed.argtypes = (
+        [fp] * 14 + [f32] + [i64] * 6 + [fp] * 5
+    )
     return lib
 
 
@@ -183,6 +186,40 @@ def solve_fixed_batch(MG_T, GL_T, g_P, p_D, theta, beta, iterations, sign=-1.0):
         B, m, n_z, int(iterations), float(sign), _ptr(Z), _ptr(Y), _ptr(scratch),
     )
     return Z, Y
+
+
+def solve_stagewise_fixed(data, x0, iterations):
+    """Native stage-wise fixed-budget solve (the CPU baseline of the O(N)
+    engine; no reference analogue — its seq library is condensed-only).
+
+    ``data`` is a ``StagewiseData``; ``x0`` (n_x,). Returns
+    ``(u0, zu (N, n_u), y (N, m_x + m_u), residual, gap)`` matching
+    ``solve_stagewise``'s stage packing and diagnostics semantics."""
+    arrs = {
+        name: _f32(getattr(data, name))
+        for name in ("A_seq", "B_seq", "K", "Hi", "E", "Gx", "hx", "Gu",
+                     "hu", "dtl", "qoff", "c_seq", "theta", "beta")
+    }
+    x0 = _f32(x0)
+    N, n, p = data.horizon, data.n_x, data.n_u
+    m_x, m_u = data.m_x, data.m_u
+    ms = m_x + m_u
+    it = int(iterations)
+    zu = np.empty((N, p), dtype=np.float32)
+    y = np.empty((N, ms), dtype=np.float32)
+    diag = np.empty(2, dtype=np.float32)
+    scratch = np.empty(N * (2 * ms + 3 * n + 2 * p) + 2 * n + 2 * p,
+                       dtype=np.float32)
+    _lib().gpad_solve_stagewise_fixed(
+        _ptr(arrs["A_seq"]), _ptr(arrs["B_seq"]), _ptr(arrs["K"]),
+        _ptr(arrs["Hi"]), _ptr(arrs["E"]), _ptr(arrs["Gx"]),
+        _ptr(arrs["hx"]), _ptr(arrs["Gu"]), _ptr(arrs["hu"]),
+        _ptr(arrs["dtl"]), _ptr(arrs["qoff"]), _ptr(arrs["c_seq"]),
+        _ptr(arrs["theta"]), _ptr(arrs["beta"]),
+        float(1.0 / float(np.asarray(data.L))), N, n, p, m_x, m_u, it,
+        _ptr(x0), _ptr(zu), _ptr(y), _ptr(diag), _ptr(scratch),
+    )
+    return zu[0].copy(), zu, y, float(diag[0]), float(diag[1])
 
 
 def build_cli() -> Path:
