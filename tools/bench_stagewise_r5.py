@@ -58,17 +58,36 @@ def main():
     ap.add_argument("--out", default="STAGEWISE.json")
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=5)
-    ap.add_argument("--section", choices=["warm", "auto", "stream", "all"],
+    ap.add_argument("--section",
+                    choices=["warm", "auto", "stream", "cpu", "all"],
                     default="all")
     args = ap.parse_args()
 
     import jax
+
+    if args.section == "cpu":
+        # host-only section: keep the axon backend out of it entirely
+        # (build_stagewise's as_dev would otherwise wait on the tunnel)
+        jax.config.update("jax_platforms", "cpu")
 
     out = (
         json.loads(Path(args.out).read_text())
         if Path(args.out).exists()
         else {"device": str(jax.devices()[0]), "rows": []}
     )
+
+    if args.section in ("cpu", "all"):
+        # host-only: the native C++ stage-wise baseline (the reference's
+        # GPU-vs-CPU headline, reproduced for the O(N) engine)
+        out["native_cpu_rows"] = []
+        for n, N in ((8, 240), (30, 200)):
+            try:
+                out["native_cpu_rows"].append(_cpu_row(args, n, N))
+            except Exception as ex:
+                out["native_cpu_rows"].append(
+                    {"n_cells": n, "N": N,
+                     "error": f"{type(ex).__name__}: {ex}"[:300]})
+        Path(args.out).write_text(json.dumps(out, indent=1))
 
     if args.section in ("stream", "all"):
         out["stream_rows"] = []
@@ -108,6 +127,31 @@ def main():
 
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(f"wrote {args.out}")
+
+
+def _cpu_row(args, n, N):
+    from tpu_gpad import native, problems
+    from tpu_gpad.stagewise import build_stagewise
+
+    data = build_stagewise(problems.battery(n, N),
+                           iterations=args.iterations)
+    x0 = np.random.default_rng(0).uniform(
+        -0.3, 0.3, size=n).astype(np.float32)
+    native.solve_stagewise_fixed(data, x0, args.iterations)  # warm
+    t0 = time.perf_counter()
+    k = 0
+    while time.perf_counter() - t0 < 2.0:
+        native.solve_stagewise_fixed(data, x0, args.iterations)
+        k += 1
+    dt = (time.perf_counter() - t0) / k
+    row = {
+        "n_cells": n, "N": N, "iterations": args.iterations,
+        "native_cpu_solves_per_sec": 1.0 / dt,
+        "note": "single-thread C++ gpad_solve_stagewise_fixed; the "
+                "per-chip speedup is stream/xla rows over this",
+    }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 def _stream_row(args, n, N, batch):
