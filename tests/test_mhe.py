@@ -163,8 +163,12 @@ def test_batched_windows_match_streaming():
             np.stack(xbars)[i : i + 1], np.stack(Ys)[i : i + 1],
             np.stack(Us)[i : i + 1],
         )
+        # chip: batch-4 vs batch-1 solves are different fp32 programs
+        # (reduction orders differ) and diverge ~1e-3 at 300 restart
+        # iterations (relu boundaries) — the standard backend_tol case
         np.testing.assert_allclose(
-            np.asarray(x_hat)[i], np.asarray(xi)[0], atol=1e-5
+            np.asarray(x_hat)[i], np.asarray(xi)[0],
+            atol=backend_tol(1e-5, 5e-3)
         )
 
 
