@@ -244,5 +244,9 @@ def test_cg_solver_matches_cholesky():
     Pj = jnp.asarray(P)
     g_cg = jax.grad(lambda p: 0.5 * jnp.sum(f_cg(data, p) ** 2))(Pj)
     g_ch = jax.grad(lambda p: 0.5 * jnp.sum(f_ch(data, p) ** 2))(Pj)
+    # atol 1e-5: CG's exit is a 1e-5 relative-residual reduction by
+    # design (the fp32-safe bound — tighter exits stagnate-then-diverge,
+    # see _sw_masked_cg), so near-zero gradient components resolve to
+    # ~1e-5, not machine epsilon
     np.testing.assert_allclose(np.asarray(g_cg), np.asarray(g_ch),
-                               rtol=1e-4, atol=1e-6)
+                               rtol=1e-4, atol=1e-5)

@@ -123,7 +123,11 @@ def _solve_masked_system(data, m_b, ridge, Bmat, method="auto"):
     X0 = jnp.zeros_like(Bmat)
     R0 = Bmat
     rs0 = jnp.sum(R0 * R0, axis=-2, keepdims=True)
-    tol2 = 1e-14 * jnp.maximum(rs0, 1e-30)
+    # 1e-10 squared-relative exit (1e-5 reduction): fp32 CG stagnates
+    # below that and can then DIVERGE — see _sw_masked_cg, where the old
+    # 1e-14 exit was chip-measured producing 4e5-magnitude garbage
+    # gradients at large active sets
+    tol2 = 1e-10 * jnp.maximum(rs0, 1e-30)
 
     def cond(carry):
         i, _, _, _, rs = carry
@@ -328,13 +332,19 @@ def _sw_apply_GHiG(d0, v):
     return -_sw_gz(d0, xs, us)  # zeta = -H^-1 G'v, so G zeta = -Hd v
 
 
-def _sw_masked_cg(d0, m_b, ridge, rhs, cg_iters):
+def _sw_masked_cg(d0, m_b, ridge, rhs, cg_iters, cg_rtol2=1e-10):
     """Batched matrix-free CG on (M Hd M + (I - M) + ridge M) w = rhs.
 
     ``m_b``/``rhs`` are (B, N, m_x + m_u); same SPD structure as the
     condensed ``_solve_masked_system`` CG path, with the matrix applied
     through the stage-wise LQR oracle (one backward+forward sweep per
-    iteration) instead of a shared (S, S) matmul."""
+    iteration) instead of a shared (S, S) matmul. ``cg_rtol2`` is the
+    SQUARED relative-residual exit. The default 1e-10 (1e-5 residual
+    reduction) is a chip-measured SAFETY bound, not a speed knob: fp32
+    CG cannot reach 1e-7 reduction at large active sets — it stagnates
+    and then DIVERGES (n8 N240 B64: grad_max 4e5 at the old 1e-14 exit
+    vs the correct 5.9 at 1e-10/1e-8, which agree bit-for-bit — and 10x
+    the runtime). 1e-5 is already below the fp32 forward plateau."""
 
     def apply_one(v, mb):
         vm = mb * v
@@ -344,7 +354,7 @@ def _sw_masked_cg(d0, m_b, ridge, rhs, cg_iters):
     X0 = jnp.zeros_like(rhs)
     R0 = rhs
     rs0 = jnp.sum(R0 * R0, axis=(-2, -1), keepdims=True)
-    tol2 = 1e-14 * jnp.maximum(rs0, 1e-30)
+    tol2 = cg_rtol2 * jnp.maximum(rs0, 1e-30)
 
     def cond(carry):
         i, _, _, _, rs = carry
