@@ -37,6 +37,10 @@ def main():
                     help="override ladder: 'n,N,B;n,N,B;...'")
     ap.add_argument("--merge", action="store_true",
                     help="append rows to an existing --out file")
+    ap.add_argument("--replace-rows", action="store_true",
+                    help="re-measure the ladder INTO an existing --out "
+                         "file: reset 'rows' but keep every other "
+                         "section (warm_rows/auto_rows/stream_rows/...)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +77,11 @@ def main():
     }
     if args.merge and Path(args.out).exists():
         out = json.loads(Path(args.out).read_text())
+    elif args.replace_rows and Path(args.out).exists():
+        out = json.loads(Path(args.out).read_text())
+        out["rows"] = []
+        out["iterations"] = args.iterations
+        out["rounds"] = args.rounds
 
     for n, N, batch in shapes:
         try:
