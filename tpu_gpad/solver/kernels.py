@@ -34,7 +34,6 @@ those sizes (``engine="auto"``).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
