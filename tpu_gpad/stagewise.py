@@ -34,13 +34,15 @@ any tiling, while the stage-wise data is ~2 MB at the same shape. The
 trade is sequential depth (2N sweep steps per iteration vs one matmul),
 answered by three executors behind one auto-routed API (chip-measured,
 STAGEWISE.json; docs/DESIGN.md section 11): a fused whole-solve Pallas
-kernel (``stagewise_kernel``, big-batch/moderate-N), parallel-prefix
-``associative_scan`` sweeps (small state, latency regime) and the plain
-``lax.scan`` path (large state). Measured outcome: stage-wise BEATS the
+kernel (``stagewise_kernel``, big-batch/moderate-N), an HBM-STREAMED
+fused kernel (``stagewise_stream``, the big-state shapes past the VMEM
+wall), parallel-prefix ``associative_scan`` sweeps (small state, latency
+regime) and the plain ``lax.scan`` path. Measured outcome (round-5
+re-measure with all four executors routed): stage-wise BEATS the
 condensed engines at long horizons — battery n8 at N=240 for every batch
-(1.41x at B=128, 1.30x at B=4096), from N>=60 at B=4096 (1.09-1.18x),
-and battery n30 N200 at every batch (1.9x at B=64, 3.2x at B=1024) —
-while condensed keeps short horizons (N=10: 5.3x) and mid-horizon small
+(1.41x at B=128, 2.13x at B=4096), from N>=60 at B=4096 (1.10-1.18x),
+and battery n30 N200 at every batch (2.53x at B=64, 6.23x at B=1024) —
+while condensed keeps short horizons (N=10: ~4.4x) and mid-horizon small
 batch.
 
 Scope: hard per-stage constraints, LTI or LTV dynamics, per-stage Q/R and
