@@ -98,6 +98,22 @@ def main():
     print(f"wrote {args.out}")
 
 
+def _auto_executor(data, N, batch) -> str:
+    """Which executor solve_stagewise's auto routing takes on TPU
+    (deterministic; recorded per row for transparency)."""
+    from tpu_gpad.stagewise_kernel import (
+        stagewise_kernel_compatible, stagewise_kernel_wins)
+    from tpu_gpad.stagewise_stream import stagewise_stream_compatible
+
+    if (stagewise_kernel_compatible(data)[0]
+            and stagewise_kernel_wins(N, batch, data)):
+        return "kernel"
+    seq = not (data.n_x + data.n_u <= 24 and batch < 1024)
+    if seq and stagewise_stream_compatible(data)[0]:
+        return "stream"
+    return "sequential" if seq else "associative"
+
+
 def _one_shape(out, args, n, N, batch):
     import jax
     import jax.numpy as jnp
@@ -235,6 +251,7 @@ def _one_shape(out, args, n, N, batch):
         "assoc_iqr": ab_assoc["ratio_b_over_a_iqr"],
         "stagewise_auto_is_kernel": bool(
             kernel_ok and stagewise_kernel_wins(N, batch, data_s)),
+        "stagewise_auto_executor_on_tpu": _auto_executor(data_s, N, batch),
         "kernel_u_err_vs_xla_sw": u_kernel_err,
         "kernel_solves_per_sec": (
             batch / ab_kern["t_a_median_s"] if ab_kern else None),
