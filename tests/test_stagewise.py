@@ -756,3 +756,38 @@ def test_fixed_reference_matches_condensed_tracking():
         u = np.asarray(solve_stagewise(data_s, x[None]).u)[0]
         x = A @ x + B @ u
     assert abs(x[0] - ref[0]) < 0.05
+
+
+def test_multi_plant_stagewise_sharded():
+    """solve_stagewise_multi_sharded: P heterogeneous plants sharded
+    one-per-device-column over the virtual mesh == the unsharded
+    multi-plant solve (the O(N) twin of solve_multi_sharded)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    from tpu_gpad.parallel import make_mesh, solve_stagewise_multi_sharded
+    from tpu_gpad.solver import SolverConfig
+    from tpu_gpad.stagewise import solve_stagewise_multi, stack_stagewise
+
+    datas = [
+        build_stagewise(
+            problems.random_ltv(n_x=3, n_u=2, horizon=6, seed=s),
+            iterations=60,
+        )
+        for s in range(4)
+    ]
+    st = stack_stagewise(datas)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.uniform(-0.3, 0.3, size=(4, 2, 3)).astype(np.float32))
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    cfg = SolverConfig(iterations=60)
+    res_sh = solve_stagewise_multi_sharded(st, X, cfg, mesh=mesh)
+    ref = solve_stagewise_multi(st, X, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.y), np.asarray(ref.y), atol=1e-6)
+    with pytest.raises(ValueError, match="divisible"):
+        solve_stagewise_multi_sharded(st, X[:3], cfg, mesh=mesh)

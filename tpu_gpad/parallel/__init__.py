@@ -11,6 +11,7 @@ from tpu_gpad.parallel.distrib import (
     pad_dual_rows,
     solve_batch_sharded,
     solve_multi_sharded,
+    solve_stagewise_multi_sharded,
     shard_batch,
 )
 

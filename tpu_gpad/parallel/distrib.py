@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_gpad.types import GPADData, SolveResult
@@ -34,8 +35,6 @@ from tpu_gpad.solver.core import SolverConfig, solve_batch
 
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     """Build a ``(data, model)`` mesh. Defaults to all devices on data."""
-    import numpy as np
-
     if devices is None:
         devices = jax.devices()
     if n_data is None:
@@ -251,6 +250,66 @@ def solve_multi_sharded(
         local_solve,
         mesh=mesh,
         in_specs=(_stacked_data_specs(data, pa), P(pa)),
+        out_specs=SolveResult(
+            u=P(pa), z=P(pa), y=P(pa), iterations=P(pa),
+            residual=P(pa), gap=P(pa), converged=P(pa),
+        ),
+        check_vma=False,
+    )
+    return shmapped(data, x0)
+
+
+def _stagewise_stacked_specs(like, plant_axis: str):
+    """PartitionSpecs for a ``stack_stagewise`` result: every array leaf
+    (incl. the per-plant L and schedules) gained a leading plant axis in
+    the stack — shard it; meta fields ride along untouched."""
+    import jax.tree_util as jtu
+
+    leaves, treedef = jtu.tree_flatten(like)
+    specs = [P(plant_axis, *([None] * (np.ndim(leaf) - 1)))
+             for leaf in leaves]
+    return jtu.tree_unflatten(treedef, specs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "plant_axis")
+)
+def solve_stagewise_multi_sharded(
+    data,
+    x0: jax.Array,
+    config: SolverConfig = SolverConfig(),
+    *,
+    mesh: Mesh,
+    plant_axis: str = "data",
+) -> SolveResult:
+    """Mesh-sharded multi-plant STAGE-WISE solve: the O(N) twin of
+    ``solve_multi_sharded`` for fleets of heterogeneous long-horizon
+    controllers. The plant axis of a ``stack_stagewise`` result (P
+    different dynamics, Riccati constants and Lipschitz constants)
+    shards over ``plant_axis``; each device runs its local plants'
+    backward/forward sweeps with zero cross-device communication.
+    ``x0``: (P, n_x) one state per plant, or (P, B, n_x) per-plant
+    scenario batches."""
+    from tpu_gpad.stagewise import solve_stagewise_multi
+
+    n_dev = mesh.shape[plant_axis]
+    n_plants = x0.shape[0]
+    if n_plants % n_dev:
+        raise ValueError(
+            f"plant count {n_plants} not divisible by mesh axis {n_dev}"
+        )
+
+    def local_solve(data_local, x0_local) -> SolveResult:
+        return solve_stagewise_multi(data_local, x0_local, config=config)
+
+    pa = plant_axis
+    shmapped = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(
+            _stagewise_stacked_specs(data, pa),
+            P(pa, *([None] * (x0.ndim - 1))),
+        ),
         out_specs=SolveResult(
             u=P(pa), z=P(pa), y=P(pa), iterations=P(pa),
             residual=P(pa), gap=P(pa), converged=P(pa),
