@@ -231,19 +231,29 @@ def test_stagewise_long_window_kalman_equivalence():
     )
 
 
-def test_mhe_auto_routes_long_windows_stagewise():
-    from tpu_gpad.stagewise import AUTO_STAGEWISE_HORIZON
-
+def test_mhe_auto_routes_by_memory_backstop():
+    """MHE auto routing is the O(T^2 n_x^2) MEMORY backstop only: the
+    MPC throughput crossover does not transfer to small-state MHE
+    (chip-measured 0.048x at T=180 n_x=2 — MHE_STAGEWISE.json), so a
+    long window with tiny state stays condensed, and only walls of
+    condensed operands route stage-wise."""
+    # T=180, n_x=2: condensed operands ~4 MB — condensed stays
     est = MovingHorizonEstimator(
-        A, B, C, window=AUTO_STAGEWISE_HORIZON, W=W, V=V,
+        A, B, C, window=180, W=W, V=V,
         w_min=np.full(2, -1.0), w_max=np.full(2, 1.0), iterations=10,
     )
-    assert est.engine == "stagewise"
+    assert est.engine == "condensed"
+    # T=1500, n_x=2: ~290 MB projected -> stage-wise
     est2 = MovingHorizonEstimator(
+        A, B, C, window=1500, W=W, V=V,
+        w_min=np.full(2, -1.0), w_max=np.full(2, 1.0), iterations=10,
+    )
+    assert est2.engine == "stagewise"
+    est3 = MovingHorizonEstimator(
         A, B, C, window=5, W=W, V=V,
         w_min=np.full(2, -1.0), w_max=np.full(2, 1.0), iterations=10,
     )
-    assert est2.engine == "condensed"
+    assert est3.engine == "condensed"
 
 
 def test_validation():

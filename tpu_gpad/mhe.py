@@ -341,19 +341,22 @@ class MovingHorizonEstimator:
         self._A, self._B, self._C = A, B, C
         if engine == "auto":
             # long windows hit the SAME O(T^2) condensation wall as long
-            # MPC horizons; route by the measured stage-wise crossover
-            # (STAGEWISE.json) with the memory backstop on the projected
-            # condensed operands (n_z = T n_x, m <= 4 T n_x)
-            from tpu_gpad.stagewise import (
-                AUTO_STAGEWISE_ABOVE_MB,
-                AUTO_STAGEWISE_HORIZON,
-            )
+            # MPC horizons — but ONLY the memory backstop routes here:
+            # the MPC throughput crossover (N >= 170, measured on
+            # battery-class n8/n30 plants) does NOT transfer to MHE's
+            # typically tiny state. Chip-measured (MHE_STAGEWISE.json):
+            # at T=180 n_x=2 the condensed window QP is (360, 716) —
+            # whole-VMEM-kernel territory at 199k windows/s vs the
+            # stage-wise engine's 9.5k (0.048x; per-stage math is too
+            # small to amortize the 2T sequential sweeps). Stage-wise is
+            # the route when condensation's O(T^2 n_x^2) operands
+            # actually blow up (n_x=30: T ~ 95; n_x=2: T ~ 1400).
+            from tpu_gpad.stagewise import AUTO_STAGEWISE_ABOVE_MB
 
             mb = 2 * (4 * window * n_x) * (window * n_x) * 4 / 1e6
             engine = (
                 "stagewise"
-                if window >= AUTO_STAGEWISE_HORIZON
-                or mb > AUTO_STAGEWISE_ABOVE_MB
+                if mb > AUTO_STAGEWISE_ABOVE_MB
                 else "condensed"
             )
         self.engine = engine
