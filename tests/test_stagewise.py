@@ -430,6 +430,14 @@ def test_auto_routing_table_pins_measured_crossover():
     # batch-agnostic calls keep condensed below the any-batch crossover
     assert not stagewise_preferred(problems.battery(8, 120))[0]
     assert stagewise_preferred(problems.battery(8, 240))[0]
+    # tiny per-stage state: the throughput branches are OFF (measured:
+    # condensed 21x at (n+p)=4 far past N=170, MHE_STAGEWISE.json) —
+    # only the memory backstop routes
+    got, why = stagewise_preferred(problems.battery(3, 240),
+                                   batch_hint=4096)
+    assert not got and "per-stage state too small" in why
+    assert stagewise_preferred(problems.battery(3, 240),
+                               threshold_mb=1e-6)[0]
 
 
 def test_auto_solver_batch_hint_and_x_ref():
@@ -448,13 +456,15 @@ def test_auto_solver_batch_hint_and_x_ref():
     assert kind == "stagewise"
     X0 = np.zeros((2, prob.n_x), dtype=np.float32)
     fn(X0)  # solves without error
-    # large-batch branch at the measured kernel-win region
+    # large-batch branch at the measured kernel-win region (n8: the
+    # measured family; tiny-state plants stay condensed — see the
+    # routing-table test)
     _, _, kind = auto_solver(
-        problems.battery(3, 60), iterations=50, batch_hint=4096
+        problems.battery(8, 60), iterations=50, batch_hint=4096
     )
     assert kind == "stagewise"
     _, _, kind = auto_solver(
-        problems.battery(3, 60), iterations=50, batch_hint=256
+        problems.battery(8, 60), iterations=50, batch_hint=256
     )
     assert kind == "condensed"
 

@@ -532,6 +532,19 @@ def stagewise_preferred(
     if mb > lim:
         return True, f"projected condensed operands {mb:.1f} MB > {lim:g} MB"
     N = problem.horizon
+    # The throughput branches below are anchored to the MEASURED
+    # battery-class family (per-stage size n_x + n_u = 16..60,
+    # STAGEWISE.json). They do NOT extend to tiny per-stage state: at
+    # (n_x + n_u) = 4 — the MHE block problem, chip-measured — condensed
+    # wins 21x even at T=180 (MHE_STAGEWISE.json: the condensed QP is
+    # still whole-VMEM-kernel sized while the 2N sequential sweeps have
+    # almost no math to amortize). Below the measured family only the
+    # memory backstop above routes stage-wise.
+    if problem.n_x + problem.n_u < 10:
+        return False, (
+            "per-stage state too small for the measured throughput "
+            "crossover (MHE_STAGEWISE.json: condensed 21x at (n+p)=4); "
+            "memory backstop only")
     if N >= AUTO_STAGEWISE_HORIZON:
         return True, (
             f"horizon {N} >= {AUTO_STAGEWISE_HORIZON} (measured any-batch "
