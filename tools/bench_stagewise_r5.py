@@ -59,7 +59,8 @@ def main():
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--section",
-                    choices=["warm", "auto", "stream", "cpu", "all"],
+                    choices=["warm", "auto", "stream", "cpu",
+                             "smallstate", "all"],
                     default="all")
     args = ap.parse_args()
 
@@ -75,6 +76,25 @@ def main():
         if Path(args.out).exists()
         else {"device": str(jax.devices()[0]), "rows": []}
     )
+
+    if args.section == "smallstate":
+        # OPEN measurement (tunnel outage cut the first attempt,
+        # 2026-08-21): does the long-horizon crossover exist at tiny
+        # per-stage state? The (n+p)=4 MHE datapoint says condensed by
+        # 21x at T=180; these rows bound the double-integrator family.
+        # stagewise_preferred currently gates its throughput branches at
+        # n_x+n_u >= 10 — revise from these rows if they contradict it.
+        out["smallstate_rows"] = []
+        for N, batch in ((240, 1024), (400, 1024), (1000, 1024)):
+            try:
+                out["smallstate_rows"].append(
+                    _smallstate_row(args, N, batch))
+            except Exception as ex:
+                out["smallstate_rows"].append(
+                    {"N": N, "batch": batch,
+                     "error": f"{type(ex).__name__}: {ex}"[:300]})
+                print(f"smallstate ({N},{batch}) failed: {ex}", flush=True)
+            Path(args.out).write_text(json.dumps(out, indent=1))
 
     if args.section in ("cpu", "all"):
         # host-only: the native C++ stage-wise baseline (the reference's
@@ -127,6 +147,50 @@ def main():
 
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(f"wrote {args.out}")
+
+
+def _smallstate_row(args, N, batch):
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_gpad
+    from tpu_gpad import problems
+    from tpu_gpad.solver import SolverConfig, solve_batch
+    from tpu_gpad.stagewise import build_stagewise, solve_stagewise
+    from tpu_gpad.utils import interleaved_ab
+
+    prob = problems.double_integrator(horizon=N)
+    data_s = build_stagewise(prob, iterations=args.iterations)
+    data_c = tpu_gpad.dualize(
+        tpu_gpad.condense(prob), iterations=args.iterations,
+        paired="auto", L=float(data_s.L),
+    )
+    cfg = SolverConfig(iterations=args.iterations)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=(batch, prob.n_x)).astype(np.float32))
+    j_s = jax.jit(lambda d, x: solve_stagewise(d, x).u)
+    j_c = jax.jit(lambda d, x: solve_batch(d, x, config=cfg).u)
+    err = float(np.abs(
+        np.asarray(j_s(data_s, X[:8])) - np.asarray(j_c(data_c, X[:8]))
+    ).max())
+    ab = interleaved_ab(
+        lambda: j_s(data_s, X), lambda: j_c(data_c, X),
+        rounds=args.rounds, k_large=8,
+    )
+    row = {
+        "problem": "double_integrator", "N": N, "batch": batch,
+        "n_plus_p": prob.n_x + prob.n_u,
+        "u_parity_err": err,
+        "stagewise_solves_per_sec": batch / ab["t_a_median_s"],
+        "condensed_solves_per_sec": batch / ab["t_b_median_s"],
+        "speedup_stagewise_over_condensed": ab["ratio_b_over_a_median"],
+        "iqr": ab["ratio_b_over_a_iqr"],
+        "rejected_rounds": ab["rejected_rounds"],
+        "unstable": ab["unstable"],
+    }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 def _cpu_row(args, n, N):
