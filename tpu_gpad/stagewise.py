@@ -538,8 +538,10 @@ def stagewise_preferred(
     # (n_x + n_u) = 4 — the MHE block problem, chip-measured — condensed
     # wins 21x even at T=180 (MHE_STAGEWISE.json: the condensed QP is
     # still whole-VMEM-kernel sized while the 2N sequential sweeps have
-    # almost no math to amortize). Below the measured family only the
-    # memory backstop above routes stage-wise.
+    # almost no math to amortize), and on the MPC side the double
+    # integrator at (n+p)=3 B1024 loses 17x/9.5x/14x at N=240/400/1000
+    # (STAGEWISE.json smallstate_rows — no horizon flips it). Below the
+    # measured family only the memory backstop above routes stage-wise.
     if problem.n_x + problem.n_u < 10:
         return False, (
             "per-stage state too small for the measured throughput "
