@@ -59,7 +59,7 @@ def main():
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--section",
-                    choices=["warm", "auto", "stream", "cpu",
+                    choices=["warm", "warmstream", "auto", "stream", "cpu",
                              "smallstate", "all"],
                     default="all")
     args = ap.parse_args()
@@ -119,6 +119,25 @@ def main():
                     {"n_cells": n, "N": N, "batch": batch,
                      "error": f"{type(ex).__name__}: {ex}"[:300]})
                 print(f"stream ({n},{N},{batch}) failed: {ex}", flush=True)
+            Path(args.out).write_text(json.dumps(out, indent=1))
+
+    if args.section in ("warmstream", "all"):
+        # warm-started serving at the STREAM kernel's shapes: the
+        # StagewiseController contract past the condensation wall
+        # (n30 N200: the whole-VMEM kernel is unbuildable, auto routes
+        # the streamed kernel; these rows are the chip evidence that
+        # warm serving rides it and wins)
+        out["warm_stream_rows"] = []
+        for n, N, batch in ((30, 200, 1024), (30, 200, 64)):
+            try:
+                out["warm_stream_rows"].append(
+                    _warm_row(args, n, N, batch, engine="stream"))
+            except Exception as ex:
+                out["warm_stream_rows"].append(
+                    {"n_cells": n, "N": N, "batch": batch,
+                     "error": f"{type(ex).__name__}: {ex}"[:300]})
+                print(f"warmstream ({n},{N},{batch}) failed: {ex}",
+                      flush=True)
             Path(args.out).write_text(json.dumps(out, indent=1))
 
     if args.section in ("warm", "all"):
@@ -271,7 +290,7 @@ def _stream_row(args, n, N, batch):
     return row
 
 
-def _warm_row(args, n, N, batch):
+def _warm_row(args, n, N, batch, engine="pallas"):
     import jax
     import jax.numpy as jnp
 
@@ -291,9 +310,9 @@ def _warm_row(args, n, N, batch):
     j_xla = jax.jit(lambda d, x, y: solve_stagewise(
         d, x, y0=y, engine="xla", scan="sequential").u)
     j_kern = jax.jit(lambda d, x, y: solve_stagewise(
-        d, x, y0=y, engine="pallas").u)
+        d, x, y0=y, engine=engine).u)
     # the warm dual: previous sample's solve (kernel side, cold)
-    y_warm = solve_stagewise(data, X_prev, engine="pallas").y
+    y_warm = solve_stagewise(data, X_prev, engine=engine).y
 
     u_k = np.asarray(j_kern(data, X0, y_warm))
     u_x = np.asarray(j_xla(data, X0, y_warm))
@@ -309,6 +328,7 @@ def _warm_row(args, n, N, batch):
     row = {
         "n_cells": n, "N": N, "batch": batch,
         "mode": "warm-started serving (y0 = previous sample's dual)",
+        "kernel": engine,
         "u_err_kernel_vs_xla": err,
         "kernel_warm_solves_per_sec": batch / ab["t_a_median_s"],
         "xla_warm_solves_per_sec": batch / ab["t_b_median_s"],
@@ -317,7 +337,18 @@ def _warm_row(args, n, N, batch):
         "iqr": ab["ratio_b_over_a_iqr"],
         "rejected_rounds": ab["rejected_rounds"],
         "unstable": ab["unstable"],
-        "auto_routes_kernel": bool(stagewise_kernel_wins(N, batch, data)),
+        # for engine="pallas": would auto pick the whole-VMEM kernel
+        # here; for engine="stream": auto picks stream exactly when the
+        # VMEM kernel does not win and scan routing would be sequential
+        # (solve_stagewise's would_be_seq rule)
+        "auto_routes_kernel": bool(
+            stagewise_kernel_wins(N, batch, data)
+            if engine == "pallas"
+            else (
+                not stagewise_kernel_wins(N, batch, data)
+                and not (data.n_x + data.n_u <= 24 and batch < 1024)
+            )
+        ),
     }
     print(json.dumps(row), flush=True)
     return row
