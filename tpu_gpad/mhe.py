@@ -350,7 +350,13 @@ class MovingHorizonEstimator:
             # stage-wise engine's 9.5k (0.048x; per-stage math is too
             # small to amortize the 2T sequential sweeps). Stage-wise is
             # the route when condensation's O(T^2 n_x^2) operands
-            # actually blow up (n_x=30: T ~ 95; n_x=2: T ~ 1400).
+            # actually blow up (n_x=30: T ~ 95; n_x=2: T ~ 1400) — and
+            # there the route is chip-measured to PAY
+            # (MHE_STAGEWISE.json bigstate_row, n_x=30 T=120 B=64):
+            # stage-wise 1.61x throughput over the condensed window QP
+            # even on its slowest executor (runtime q_lin/c rides the
+            # XLA scan), with a 24x build-time edge (6.7 s vs 164 s
+            # host condensation).
             from tpu_gpad.stagewise import AUTO_STAGEWISE_ABOVE_MB
 
             mb = 2 * (4 * window * n_x) * (window * n_x) * 4 / 1e6
