@@ -352,7 +352,7 @@ class MovingHorizonEstimator:
             # the route when condensation's O(T^2 n_x^2) operands
             # actually blow up (n_x=30: T ~ 95; n_x=2: T ~ 1400) — and
             # there the route is chip-measured to PAY
-            # (MHE_STAGEWISE.json bigstate_row, n_x=30 T=120 B=64):
+            # (MHE_STAGEWISE.json bigstate_rows, n_x=30 T=120 B=64):
             # stage-wise 1.61x throughput over the condensed window QP
             # even on its slowest executor (runtime q_lin/c rides the
             # XLA scan), with a 24x build-time edge (6.7 s vs 164 s
